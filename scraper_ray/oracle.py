@@ -1,0 +1,105 @@
+"""Sequential reference-semantics oracle crawler (SURVEY.md §5.2).
+
+A pure-Python, single-threaded crawler faithful to the reference's
+sequential semantics (handlers/scrapers.py:110-150: entity by entity,
+ascending pages with stop-on-empty, DOM item order; dedupe by canonical
+key as in handlers/db.py:38-54), generalized to the deterministic
+priority key ``(depth, parent_id, child_idx, url)``:
+
+- the frontier is a min-heap on that key;
+- keys pushed while popping depth ``d`` all have depth ``d+1``, so the pop
+  sequence is globally key-sorted — a linear extension of the reference's
+  sequential order in which every entity's pages ascend and every page's
+  items appear in DOM order;
+- the URL-seen set admits a canonical URL exactly once, at first
+  discovery (robots-disallowed URLs are never admitted).
+
+The Ray engine must reproduce (a) this final seen set exactly, (b) this
+order when its output is sorted by the same key — and chronologically per
+domain, and (c) per-row span sequences (the BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from .canonicalize import canonicalize_url, doc_id_for, registered_domain
+from .synthweb import Page, PolitenessConfig, WebConfig, fetch_page
+
+
+@dataclass
+class OracleResult:
+    docs: list[dict] = field(default_factory=list)   # DOC_SCHEMA-shaped dicts
+    seen: set[str] = field(default_factory=set)      # canonical URLs admitted
+    n_invalid: int = 0
+    n_robots_blocked: int = 0
+    n_duplicates: int = 0
+
+
+def _admit(
+    raw_url: str,
+    depth: int,
+    parent_id: str,
+    child_idx: int,
+    res: OracleResult,
+    politeness: PolitenessConfig | None,
+    heap: list,
+) -> None:
+    cu = canonicalize_url(raw_url)
+    if cu is None:
+        res.n_invalid += 1
+        return
+    if politeness is not None:
+        parts = urlsplit(cu)
+        if not politeness.allowed(registered_domain(parts.hostname or ""), parts.path):
+            res.n_robots_blocked += 1
+            return
+    if cu in res.seen:
+        res.n_duplicates += 1
+        return
+    res.seen.add(cu)
+    heapq.heappush(heap, (depth, parent_id, child_idx, cu))
+
+
+def crawl_oracle(
+    seeds: list[str],
+    cfg: WebConfig,
+    politeness: PolitenessConfig | None = None,
+    max_docs: int | None = None,
+) -> OracleResult:
+    """Crawl the synthetic web sequentially; ground truth for conformance."""
+    res = OracleResult()
+    heap: list = []
+    for seed_idx, raw in enumerate(seeds):
+        _admit(raw, 0, "", seed_idx, res, politeness, heap)
+
+    while heap:
+        depth, parent_id, child_idx, url = heapq.heappop(heap)
+        page: Page = fetch_page(url, cfg)
+        did = doc_id_for(url)
+        host = urlsplit(url).hostname or ""
+        res.docs.append(
+            {
+                "doc_id": did,
+                "url": url,
+                "entity": page.entity,
+                "page_type": page.page_type,
+                "domain_key": registered_domain(host),
+                "depth": depth,
+                "parent_id": parent_id,
+                "child_idx": child_idx,
+                "wave": -1,
+                "spans": [
+                    {"kind": s.kind, "text": s.text,
+                     "media_ref": s.media_ref, "offset": s.offset}
+                    for s in page.spans
+                ],
+            }
+        )
+        if max_docs is not None and len(res.docs) >= max_docs:
+            break
+        for idx, child in enumerate(page.child_urls):
+            _admit(child, depth + 1, did, idx, res, politeness, heap)
+    return res
