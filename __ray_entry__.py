@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on a small deterministic
+synthetic web plus the flagship relational aggregate on sf0.001;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data extensions); ``oracle_sql()`` maps
+the SQL-expressible ones to DuckDB equivalents over the same tables.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — no
+ray.init()/ray.shutdown() anywhere in the library or in these callables.
 """
 
 from __future__ import annotations
@@ -20,25 +17,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic synthetic-web crawl -> doc table
+    (interleaved text+media spans, the input_hint payload)."""
+    from scraper_ray.pipelines.crawl_queries import q_crawl_docs
+
+    return q_crawl_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from scraper_ray.pipelines import (
+        ann,
+        crawl_queries,
+        dedup,
+        enrichment,
+        media,
+        relational,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for mod in (relational, dedup, text, ann, enrichment, media, crawl_queries):
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from scraper_ray.pipelines import ann, dedup, relational, text
+
+    out: dict[str, str] = {}
+    for mod in (relational, dedup, text, ann):
+        out.update(mod.ORACLE_SQL)
+    return out

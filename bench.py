@@ -1,0 +1,150 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+    python bench.py                 # headline suite over $GRAFT_SF_DIR
+    python bench.py --scaling       # same crawl at 8 vs 32 CPUs (fresh
+                                    # processes) + scaling efficiency
+    python bench.py --crawl-only    # just the crawl benchmark
+
+Headline pipelines: the synthetic-web crawl (pages/sec — the BASELINE
+metric) plus the heaviest relational / dedup / ANN queries at the given
+scale factor. Session: ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS or 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# fixed crawl benchmark universe (~25k pages; Zipf page skew, messy seeds)
+CRAWL_SEEDS = int(os.environ.get("GRAFT_CRAWL_SEEDS", "200000"))
+
+
+def crawl_bench_config():
+    from scraper_ray.synthweb import WebConfig, default_politeness
+
+    # ~260k pages; work_per_page=4000 blake2b rounds ~ 1.7 ms/page, the
+    # realistic CPU cost of HTML fetch+parse — makes the benchmark
+    # compute-bound (what a real crawl is) instead of orchestration-bound
+    web = WebConfig(seed=77, n_entities=20000, items_per_page=12,
+                    max_pages_cap=12, dup_rate=0.15, alias_rate=0.2,
+                    work_per_page=4000)
+    pol = default_politeness(web, wave_units=256)
+    return web, pol
+
+
+def run_crawl_bench() -> dict:
+    from scraper_ray.crawl import CrawlConfig, crawl
+    from scraper_ray.synthweb import gen_seeds_dataset
+
+    web, pol = crawl_bench_config()
+    out = "/tmp/bench_crawl_docs"
+    shutil.rmtree(out, ignore_errors=True)
+    # warmup: spin up the Ray Data worker pool before the timed section
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+    seeds = gen_seeds_dataset(web, CRAWL_SEEDS)
+    ccfg = CrawlConfig(web=web, politeness=pol, out_dir=out,
+                       n_seen_shards=8, n_sched_shards=8, batch_size=2048)
+    t0 = time.time()
+    stats = crawl(seeds, ccfg)
+    dt = time.time() - t0
+    return {"sec": round(dt, 2), "pages": stats.docs, "waves": stats.waves,
+            "pages_per_sec": round(stats.docs / dt, 1)}
+
+
+QUERY_NAMES = [
+    "pricing_summary", "join_hash", "join_broadcast", "dedup_keep_latest",
+    "dedup_exact", "minhash_pairs", "simhash", "token_count", "doc_stats",
+    "ann_topk", "embedding_neardup", "top_orders", "group_collect",
+]
+
+
+def run_query_bench() -> dict:
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume the stream (count() executes without driver materialization)
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["crawl"]["pages_per_sec"]
+        t32 = results[32]["crawl"]["pages_per_sec"]
+        eff = (t32 / t8) / 4.0
+        print(json.dumps({
+            "metric": "crawl_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "fraction",
+            "pages_per_sec": {"cpus8": t8, "cpus32": t32},
+            "speedup": round(t32 / t8, 2),
+            "seeds": CRAWL_SEEDS,
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    crawl_res = run_crawl_bench()
+    queries = {} if args.crawl_only else run_query_bench()
+    total = crawl_res["sec"] + sum(queries.values())
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {"crawl": crawl_res["sec"], **queries},
+        "crawl": crawl_res,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

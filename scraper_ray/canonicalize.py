@@ -195,8 +195,15 @@ FRONTIER_FIELDS = [
     ("depth", pa.int32()),
     ("parent_id", pa.string()),     # parent doc_id ('' for seeds)
     ("child_idx", pa.int32()),      # DOM/discovery order under the parent
+    ("path", pa.string()),          # discovery path, 8-hex per hop
 ]
 FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
+
+
+def encode_hop(idx: int) -> str:
+    """One discovery-path hop as fixed-width hex (lexicographic = numeric)."""
+    assert 0 <= idx < 1 << 32
+    return format(idx, "08x")
 
 
 def frontier_table(
@@ -204,32 +211,36 @@ def frontier_table(
     depth: int | list[int],
     parent_ids: str | list[str],
     child_idxs: list[int] | None = None,
+    parent_paths: str | list[str] = "",
 ) -> pa.Table:
     """Canonicalize raw *urls* into a frontier-schema table.
 
     Invalid / unsupported URLs are dropped (the reference drops them
     silently via its try/except parse wrappers, handlers/diandianzu.py:31-35;
     we drop at canonicalization and count upstream). Duplicate canonical
-    URLs within the input are collapsed keeping the lowest
-    (depth, parent_id, child_idx) key, mirroring first-discovery-wins.
+    URLs within the input are collapsed keeping the lowest (depth, path)
+    key — first-discovery-wins in the reference's sequential order, since
+    the discovery path (seed idx -> page chain -> DOM slot chain) IS that
+    order (handlers/scrapers.py:88-150) generalized to a sortable key.
     """
     n = len(urls)
     depths = [depth] * n if isinstance(depth, int) else depth
     parents = [parent_ids] * n if isinstance(parent_ids, str) else parent_ids
     idxs = child_idxs if child_idxs is not None else list(range(n))
+    ppaths = [parent_paths] * n if isinstance(parent_paths, str) else parent_paths
 
     best: dict[str, tuple] = {}
-    for raw, d, p, ci in zip(urls, depths, parents, idxs):
+    for raw, d, p, ci, pp in zip(urls, depths, parents, idxs, ppaths):
         cu = canonicalize_url(raw)
         if cu is None:
             continue
-        key = (d, p, ci)
+        key = (d, pp + encode_hop(ci), p, ci)
         prev = best.get(cu)
-        if prev is None or key < prev:
+        if prev is None or key[:2] < prev[:2]:
             best[cu] = key
-    rows = sorted(best.items(), key=lambda kv: kv[1])
+    rows = sorted(best.items(), key=lambda kv: kv[1][:2])
     cols: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
-    for cu, (d, p, ci) in rows:
+    for cu, (d, path, p, ci) in rows:
         h = host_of(cu)
         cols["url"].append(cu)
         cols["url_sha1"].append(sha1_url(cu))
@@ -238,6 +249,7 @@ def frontier_table(
         cols["depth"].append(d)
         cols["parent_id"].append(p)
         cols["child_idx"].append(ci)
+        cols["path"].append(path)
     return pa.table(
         {name: pa.array(cols[name], type=typ) for name, typ in FRONTIER_FIELDS},
         schema=FRONTIER_SCHEMA,

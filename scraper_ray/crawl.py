@@ -1,0 +1,207 @@
+"""The crawl wave loop — driver-side orchestration (SURVEY.md §7.0).
+
+    seeds ─ canonicalize ─ robots ─ offer ─▶ scheduler shards
+                 ┌──────────────────────────────┘
+                 ▼ next_wave (politeness budget, min-depth, key order;
+                 │            emitted URLs marked in the cuckoo seen set)
+           wave Dataset ── map_batches(FetchParse) ── map_batches(DiscoverOffer)
+                 │                                        │ children offered
+                 ▼                                        ▼ back to shards
+           docs parquet (wave=K dir)                 metrics actor
+
+One streaming execution per wave (fetch -> discover -> write are fused;
+blocks pipeline with backpressure). Frontier iteration is inherently a
+per-wave barrier (SURVEY §2.9); driver work per wave is O(shards), never
+O(urls). Docs land in one parquet directory per wave — resumable output:
+a restart from checkpoint deletes incomplete wave dirs and continues
+(the reference's entity-granularity resume, handlers/db.py:191-203,
+generalized to wave/partition granularity).
+
+Checkpoints are written atomically per wave: seen-shard dumps +
+scheduler-shard dumps + a manifest with counters and lineage (wave ->
+output dir), then ``LATEST`` is swapped via rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .canonicalize import frontier_table
+from .stages.fetch import DiscoverOffer, FetchParse
+from .state.metrics import MetricsActor
+from .state.scheduler import SchedulerPool, robots_filter
+from .state.seen import ShardedSeen
+from .synthweb import PolitenessConfig, WebConfig
+
+
+@dataclass
+class CrawlConfig:
+    web: WebConfig
+    politeness: PolitenessConfig
+    out_dir: str
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1
+    n_seen_shards: int = 4
+    n_sched_shards: int = 4
+    fetch_concurrency: int | None = None   # None -> task pool (pure fetcher);
+    # an int -> actor pool of that size (stateful HTTP fetcher shape)
+    batch_size: int = 1024
+    level_sync: str = "domain"             # 'global' when cross-domain links exist
+    max_waves: int = 100_000
+
+
+@dataclass
+class CrawlStats:
+    waves: int = 0
+    docs: int = 0
+    seen_total: int = 0
+    counters: dict = field(default_factory=dict)
+    wave_sizes: list[int] = field(default_factory=list)
+
+
+def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
+                   sched: SchedulerPool) -> int:
+    """Admit the seed list: canonicalize -> keep-min dedup -> robots ->
+    offer. Seed child_idx (and first path hop) is the global seed-list
+    position, so aliased duplicate seeds collapse to the first occurrence
+    exactly like the oracle. Seeds are NOT pre-marked in the seen set —
+    the seen set records emissions only; scheduler keep-min dedups."""
+    if isinstance(seeds, list):
+        tbl = frontier_table(seeds, depth=0, parent_ids="")
+        tbl, _ = robots_filter(tbl, ccfg.politeness)
+        return sched.offer(tbl)
+    assert "seed_idx" in seeds.schema().names, "seed Dataset needs a seed_idx column"
+
+    def admit(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        idxs = batch.column("seed_idx").to_pylist()
+        tbl = frontier_table(urls, depth=0, parent_ids="", child_idxs=idxs)
+        tbl, blocked = robots_filter(tbl, ccfg.politeness)
+        offered = sched.offer(tbl) if tbl.num_rows else 0
+        return pa.table({"n_offered": [offered], "n_blocked": [blocked]})
+
+    stats = seeds.map_batches(admit, batch_format="pyarrow",
+                              batch_size=8192).to_pandas()
+    return int(stats["n_offered"].sum())
+
+
+def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
+                sched: SchedulerPool, stats: CrawlStats) -> None:
+    root = ccfg.checkpoint_dir
+    wdir = os.path.join(root, f"wave_{wave:05d}")
+    os.makedirs(wdir, exist_ok=True)
+    seen.snapshot(wdir)
+    sched.snapshot(wdir)
+    manifest = {
+        "wave": wave,
+        "docs": stats.docs,
+        "wave_sizes": stats.wave_sizes,
+        "counters": stats.counters,
+        "out_dirs": [f"wave={w:05d}" for w in range(wave + 1)],
+    }
+    tmp = os.path.join(wdir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(wdir, "MANIFEST.json"))
+    tmp_latest = os.path.join(root, ".LATEST.tmp")
+    with open(tmp_latest, "w") as f:
+        f.write(str(wave))
+    os.replace(tmp_latest, os.path.join(root, "LATEST"))
+
+
+def latest_checkpoint(checkpoint_dir: str) -> int | None:
+    path = os.path.join(checkpoint_dir, "LATEST")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
+          resume: bool = False) -> CrawlStats:
+    """Run the crawl to frontier exhaustion; returns run counters.
+
+    ``resume=True`` restores seen + scheduler state from the latest
+    checkpoint, deletes any incomplete wave output dirs, and continues —
+    the final output is identical to an uninterrupted run
+    (tests/test_resume.py).
+    """
+    seen = ShardedSeen(ccfg.n_seen_shards)
+    sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
+                          level_sync=ccfg.level_sync, seen=seen)
+    metrics = MetricsActor.remote()
+    stats = CrawlStats()
+    start_wave = 0
+
+    if resume:
+        assert ccfg.checkpoint_dir, "resume requires a checkpoint_dir"
+        last = latest_checkpoint(ccfg.checkpoint_dir)
+        assert last is not None, "no checkpoint to resume from"
+        wdir = os.path.join(ccfg.checkpoint_dir, f"wave_{last:05d}")
+        seen.restore(wdir)
+        sched.restore(wdir)
+        with open(os.path.join(wdir, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        stats.docs = manifest["docs"]
+        stats.wave_sizes = manifest["wave_sizes"]
+        stats.counters = manifest["counters"]
+        ray.get(metrics.add.remote(stats.counters))
+        start_wave = last + 1
+        # resumable output: drop partial results from waves after the ckpt
+        if os.path.isdir(ccfg.out_dir):
+            for name in os.listdir(ccfg.out_dir):
+                if name.startswith("wave=") and int(name.split("=")[1]) > last:
+                    shutil.rmtree(os.path.join(ccfg.out_dir, name))
+    else:
+        _seed_frontier(seeds, ccfg, sched)
+
+    os.makedirs(ccfg.out_dir, exist_ok=True)
+    fetch_fn = FetchParse(ccfg.web)
+    discover_fn = DiscoverOffer(ccfg.politeness, seen, sched, metrics)
+    wave = start_wave
+    while wave < ccfg.max_waves:
+        refs, n_wave = sched.next_wave_refs(wave)
+        if n_wave == 0:
+            break
+        # spread the wave evenly over fetch tasks — skew rebalancing: a
+        # heavy domain's rows split across the pool instead of one worker
+        n_blocks = max(1, min(64, (n_wave + ccfg.batch_size - 1) // ccfg.batch_size))
+        ds = rd.from_arrow_refs(refs).repartition(n_blocks)
+        if ccfg.fetch_concurrency is None:
+            ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
+                                batch_size=ccfg.batch_size, zero_copy_batch=True)
+        else:
+            ds = ds.map_batches(
+                FetchParse,
+                fn_constructor_args=(ccfg.web,),
+                batch_format="pyarrow",
+                batch_size=ccfg.batch_size,
+                concurrency=ccfg.fetch_concurrency,
+                zero_copy_batch=True,
+            )
+        ds = ds.map_batches(discover_fn, batch_format="pyarrow",
+                            batch_size=ccfg.batch_size, zero_copy_batch=True)
+        ds.write_parquet(os.path.join(ccfg.out_dir, f"wave={wave:05d}"))
+        stats.docs += n_wave
+        stats.wave_sizes.append(n_wave)
+        stats.counters = ray.get(metrics.get.remote())
+        if ccfg.checkpoint_dir and (wave % ccfg.checkpoint_every == 0):
+            _checkpoint(ccfg, wave, seen, sched, stats)
+        wave += 1
+
+    stats.waves = wave - start_wave
+    stats.seen_total = seen.total()
+    stats.counters = ray.get(metrics.get.remote())
+    return stats
+
+
+def read_docs(out_dir: str) -> rd.Dataset:
+    """All crawled docs as a Dataset (wave dirs unioned)."""
+    return rd.read_parquet(out_dir)

@@ -4,7 +4,9 @@ A pure-Python, single-threaded crawler faithful to the reference's
 sequential semantics (handlers/scrapers.py:110-150: entity by entity,
 ascending pages with stop-on-empty, DOM item order; dedupe by canonical
 key as in handlers/db.py:38-54), generalized to the deterministic
-priority key ``(depth, parent_id, child_idx, url)``:
+priority key ``(depth, path)`` where ``path`` is the discovery path —
+seed index followed by the chain of child indices, each hop fixed-width
+hex so lexicographic order equals numeric order:
 
 - the frontier is a min-heap on that key;
 - keys pushed while popping depth ``d`` all have depth ``d+1``, so the pop
@@ -12,7 +14,8 @@ priority key ``(depth, parent_id, child_idx, url)``:
   sequential order in which every entity's pages ascend and every page's
   items appear in DOM order;
 - the URL-seen set admits a canonical URL exactly once, at first
-  discovery (robots-disallowed URLs are never admitted).
+  discovery (= minimal discovery path, because parents pop in path
+  order); robots-disallowed URLs are never admitted.
 
 The Ray engine must reproduce (a) this final seen set exactly, (b) this
 order when its output is sorted by the same key — and chronologically per
@@ -25,7 +28,12 @@ import heapq
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
-from .canonicalize import canonicalize_url, doc_id_for, registered_domain
+from .canonicalize import (
+    canonicalize_url,
+    doc_id_for,
+    encode_hop,
+    registered_domain,
+)
 from .synthweb import Page, PolitenessConfig, WebConfig, fetch_page
 
 
@@ -43,6 +51,7 @@ def _admit(
     depth: int,
     parent_id: str,
     child_idx: int,
+    parent_path: str,
     res: OracleResult,
     politeness: PolitenessConfig | None,
     heap: list,
@@ -60,7 +69,8 @@ def _admit(
         res.n_duplicates += 1
         return
     res.seen.add(cu)
-    heapq.heappush(heap, (depth, parent_id, child_idx, cu))
+    path = parent_path + encode_hop(child_idx)
+    heapq.heappush(heap, (depth, path, cu, parent_id, child_idx))
 
 
 def crawl_oracle(
@@ -73,10 +83,10 @@ def crawl_oracle(
     res = OracleResult()
     heap: list = []
     for seed_idx, raw in enumerate(seeds):
-        _admit(raw, 0, "", seed_idx, res, politeness, heap)
+        _admit(raw, 0, "", seed_idx, "", res, politeness, heap)
 
     while heap:
-        depth, parent_id, child_idx, url = heapq.heappop(heap)
+        depth, path, url, parent_id, child_idx = heapq.heappop(heap)
         page: Page = fetch_page(url, cfg)
         did = doc_id_for(url)
         host = urlsplit(url).hostname or ""
@@ -90,6 +100,7 @@ def crawl_oracle(
                 "depth": depth,
                 "parent_id": parent_id,
                 "child_idx": child_idx,
+                "path": path,
                 "wave": -1,
                 "spans": [
                     {"kind": s.kind, "text": s.text,
@@ -101,5 +112,5 @@ def crawl_oracle(
         if max_docs is not None and len(res.docs) >= max_docs:
             break
         for idx, child in enumerate(page.child_urls):
-            _admit(child, depth + 1, did, idx, res, politeness, heap)
+            _admit(child, depth + 1, did, idx, path, res, politeness, heap)
     return res

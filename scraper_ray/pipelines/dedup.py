@@ -1,0 +1,279 @@
+"""Deduplication pipelines over the documents table.
+
+The reference's only dedup is exact-key last-write-wins at the SQL sink
+(handlers/db.py:38-54). A training-data engine needs the full ladder, each
+expressed Ray-Data-first:
+
+- ``exact``     — hash-partition on content hash, keep min doc_id
+                  (one groupby shuffle; the 100 TB path).
+- ``minhash``   — shingle -> 64-perm MinHash -> banded LSH buckets
+                  (groupby on band keys) -> candidate pairs -> exact
+                  n-gram Jaccard verify against broadcast texts.
+- ``simhash``   — 64-bit SimHash per doc + hamming-prefix bucket.
+- ``embedding`` — random-hyperplane LSH buckets over the embeddings
+                  table -> cosine-verified near-dup pairs.
+
+All hashing is seeded/deterministic (blake2b + fixed linear-perm
+constants), so outputs are stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+_N_PERM = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_PERM // _BANDS
+
+# fixed odd constants for the multiply-shift permutation family (uint64
+# wraparound arithmetic — fully vectorized, no bigint fallback)
+_rng = np.random.default_rng(0x5EED)
+_PERM_A = _rng.integers(1, 1 << 62, size=_N_PERM, dtype=np.uint64) | np.uint64(1)
+_PERM_B = _rng.integers(0, 1 << 62, size=_N_PERM, dtype=np.uint64)
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Deterministic 61-bit hashes of word k-shingles."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
+    """64-perm MinHash signature of a shingle-hash set — one vectorized
+    uint64 multiply-add (wraparound) per permutation, then a column min."""
+    with np.errstate(over="ignore"):
+        vals = hashes[None, :] * _PERM_A[:, None] + _PERM_B[:, None]
+    return np.min(vals, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact content dedup: md5(text) -> keep min doc_id per hash.
+
+    The groupby is a hash shuffle on the 32-char digest — at 100 TB this
+    is the canonical 'exact dedup' plan (hash-partition + per-group
+    first), never a driver-side set."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text_hash": pa.array(hs, pa.string())})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"text_hash": [g["text_hash"].iloc[0]],
+             "doc_id": [int(g["doc_id"].min())],
+             "n_dups": [len(g)]}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+ORACLE_SQL = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_band_rows(t: pa.Table) -> pa.Table:
+    """documents batch -> (band, bucket, doc_id) rows (LSH banding)."""
+    doc_ids: list[int] = []
+    bands: list[int] = []
+    buckets: list[str] = []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        sig = _minhash_sig(_shingle_hashes(text))
+        for b in range(_BANDS):
+            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            bucket = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(did)
+            bands.append(b)
+            buckets.append(bucket)
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "band": pa.array(bands, pa.int32()),
+                     "bucket": pa.array(buckets, pa.string())})
+
+
+def candidate_pairs(sf_dir: str) -> rd.Dataset:
+    """LSH candidate pairs: same (band, bucket) -> pair rows, deduped."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    band_rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = band_rows.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands — dedup via one more groupby
+    import pandas as pd  # noqa: F811
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    """Near-duplicate pairs: LSH candidates verified by exact 3-gram
+    Jaccard >= *threshold*. Texts are broadcast once via ``ray.put`` and
+    read inside every verify task — never re-shipped per batch."""
+    docs_tbl = _t(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs()
+    texts: dict[int, str] = {}
+    for ref in docs_tbl:
+        t = ray.get(ref)
+        texts.update(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(batch.column("doc_a").to_pylist(),
+                        batch.column("doc_b").to_pylist()):
+            sa = set(_shingle_hashes(tx[a]).tolist())
+            sb = set(_shingle_hashes(tx[b]).tolist())
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(round(j, 4))
+        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                         "doc_b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return candidate_pairs(sf_dir).map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def q_simhash(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per document + 16-bit prefix bucket (near-dup
+    blocking key). Pure map — no shuffle."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sims: list[int] = []
+        buckets: list[int] = []
+        for text in t.column("text").to_pylist():
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(text.split(" ")):
+                h = np.uint64(int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                ))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == np.uint64(1), 1, -1)
+            bits = (acc > 0)[::-1]
+            sim = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            sims.append(sim)
+            buckets.append(sim >> 48)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array([format(s, "016x") for s in sims],
+                                             pa.string()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (random hyperplane LSH + cosine verify)
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.3,
+                        n_planes: int = 6) -> rd.Dataset:
+    """Near-dup vector pairs: sign-LSH bucket (groupby) -> exact cosine
+    within bucket. Deterministic seeded hyperplanes."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    planes = np.random.default_rng(7).standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        signs = (embs @ pl) > 0
+        keys = (signs.astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32)))
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "bucket": pa.array(keys.astype("int64")),
+                         "embedding": t.column("embedding")})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        embs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = embs / norms[:, None]
+        sims = unit @ unit.T
+        a, b, s = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    lo, hi = sorted((int(ids[i]), int(ids[j])))
+                    a.append(lo)
+                    b.append(hi)
+                    s.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": s})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+}

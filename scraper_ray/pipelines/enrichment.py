@@ -1,0 +1,112 @@
+"""Row -> API 1:N enrichment join (reference pipeline 3.2, FIXTURES.md F7).
+
+Models ``default_api.query`` (handlers/default_api.py:76-114): every input
+row is projected onto request params, the (here: deterministic fake) API
+returns 0..3 nested-JSON results per row, each result is recursively
+flattened, the input row is echoed back as ``ref_*`` columns, and GCJ-02
+coordinates are converted to WGS-84 (amap_api.py:57-61).
+
+Ray-Data shape: a single ``map_batches`` stage — the API client would be
+a stateful actor pool (session/signing state in ``__init__``) for a real
+endpoint; rows with zero results go to a dead-letter count instead of
+vanishing (the reference silently drops them, default_api.py:91-105).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.geocode import gcj02_to_wgs84
+
+
+def fake_api_results(keyword: str, city: str) -> list[dict]:
+    """Deterministic fake POI API: 0-3 nested-JSON results per query."""
+    h = int.from_bytes(
+        hashlib.sha1(f"api:{keyword}:{city}".encode()).digest()[:8], "big"
+    )
+    n = h % 4
+    out = []
+    for i in range(n):
+        hi = int.from_bytes(
+            hashlib.sha1(f"api:{keyword}:{city}:{i}".encode()).digest()[:8], "big"
+        )
+        lng = 73.5 + (hi % 10_000_000) / 10_000_000 * 60.0
+        lat = 18.2 + ((hi >> 24) % 10_000_000) / 10_000_000 * 35.0
+        out.append(
+            {
+                "id": f"poi_{hi % 10**10:010d}",
+                "name": f"{keyword} {['center','plaza','tower'][i % 3]}",
+                "location": f"{lng:.6f},{lat:.6f}",
+                "biz_ext": {"rating": str((hi >> 8) % 50 / 10.0),
+                            "cost": str((hi >> 16) % 500)},
+            }
+        )
+    return out
+
+
+def flatten_json(obj: dict, out: dict | None = None) -> dict:
+    """Recursive flatten: nested dict keys promoted to the top level
+    (semantics of get_nested_value, utility_commons.py:59-68)."""
+    out = {} if out is None else out
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            flatten_json(v, out)
+        else:
+            out[k] = v
+    return out
+
+
+def enrich(queries: rd.Dataset) -> rd.Dataset:
+    """Input Dataset(keyword, city) -> one row per API result with
+    flattened fields + ref_* echo columns + WGS-84 coordinates."""
+
+    def call(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for kw, city in zip(batch.column("keyword").to_pylist(),
+                            batch.column("city").to_pylist()):
+            for res in fake_api_results(kw, city):
+                flat = flatten_json(res)
+                lng_s, lat_s = flat["location"].split(",")
+                wlng, wlat = gcj02_to_wgs84(float(lng_s), float(lat_s))
+                flat["MapIT_lon"] = round(float(np.asarray(wlng)), 6)
+                flat["MapIT_lat"] = round(float(np.asarray(wlat)), 6)
+                flat["ref_keyword"] = kw
+                flat["ref_city"] = city
+                rows.append(flat)
+        if not rows:
+            return pa.table({
+                "id": pa.array([], pa.string()),
+                "name": pa.array([], pa.string()),
+                "location": pa.array([], pa.string()),
+                "rating": pa.array([], pa.string()),
+                "cost": pa.array([], pa.string()),
+                "MapIT_lon": pa.array([], pa.float64()),
+                "MapIT_lat": pa.array([], pa.float64()),
+                "ref_keyword": pa.array([], pa.string()),
+                "ref_city": pa.array([], pa.string()),
+            })
+        cols = ["id", "name", "location", "rating", "cost",
+                "MapIT_lon", "MapIT_lat", "ref_keyword", "ref_city"]
+        return pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+
+    return queries.map_batches(call, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_api_enrichment(sf_dir: str) -> rd.Dataset:
+    """Enrichment demo over driver data: part names x nation cities."""
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name", "p_brand"])
+
+    def to_queries(t: pa.Table) -> pa.Table:
+        return pa.table({"keyword": t.column("p_name"),
+                         "city": t.column("p_brand")})
+
+    return enrich(parts.map_batches(to_queries, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+
+
+QUERIES = {"api_enrichment": q_api_enrichment}

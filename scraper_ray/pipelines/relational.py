@@ -1,0 +1,642 @@
+"""Relational operators as Ray Data pipelines (SURVEY.md §2.4-§2.7).
+
+Every public ``q_*`` function takes an ``sf_dir`` containing the driver's
+parquet tables and returns a ``ray.data.Dataset`` (or small pyarrow
+Table); ``ORACLE_SQL`` maps each query name to the ANSI-SQL equivalent
+DuckDB runs over the same tables for the correctness gate. Column names
+match between the two on purpose — the driver's compare hashes values
+after sorting columns by name.
+
+Determinism notes:
+- float aggregate columns are rounded identically on both sides (the
+  parallel sum's last-ulp wobble would otherwise break value hashes);
+- collect_list outputs are sorted and joined to a CSV string (list
+  ordering is undefined in both engines otherwise);
+- top-k queries carry a unique tiebreak column in the sort key.
+
+Reference parity: each query cites the reference operator it models.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read one table, pruning columns at the read."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(digits: int, *cols: str):
+    """map_batches fn rounding float columns for cross-engine hash equality."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.round(t.column(c), digits)
+            )
+        return t
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference A1-A6: handlers/cn_postalcode.py:184-216,
+# utils/utility_commons.py:116-120)
+# ---------------------------------------------------------------------------
+
+def _int_scaled(arr, scale: float):
+    """Exact integer-scaled money: round(x*scale) as int64.
+
+    Parallel float summation wobbles in the last ulp, which breaks the
+    driver's value-hash compare — so every money aggregate is summed in
+    scaled integers (exact, associative) and divided back at the end.
+    The DuckDB oracles mirror the same expression. (int64 headroom: safe
+    through ~sf10 row counts; beyond that scale drops to 1e4.)"""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(scale))), pa.int64())
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Flagship groupby-aggregate (TPC-H Q1 shape; models the reference's
+    per-entity summary tables, cn_postalcode.py:196-214)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), t.column("l_tax")))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": _int_scaled(t.column("l_quantity"), 1),
+                "base_c": _int_scaled(t.column("l_extendedprice"), 100),
+                "disc_c": _int_scaled(disc_price, 10_000),
+                "charge_c": _int_scaled(charge, 1_000_000),
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("charge_c", alias_name="charge_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum_qty"),
+                "sum_base_price": pc.divide(pc.cast(t.column("base_c"), pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t.column("disc_c"), pa.float64()), 10_000.0),
+                "sum_charge": pc.divide(pc.cast(t.column("charge_c"), pa.float64()), 1_000_000.0),
+                "avg_qty": pc.round(
+                    pc.divide(pc.cast(t.column("sum_qty"), pa.float64()),
+                              pc.cast(t.column("count_order"), pa.float64())), 2),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)  AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                                                               AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0
+                                                               AS sum_charge,
+       round(sum(CAST(round(l_quantity) AS BIGINT)) / CAST(count(*) AS DOUBLE), 2) AS avg_qty,
+       count(*)                                                AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_group_minmax(sf_dir: str) -> rd.Dataset:
+    """Grouped min/max (reference A1: cn_postalcode.py:196-199)."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"])
+    return ds.groupby("o_orderpriority").aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Count(alias_name="n"),
+    )
+
+
+ORACLE_SQL["group_minmax"] = """
+SELECT o_orderpriority, min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price, count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_group_collect(sf_dir: str) -> rd.Dataset:
+    """Grouped collect_list (reference A2: cn_postalcode.py:207-209).
+    Output is a sorted CSV string for deterministic comparison."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(int(v) for v in g["c_nationkey"]))
+        return pd.DataFrame(
+            {"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+             "nations_csv": [",".join(str(v) for v in vals)]}
+        )
+
+    return ds.groupby("c_mktsegment").map_groups(collect, batch_format="pandas")
+
+
+ORACLE_SQL["group_collect"] = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_union(sf_dir: str) -> rd.Dataset:
+    """Grouping-sets rollup by hand (reference A3: cn_postalcode.py:196-214
+    — same measure at three hierarchy levels, unioned)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n")
+    )
+    mid = ds.groupby("l_returnflag").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n")
+    )
+
+    def add_null_status(t: pa.Table) -> pa.Table:
+        return t.add_column(
+            1, "l_linestatus", pa.nulls(t.num_rows, pa.string())
+        )
+
+    mid = mid.map_batches(add_null_status, batch_format="pyarrow")
+    return fine.union(mid)
+
+
+ORACLE_SQL["rollup_union"] = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+"""
+
+
+def q_distinct_pairs(sf_dir: str) -> rd.Dataset:
+    """Distinct + counts (reference A5: db.py:189 ``unique().tolist()``)."""
+    return (
+        _t(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+ORACLE_SQL["distinct_pairs"] = """
+SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source
+"""
+
+
+def q_max_strlen(sf_dir: str) -> rd.Dataset:
+    """Per-group max string length (reference A6: get_df_col_size,
+    utility_commons.py:116-120 — drives NVARCHAR sizing)."""
+    ds = _t(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def strlen(t: pa.Table) -> pa.Table:
+        return t.append_column("text_len", pc.utf8_length(t.column("text")))
+
+    return (
+        ds.map_batches(strlen, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Max("text_len", alias_name="max_len"),
+                   Max("n_chars", alias_name="max_n_chars"))
+    )
+
+
+ORACLE_SQL["max_strlen"] = """
+SELECT source, max(length(text)) AS max_len, max(n_chars) AS max_n_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference J1-J8: cn_postalcode.py:216-218, db.py:191-203)
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast(sf_dir: str) -> rd.Dataset:
+    """Fact x small-dim broadcast join (reference J8: static code lookups
+    shipped in-repo, joined in the parse stage). The dim table is read
+    once on the driver and captured in the map_batches closure — never
+    re-shipped per batch, never shuffled."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(zip(part.column("p_partkey").to_pylist(),
+                        part.column("p_brand").to_pylist()))
+
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join_agg(t: pa.Table) -> pa.Table:
+        brands = [brand_of.get(k) for k in t.column("l_partkey").to_pylist()]
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"p_brand": pa.array(brands, pa.string()),
+                         "rev_c": _int_scaled(rev, 10_000)})
+
+    agg = (
+        ds.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Count(alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t.column("p_brand"),
+            "revenue": pc.divide(pc.cast(t.column("rev_c"), pa.float64()), 10_000.0),
+            "n": t.column("n"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["join_broadcast"] = """
+SELECT p.p_brand,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_join_hash(sf_dir: str) -> rd.Dataset:
+    """Distributed hash join (reference J3 merge semantics,
+    cn_postalcode.py:216) via Ray Data's native shuffle join."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": t.column("c_nationkey"),
+                         "price_c": _int_scaled(t.column("o_totalprice"), 100)})
+
+    agg = (
+        joined.map_batches(scale, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey"),
+            "total_price": pc.divide(pc.cast(t.column("price_c"), pa.float64()), 100.0),
+            "n_orders": t.column("n_orders"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["join_hash"] = """
+SELECT c.c_nationkey, sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+def q_join_left(sf_dir: str) -> rd.Dataset:
+    """Left outer join keeping dangling left rows (reference J3:
+    ``merge(..., how='left')``, cn_postalcode.py:216): customers with
+    their order counts, zero when none."""
+    import pandas as pd
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    joined = cust.join(orders, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def count_orders(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [g["c_custkey"].iloc[0]],
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "n_orders": [int(g["o_orderkey"].notna().sum())],
+            }
+        )
+
+    return joined.groupby("c_custkey").map_groups(count_orders, batch_format="pandas")
+
+
+ORACLE_SQL["join_left"] = """
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""
+
+
+def q_join_anti(sf_dir: str) -> rd.Dataset:
+    """Anti join — the reference's resume set-difference
+    (get_to_runs, db.py:191-203: all entities minus entities done today).
+    Here: customers with no URGENT order. The done-set is distinct-small,
+    so it broadcasts into the filter closure (J6 -> seen-filter shape)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return t.filter(m).select(["o_custkey"])
+
+    done = set(
+        urgent.map_batches(keys, batch_format="pyarrow",
+                           zero_copy_batch=True).unique("o_custkey")
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = [k not in done for k in t.column("c_custkey").to_pylist()]
+        return t.filter(pa.array(keep))
+
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["join_anti"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / set ops (reference D1-D5: db.py:38-54, db.py:200,
+# cn_postalcode.py:205,214)
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep_latest(sf_dir: str) -> rd.Dataset:
+    """Key dedup keeping the newest row — the reference's sink dedupe
+    (delete_table_dup/upload dedupe_col, db.py:38-54: last write wins on
+    Source_ID). Here: one row per customer, their highest-numbered order."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("o_orderkey", ascending=False).head(1)
+
+    return ds.groupby("o_custkey").map_groups(keep_latest, batch_format="pandas")
+
+
+ORACLE_SQL["dedup_keep_latest"] = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+"""
+
+
+def q_union_all(sf_dir: str) -> rd.Dataset:
+    """Union of two filtered streams then re-aggregate (reference D3:
+    pd.concat of grouping frames, cn_postalcode.py:205,214)."""
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def f(kind: str):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t.column("event_type"), k)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "value_u": _int_scaled(t.column("value"), 1_000_000)})
+
+    agg = (
+        f("signup").union(f("error"))
+        .map_batches(scale, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="value_u"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "total_value": pc.divide(pc.cast(t.column("value_u"), pa.float64()),
+                                     1_000_000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["union_all"] = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+FROM (SELECT * FROM events WHERE event_type = 'signup'
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'error')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / filters / scalar functions (reference O1-O5, M9-M17)
+# ---------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str) -> rd.Dataset:
+    """Top-k by value with a unique tiebreak (reference O5 head-n,
+    cn_postalcode.py:188)."""
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, True])
+        .limit(10)
+    )
+
+
+ORACLE_SQL["top_orders"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_filter_contains(sf_dir: str) -> rd.Dataset:
+    """Substring containment filter (reference M15: location containment,
+    baidu_api.py:64-69)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.match_substring(t.column("text"), "spark"),
+                    pc.equal(t.column("lang"), "en"))
+        return t.filter(m).select(["doc_id", "source"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["filter_contains"] = """
+SELECT doc_id, source FROM documents
+WHERE text LIKE '%spark%' AND lang = 'en'
+"""
+
+
+def q_regex_extract(sf_dir: str) -> rd.Dataset:
+    """Regex id extraction (reference M12/§2.8: numeric-id regex from URLs,
+    diandianzu.py:95, haozu.py:48) applied to the events props payload."""
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r"(?P<k>\d+)")
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_id": t.column("event_id"), "k": k})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["regex_extract"] = """
+SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_json_flatten(sf_dir: str) -> rd.Dataset:
+    """JSON flatten (reference M13: get_nested_value recursive flatten,
+    utility_commons.py:59-68)."""
+    import json as _json
+
+    ds = _t(sf_dir, "events", ["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(p).get("k")))
+            except (ValueError, TypeError):
+                ks.append(None)
+        return pa.table({"event_id": t.column("event_id"),
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["json_flatten"] = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_truncate_stamp(sf_dir: str) -> rd.Dataset:
+    """String clamp + constant stamp column (reference M10 truncation,
+    utility_commons.py:124-130 / haozu.py:127-134, and M8 timestamp
+    stamping, scrapers.py:77-81)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        clamped = pc.utf8_slice_codeunits(t.column("text"), 0, 50)
+        stamp = pa.array(["2024-01-01"] * t.num_rows, pa.string())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text_trunc": clamped, "stamp": stamp})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["truncate_stamp"] = """
+SELECT doc_id, substr(text, 1, 50) AS text_trunc, '2024-01-01' AS stamp
+FROM documents
+"""
+
+
+def q_explode_tokens(sf_dir: str) -> rd.Dataset:
+    """Row explosion (reference M1/M2 list-page item extraction — one
+    page row becomes N item rows, diandianzu.py:27-36)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            if did < 50:
+                for tok in text.split(" "):
+                    ids.append(did)
+                    toks.append(tok)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["explode_tokens"] = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_event_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped multi-aggregate over the event stream (reference A4 run
+    stats + per-entity bounds, scrapers.py:100,144)."""
+    ds = _t(sf_dir, "events", ["event_type", "value", "user_id"])
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "user_id": t.column("user_id"),
+                         "value_u": _int_scaled(t.column("value"), 1_000_000)})
+
+    agg = (
+        ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_u", alias_name="value_u"),
+            Min("user_id", alias_name="min_user"),
+            Max("user_id", alias_name="max_user"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "total_value": pc.divide(pc.cast(t.column("value_u"), pa.float64()),
+                                     1_000_000.0),
+            "min_user": t.column("min_user"),
+            "max_user": t.column("max_user"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["event_stats"] = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value,
+       min(user_id) AS min_user, max(user_id) AS max_user
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "group_minmax": q_group_minmax,
+    "group_collect": q_group_collect,
+    "rollup_union": q_rollup_union,
+    "distinct_pairs": q_distinct_pairs,
+    "max_strlen": q_max_strlen,
+    "join_broadcast": q_join_broadcast,
+    "join_hash": q_join_hash,
+    "join_left": q_join_left,
+    "join_anti": q_join_anti,
+    "dedup_keep_latest": q_dedup_keep_latest,
+    "union_all": q_union_all,
+    "top_orders": q_top_orders,
+    "filter_contains": q_filter_contains,
+    "regex_extract": q_regex_extract,
+    "json_flatten": q_json_flatten,
+    "truncate_stamp": q_truncate_stamp,
+    "explode_tokens": q_explode_tokens,
+    "event_stats": q_event_stats,
+}

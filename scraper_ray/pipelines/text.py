@@ -1,0 +1,167 @@
+"""Text analysis pipelines over the documents table.
+
+Training-data operators a 100 TB text pipeline needs — all pure
+``map_batches`` (no shuffle): token counting, quality scoring, n-gram
+language ID, and rolling-hash document fingerprinting. Vectorized with
+pyarrow.compute where a kernel exists; the per-doc Python paths (lang-ID
+profiles, winnowing) run over small strings inside the batch function —
+state (profiles, stopword sets) is module-level constants compiled once
+per worker process, mirroring the actor-pool init pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# toy character-profile table for the n-gram language-ID heuristic;
+# deterministic and self-contained (no external model)
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "in", "er", "an"),
+    "de": ("en", "er", "ch", "de", "ei"),
+    "es": ("de", "la", "os", "en", "el"),
+    "fr": ("es", "le", "de", "en", "re"),
+    "zh": ("zh", "sh", "ng", "ia", "uo"),
+}
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def q_token_count(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count per doc — fully vectorized
+    (count_substring + 1 on single-spaced text)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pc.cast(n_tok, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_stats(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring inputs per doc: tokens, distinct tokens, stopword
+    count, char length — the length/stopword-ratio family."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        n_tok, n_dis, n_stop = [], [], []
+        for x in texts:
+            toks = x.split(" ")
+            n_tok.append(len(toks))
+            n_dis.append(len(set(toks)))
+            n_stop.append(sum(1 for w in toks if w in _STOPWORDS))
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Quality gate: docs kept when token count and stopword ratio pass
+    fixed thresholds (the classic C4-style heuristic shape)."""
+    stats = q_doc_stats(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        ratio = pc.divide(pc.cast(t.column("n_stop"), pa.float64()),
+                          pc.cast(t.column("n_tokens"), pa.float64()))
+        keep = pc.and_(pc.greater_equal(t.column("n_tokens"), 20),
+                       pc.less(ratio, pa.scalar(0.5)))
+        return t.filter(keep).select(["doc_id", "n_tokens"])
+
+    return stats.map_batches(f, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    """Character-bigram language ID heuristic (deterministic, no model):
+    argmax over profile-bigram hit counts; tie-broken alphabetically."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        preds = []
+        for x in t.column("text").to_pylist():
+            best = ("", -1)
+            for lang in sorted(_LANG_PROFILES):
+                score = sum(x.count(bg) for bg in _LANG_PROFILES[lang])
+                if score > best[1]:
+                    best = (lang, score)
+            preds.append(best[0])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Winnowed rolling-hash document fingerprint (MOSS-style): min
+    blake2b hash over token 4-gram windows — a compact near-identity key."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = []
+        for x in t.column("text").to_pylist():
+            toks = x.split(" ")
+            grams = (
+                [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+                if len(toks) >= 4 else [x]
+            )
+            hmin = min(
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                               "big")
+                for g in grams
+            )
+            fps.append(format(hmin, "016x"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL = {
+    "token_count": """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+""",
+    "doc_stats": """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+FROM documents
+""",
+    "quality_filter": """
+SELECT doc_id, n_tokens FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+  FROM documents)
+WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+""",
+}
+
+QUERIES = {
+    "token_count": q_token_count,
+    "doc_stats": q_doc_stats,
+    "quality_filter": q_quality_filter,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}

@@ -30,6 +30,7 @@ DOC_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("parent_id", pa.string()),  # parent doc_id, '' for seeds
         ("child_idx", pa.int32()),   # discovery order under the parent
+        ("path", pa.string()),       # discovery path, 8-hex chars per hop
         ("wave", pa.int32()),        # engine wave number (-1 in the oracle)
         ("spans", pa.list_(SPAN_TYPE)),
     ]
@@ -41,8 +42,11 @@ def order_key_columns() -> list[str]:
 
     The reference's order is total because it is sequential
     (handlers/scrapers.py:88-150: entity -> ascending page -> DOM item
-    order). We re-express it as the lexicographic key below; the oracle's
-    pop order is exactly this sort order, and the engine's per-domain
-    chronological fetch order is its restriction to each domain.
+    order). That order IS the discovery path: (seed index, then the chain
+    of child indices down to the URL), compared level by level — encoded
+    here as ``(depth, path)`` with each hop fixed-width hex so string
+    order equals numeric order. The oracle's pop order is exactly this
+    sort order, and the engine's per-domain chronological fetch order is
+    its restriction to each domain.
     """
-    return ["depth", "parent_id", "child_idx", "url"]
+    return ["depth", "path"]

@@ -1,0 +1,148 @@
+"""Fetch + parse + discover stages (map_batches over Arrow batches).
+
+``FetchParse`` is the map_batches stage at the heart of the engine
+(north rule: "fetch/parse via map_batches over zero-copy Arrow"). It is a
+callable class usable two ways:
+
+- as a pickled *instance* -> Ray task pool (default here: the synthetic
+  fetcher is a pure function, so tasks avoid actor-pool spin-up per wave);
+- as the *class* with ``concurrency=N`` -> actor pool, the right shape
+  for a real HTTP fetcher whose per-worker state (session + cookies with
+  renew-on-failure — reference: handlers/scrapers.py:26-69) is built once
+  in ``__init__``.
+
+``DiscoverOffer`` is fused after fetch in the same wave pipeline: it
+canonicalizes + robots-filters the children, drops already-seen URLs
+(batched RPC to the seen shards — safe mid-wave because the scheduler
+marks emissions in the seen set before the wave starts), offers the rest
+to the scheduler shards, reports counters to the metrics actor, and
+passes the doc rows through unchanged — so one streaming execution per
+wave goes frontier -> fetch -> discover/offer -> parquet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..canonicalize import doc_id_for, frontier_table
+from ..schema import DOC_SCHEMA
+from ..state.scheduler import robots_filter
+from ..state.seen import shard_of
+from ..synthweb import PolitenessConfig, WebConfig, fetch_page
+
+FETCH_OUT_SCHEMA = DOC_SCHEMA.append(pa.field("children", pa.list_(pa.string())))
+
+
+class FetchParse:
+    """Frontier wave rows -> doc rows + raw child links (DOM order)."""
+
+    def __init__(self, web_cfg: WebConfig):
+        self.cfg = web_cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {n: [] for n in FETCH_OUT_SCHEMA.names}
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        parents = batch.column("parent_id").to_pylist()
+        cidxs = batch.column("child_idx").to_pylist()
+        paths = batch.column("path").to_pylist()
+        domains = batch.column("domain_key").to_pylist()
+        waves = (
+            batch.column("wave").to_pylist()
+            if "wave" in batch.column_names
+            else [-1] * len(urls)
+        )
+        for url, depth, pid, ci, path, dom, wave in zip(
+            urls, depths, parents, cidxs, paths, domains, waves
+        ):
+            page = fetch_page(url, self.cfg)
+            cols["doc_id"].append(doc_id_for(url))
+            cols["url"].append(url)
+            cols["entity"].append(page.entity)
+            cols["page_type"].append(page.page_type)
+            cols["domain_key"].append(dom)
+            cols["depth"].append(depth)
+            cols["parent_id"].append(pid)
+            cols["child_idx"].append(ci)
+            cols["path"].append(path)
+            cols["wave"].append(wave)
+            cols["spans"].append(
+                [
+                    {"kind": s.kind, "text": s.text,
+                     "media_ref": s.media_ref, "offset": s.offset}
+                    for s in page.spans
+                ]
+            )
+            cols["children"].append(list(page.child_urls))
+        return pa.table(
+            {n: pa.array(cols[n], type=FETCH_OUT_SCHEMA.field(n).type)
+             for n in FETCH_OUT_SCHEMA.names}
+        )
+
+
+class DiscoverOffer:
+    """Fused discover stage: offer children, pass doc rows through."""
+
+    def __init__(self, politeness: PolitenessConfig, seen, sched, metrics=None):
+        self.politeness = politeness
+        self.seen = seen       # ShardedSeen
+        self.sched = sched     # SchedulerPool
+        self.metrics = metrics
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        depths: list[int] = []
+        parents: list[str] = []
+        idxs: list[int] = []
+        ppaths: list[str] = []
+        for pid, depth, ppath, children in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("depth").to_pylist(),
+            batch.column("path").to_pylist(),
+            batch.column("children").to_pylist(),
+        ):
+            for idx, raw in enumerate(children or []):
+                urls.append(raw)
+                depths.append(depth + 1)
+                parents.append(pid)
+                idxs.append(idx)
+                ppaths.append(ppath)
+
+        n_children = len(urls)
+        # canonicalize + within-batch keep-min dedup (invalid URLs dropped)
+        front = frontier_table(urls, depths, parents, idxs, ppaths)
+        n_invalid_or_alias = n_children - front.num_rows
+        front, n_blocked = robots_filter(front, self.politeness)
+        n_seen_dropped = 0
+        if front.num_rows:
+            fresh = ~self._seen_contains(front)
+            n_seen_dropped = int((~fresh).sum())
+            front = front.filter(pa.array(fresh))
+        n_offered = self.sched.offer(front) if front.num_rows else 0
+        if self.metrics is not None:
+            self.metrics.add.remote(
+                {
+                    "n_children": n_children,
+                    "n_invalid_or_alias": n_invalid_or_alias,
+                    "n_robots_blocked": n_blocked,
+                    "n_seen_dropped": n_seen_dropped,
+                    "n_offered": n_offered,
+                }
+            )
+        return batch.drop_columns(["children"])
+
+    def _seen_contains(self, front: pa.Table) -> np.ndarray:
+        digests = front.column("url_sha1").to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        for i, d in enumerate(digests):
+            by_shard.setdefault(shard_of(d, self.seen.n_shards), []).append(i)
+        refs = [
+            self.seen.actors[s].contains.remote([digests[i] for i in ix])
+            for s, ix in by_shard.items()
+        ]
+        out = np.zeros(len(digests), dtype=bool)
+        for (s, ix), res in zip(by_shard.items(), ray.get(refs)):
+            out[np.asarray(ix)] = res
+        return out

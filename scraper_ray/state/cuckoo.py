@@ -1,0 +1,175 @@
+"""Cuckoo filter + exact-set backing — one URL-seen shard's state.
+
+Per the north rule, the URL-seen set is a *sharded cuckoo filter held in an
+actor pool* whose final contents must match the reference's dedup semantics
+exactly (the reference dedups by key at the sink, handlers/db.py:38-54 —
+exact, last-write-wins). A cuckoo filter alone has false positives, so each
+shard pairs the filter (fast-path negative checks, O(1) membership on the
+hot path) with an exact digest set consulted only when the filter says
+"maybe" (SURVEY.md §7.3). The filter is the scale structure: at 10^10 URLs
+the exact set becomes per-shard on-disk sorted runs probed only on filter
+hits (~epsilon of lookups); in-sandbox it is an in-memory set.
+
+Pure data structure — no Ray here; ``seen.py`` wraps it in actors.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+_EMPTY = 0
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class CuckooFilter:
+    """Standard (2,4)-cuckoo filter with 16-bit fingerprints.
+
+    Fingerprint and bucket indices are carved from independent bytes of the
+    20-byte SHA-1 URL digest, so no extra hashing of the key is needed.
+    Eviction uses a deterministic LCG so a rebuilt filter with the same
+    insertion order is bit-identical (determinism contract, SURVEY §7.3).
+    """
+
+    BUCKET = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1 << 16):
+        nb = _next_pow2(max(16, int(capacity / self.BUCKET / 0.84) + 1))
+        self.table = np.zeros((nb, self.BUCKET), dtype=np.uint16)
+        self.mask = nb - 1
+        self.overflow: set[int] = set()   # (index, fp) pairs that failed insert
+        self._rng_state = 0x9E3779B97F4A7C15
+        self.n_items = 0
+
+    # -- key mapping ------------------------------------------------------
+    @staticmethod
+    def _fp(digest: bytes) -> int:
+        return (digest[0] << 8 | digest[1]) or 1   # never the empty marker
+
+    def _i1(self, digest: bytes) -> int:
+        return int.from_bytes(digest[4:12], "little") & self.mask
+
+    @staticmethod
+    def _hash_fp(fp: int) -> int:
+        x = (fp * 0x5BD1E995) & 0xFFFFFFFF
+        return x ^ (x >> 13)
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ self._hash_fp(fp)) & self.mask
+
+    def _rand(self, mod: int) -> int:
+        self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 64) - 1
+        )
+        return (self._rng_state >> 33) % mod
+
+    # -- operations -------------------------------------------------------
+    def contains(self, digest: bytes) -> bool:
+        fp = self._fp(digest)
+        i1 = self._i1(digest)
+        row = self.table[i1]
+        if fp in row:
+            return True
+        i2 = self._alt(i1, fp)
+        if fp in self.table[i2]:
+            return True
+        return (i1, fp) in self.overflow or (i2, fp) in self.overflow
+
+    def insert(self, digest: bytes) -> None:
+        fp = self._fp(digest)
+        i1 = self._i1(digest)
+        self.n_items += 1
+        for idx in (i1, self._alt(i1, fp)):
+            row = self.table[idx]
+            empty = np.flatnonzero(row == _EMPTY)
+            if empty.size:
+                row[empty[0]] = fp
+                return
+        # evict: deterministic random walk
+        idx, cur = i1, fp
+        for _ in range(self.MAX_KICKS):
+            slot = self._rand(self.BUCKET)
+            cur, self.table[idx][slot] = int(self.table[idx][slot]), cur
+            idx = self._alt(idx, cur)
+            row = self.table[idx]
+            empty = np.flatnonzero(row == _EMPTY)
+            if empty.size:
+                row[empty[0]] = cur
+                return
+        self.overflow.add((idx, cur))
+
+    def load_factor(self) -> float:
+        return float(self.n_items) / (self.table.size or 1)
+
+
+class SeenShardState:
+    """Filter fast-path + exact backing set for one shard.
+
+    ``add_if_new`` is the single batched operation the crawl uses: for each
+    digest (in order) report whether it is fresh, inserting as it goes —
+    within-batch duplicates resolve to first-occurrence-wins, matching the
+    oracle's first-discovery-wins admission.
+    """
+
+    def __init__(self, capacity: int = 1 << 16):
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[bytes] = set()
+
+    def add_if_new(self, digests: list[bytes]) -> list[bool]:
+        out = []
+        for d in digests:
+            if not self.filter.contains(d):
+                # definitely new (no false negatives)
+                self.filter.insert(d)
+                self.exact.add(d)
+                out.append(True)
+            elif d in self.exact:
+                out.append(False)
+            else:
+                # filter false positive — exact set disagrees -> new
+                self.filter.insert(d)
+                self.exact.add(d)
+                out.append(True)
+        return out
+
+    def contains_batch(self, digests: list[bytes]) -> list[bool]:
+        return [self.filter.contains(d) and d in self.exact for d in digests]
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    # -- checkpoint -------------------------------------------------------
+    def dump(self) -> bytes:
+        return pickle.dumps(
+            {
+                "table": self.filter.table,
+                "mask": self.filter.mask,
+                "overflow": self.filter.overflow,
+                "rng": self.filter._rng_state,
+                "n_items": self.filter.n_items,
+                "exact": sorted(self.exact),
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    @classmethod
+    def load(cls, blob: bytes) -> "SeenShardState":
+        d = pickle.loads(blob)
+        st = cls.__new__(cls)
+        f = CuckooFilter.__new__(CuckooFilter)
+        f.table = d["table"]
+        f.mask = d["mask"]
+        f.overflow = d["overflow"]
+        f._rng_state = d["rng"]
+        f.n_items = d["n_items"]
+        st.filter = f
+        st.exact = set(d["exact"])
+        return st

@@ -1,0 +1,277 @@
+"""Per-domain politeness-aware frontier scheduler — an actor pool.
+
+Replaces the reference's implicit frontier (sequential entity -> ascending
+page -> DOM item loops, handlers/scrapers.py:84-150) and its random-sleep
+politeness (handlers/diandianzu.py:40, handlers/haozu.py:41) with explicit,
+deterministic scheduling:
+
+- the frontier is hash-partitioned by **registered domain** across
+  ``SchedulerShard`` actors (north rule); each shard owns a per-domain
+  priority queue on the deterministic key ``(depth, path)`` — the
+  discovery path, which is the reference's sequential crawl order made
+  sortable (see schema.order_key_columns);
+- **politeness budget**: per wave, a domain emits at most
+  ``wave_units // crawl_delay_units`` URLs (deterministic budget units
+  instead of wall-clock sleeps — FIXTURES.md F8);
+- **min-depth emission**: a domain only emits rows at its minimum pending
+  depth (or at the global minimum with ``level_sync='global'`` when
+  cross-domain links exist). Combined with keep-min-key upgrades of
+  pending URLs, this makes first-discovery attribution deterministic and
+  equal to the sequential oracle's (tests/test_crawl_conformance.py);
+- **keep-min upgrade**: re-offering a pending URL with a smaller
+  (depth, path) replaces its attribution — duplicates discovered
+  concurrently within a level resolve to the oracle's min key regardless
+  of arrival order;
+- **seen-marking at emission**: each shard marks its emitted URLs in the
+  sharded cuckoo seen set *before* returning the wave table, so discover
+  stages running concurrently with fetch can never re-admit an
+  in-flight URL.
+
+Skew handling: emission is budget-bounded per domain, so one hot domain
+cannot dominate a wave; the crawl driver additionally splits each wave's
+blocks evenly across fetch tasks (``repartition``), so a heavy domain's
+rows spread over the whole pool instead of serializing on one worker.
+
+Scale note: in-sandbox the pending maps are Python dicts (~10^5 rows);
+at 10^10-frontier scale each shard keeps its cold tail as sorted Arrow
+runs on disk with only per-domain heads in memory — offer/next_wave/dump
+are unchanged.
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+import ray
+
+from ..canonicalize import FRONTIER_SCHEMA
+from ..synthweb import PolitenessConfig
+
+WAVE_SCHEMA = FRONTIER_SCHEMA.append(pa.field("wave", pa.int32()))
+
+_ROW_FIELDS = list(FRONTIER_SCHEMA.names)
+
+
+def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table, int]:
+    """Drop rows whose path is disallowed for their registered domain.
+
+    The reference has no robots handling — this is a north-rule addition;
+    blocked URLs are counted, never silently lost (cf. the reference's
+    silent ``return None`` drops, handlers/scrapers.py:50-52).
+    """
+    if tbl.num_rows == 0:
+        return tbl, 0
+    domains = tbl.column("domain_key").to_pylist()
+    urls = tbl.column("url").to_pylist()
+    keep = [politeness.allowed(d, urlsplit(u).path) for d, u in zip(domains, urls)]
+    n_blocked = len(keep) - sum(keep)
+    if n_blocked == 0:
+        return tbl, 0
+    return tbl.filter(pa.array(keep)), n_blocked
+
+
+@ray.remote(num_cpus=0)
+class SchedulerShard:
+    """Owns the per-domain queues for domains hashing to this shard."""
+
+    def __init__(self, politeness: PolitenessConfig, seen=None):
+        self.politeness = politeness
+        self.seen = seen   # ShardedSeen client (marks emissions) or None
+        # domain -> {url: (depth, path, parent_id, child_idx, sha1, host)}
+        self.entries: dict[str, dict[str, tuple]] = {}
+        # domain -> heap of (depth, path, url); stale entries dropped lazily
+        self.heaps: dict[str, list] = {}
+        self.n_offered = 0
+        self.n_upgraded = 0
+        self.last_emit = 0
+
+    def offer(self, tbl: pa.Table) -> int:
+        """Insert or keep-min-upgrade frontier rows. Returns rows accepted."""
+        cols = {n: tbl.column(n).to_pylist() for n in _ROW_FIELDS}
+        n_new = 0
+        for i in range(tbl.num_rows):
+            domain = cols["domain_key"][i]
+            url = cols["url"][i]
+            key = (cols["depth"][i], cols["path"][i])
+            ent = self.entries.setdefault(domain, {})
+            cur = ent.get(url)
+            if cur is not None:
+                if key < cur[:2]:
+                    ent[url] = (*key, cols["parent_id"][i], cols["child_idx"][i],
+                                cur[4], cur[5])
+                    heapq.heappush(self.heaps[domain], (*key, url))
+                    self.n_upgraded += 1
+                continue
+            ent[url] = (*key, cols["parent_id"][i], cols["child_idx"][i],
+                        cols["url_sha1"][i], cols["host"][i])
+            heapq.heappush(self.heaps.setdefault(domain, []), (*key, url))
+            n_new += 1
+        self.n_offered += n_new
+        return n_new
+
+    def _valid_top(self, domain: str) -> tuple | None:
+        """Smallest live heap entry for *domain* (drops stale ones)."""
+        heap = self.heaps.get(domain)
+        ent = self.entries.get(domain, {})
+        while heap:
+            d, path, url = heap[0]
+            cur = ent.get(url)
+            if cur is not None and cur[:2] == (d, path):
+                return heap[0]
+            heapq.heappop(heap)   # stale (upgraded or emitted)
+        return None
+
+    def min_depth(self) -> int | None:
+        depths = [t[0] for dom in list(self.heaps) if (t := self._valid_top(dom))]
+        return min(depths) if depths else None
+
+    def next_wave(self, wave: int, min_depth: int | None = None) -> pa.Table:
+        """Emit this wave's rows: per domain, up to ``budget_per_wave``
+        rows in key order, restricted to the domain's min pending depth
+        (or to *min_depth* under global level-sync). Emitted URLs are
+        marked in the seen set before the table is returned."""
+        out: dict[str, list] = {n: [] for n in _ROW_FIELDS}
+        for domain in sorted(self.heaps):
+            top = self._valid_top(domain)
+            if top is None:
+                continue
+            emit_depth = top[0] if min_depth is None else min_depth
+            budget = self.politeness.budget_per_wave(domain)
+            ent = self.entries[domain]
+            heap = self.heaps[domain]
+            emitted = 0
+            while emitted < budget:
+                top = self._valid_top(domain)
+                if top is None or top[0] != emit_depth:
+                    break
+                d, path, url = heapq.heappop(heap)
+                row = ent.pop(url)
+                out["url"].append(url)
+                out["url_sha1"].append(row[4])
+                out["host"].append(row[5])
+                out["domain_key"].append(domain)
+                out["depth"].append(d)
+                out["parent_id"].append(row[2])
+                out["child_idx"].append(row[3])
+                out["path"].append(path)
+                emitted += 1
+        self.last_emit = len(out["url"])
+        if self.seen is not None and out["url_sha1"]:
+            fresh = self.seen.add_if_new(out["url_sha1"])
+            assert fresh.all(), "emitted an already-seen URL"
+        tbl = pa.table(
+            {n: pa.array(out[n], type=FRONTIER_SCHEMA.field(n).type)
+             for n in _ROW_FIELDS}
+        )
+        return tbl.append_column("wave", pa.array([wave] * tbl.num_rows, pa.int32()))
+
+    def last_emit_count(self) -> int:
+        return self.last_emit
+
+    def pending(self) -> int:
+        return sum(len(e) for e in self.entries.values())
+
+    def stats(self) -> dict:
+        return {
+            "pending": self.pending(),
+            "offered": self.n_offered,
+            "upgraded": self.n_upgraded,
+            "domains": len(self.entries),
+        }
+
+    def dump(self) -> bytes:
+        return pickle.dumps(
+            {"entries": self.entries, "offered": self.n_offered,
+             "upgraded": self.n_upgraded},
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.entries = d["entries"]
+        self.n_offered = d["offered"]
+        self.n_upgraded = d["upgraded"]
+        self.heaps = {
+            dom: [(v[0], v[1], url) for url, v in ent.items()]
+            for dom, ent in self.entries.items()
+        }
+        for h in self.heaps.values():
+            heapq.heapify(h)
+
+
+def shard_of_domain(domain: str, n_shards: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(domain.encode()).digest()[:4], "big") % n_shards
+
+
+class SchedulerPool:
+    """Serializable client over the scheduler shards."""
+
+    def __init__(self, politeness: PolitenessConfig, n_shards: int = 4,
+                 level_sync: str = "domain", seen=None, actors: list | None = None):
+        assert level_sync in ("domain", "global")
+        self.n_shards = n_shards
+        self.level_sync = level_sync
+        self.actors = actors or [
+            SchedulerShard.remote(politeness, seen) for _ in range(n_shards)
+        ]
+
+    def offer(self, tbl: pa.Table) -> int:
+        """Hash-route rows to their domain's shard; one RPC per shard."""
+        if tbl.num_rows == 0:
+            return 0
+        domains = tbl.column("domain_key").to_pylist()
+        idx_by_shard: dict[int, list[int]] = {}
+        for i, d in enumerate(domains):
+            idx_by_shard.setdefault(shard_of_domain(d, self.n_shards), []).append(i)
+        refs = [
+            self.actors[s].offer.remote(tbl.take(pa.array(ix)))
+            for s, ix in idx_by_shard.items()
+        ]
+        return int(sum(ray.get(refs)))
+
+    def next_wave_refs(self, wave: int) -> tuple[list, int]:
+        """Emit the wave on every shard. Returns (object refs of Arrow
+        tables — consumed zero-copy via ``ray.data.from_arrow_refs`` —
+        and the total emitted row count)."""
+        min_depth = None
+        if self.level_sync == "global":
+            depths = [d for d in ray.get([a.min_depth.remote() for a in self.actors])
+                      if d is not None]
+            if not depths:
+                return [], 0
+            min_depth = min(depths)
+        refs = [a.next_wave.remote(wave, min_depth) for a in self.actors]
+        counts = ray.get([a.last_emit_count.remote() for a in self.actors])
+        return refs, int(sum(counts))
+
+    def pending(self) -> int:
+        return int(sum(ray.get([a.pending.remote() for a in self.actors])))
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])
+
+    # -- checkpoint -------------------------------------------------------
+    def snapshot(self, directory: str) -> None:
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        blobs = ray.get([a.dump.remote() for a in self.actors])
+        for i, blob in enumerate(blobs):
+            tmp = os.path.join(directory, f".sched_shard_{i:04d}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(directory, f"sched_shard_{i:04d}.bin"))
+
+    def restore(self, directory: str) -> None:
+        import os
+
+        refs = []
+        for i, a in enumerate(self.actors):
+            with open(os.path.join(directory, f"sched_shard_{i:04d}.bin"), "rb") as f:
+                refs.append(a.restore.remote(f.read()))
+        ray.get(refs)

@@ -57,6 +57,7 @@ class WebConfig:
     dup_rate: float = 0.15           # item slots repeating an earlier id
     alias_rate: float = 0.20         # child links emitted as messy variants
     skew_entity_share: float = 0.0   # >0: entity 0 gets cap*share extra pages
+    work_per_page: int = 0           # simulated fetch+parse CPU (hash rounds)
 
     def entity_name(self, i: int) -> str:
         return f"ent{i:04d}"
@@ -146,7 +147,16 @@ def _item_ids_for_page(cfg: WebConfig, entity: str, page: int) -> list[int]:
 
 
 def fetch_page(canonical_url: str, cfg: WebConfig) -> Page:
-    """The synthetic web: canonical URL -> page contents. Pure, total."""
+    """The synthetic web: canonical URL -> page contents. Pure, total.
+
+    ``work_per_page`` hash rounds emulate the CPU cost of a real
+    fetch+parse (HTML tokenization, DOM walk) so benchmarks measure a
+    realistic compute-bound fetch stage rather than pure orchestration.
+    """
+    if cfg.work_per_page:
+        h = canonical_url.encode()
+        for _ in range(cfg.work_per_page):
+            h = hashlib.blake2b(h, digest_size=32).digest()
     m = _LIST_RE.match(canonical_url)
     if m:
         entity, page = m.group(1), int(m.group(2))
@@ -250,22 +260,40 @@ def gen_seeds(cfg: WebConfig, n: int) -> list[str]:
     each entity at page 1, handlers/scrapers.py:84-98), plus a sprinkle of
     direct item URLs and robots-disallowed paths.
     """
-    seeds: list[str] = []
-    ents = cfg.entities()
-    for i in range(n):
-        hv = _h(cfg.seed, "seedlist", i)
-        ent = ents[hv % len(ents)]
-        mode = (hv >> 8) % 10
-        if mode < 6:
-            url = cfg.list_url(ent, 1)
-        elif mode < 8:
-            url = cfg.list_url(ent, 1 + (hv >> 16) % 3)
-        elif mode < 9:
-            item_id = _h(cfg.seed, "id", ent, 1, (hv >> 16) % cfg.items_per_page) % 10_000_000
-            url = cfg.item_url(ent, item_id)
-        else:
-            url = f"http://www.{ent}.test/private/area/{hv % 50}/"
-        if (hv >> 24) % 2:
-            url = _alias_variant(url, hv >> 32)
-        seeds.append(url)
-    return seeds
+    return [seed_url(cfg, i) for i in range(n)]
+
+
+def seed_url(cfg: WebConfig, i: int) -> str:
+    """Seed #i of the messy seed list (same distribution as gen_seeds)."""
+    hv = _h(cfg.seed, "seedlist", i)
+    ent = cfg.entity_name(hv % cfg.n_entities)
+    mode = (hv >> 8) % 10
+    if mode < 6:
+        url = cfg.list_url(ent, 1)
+    elif mode < 8:
+        url = cfg.list_url(ent, 1 + (hv >> 16) % 3)
+    elif mode < 9:
+        item_id = _h(cfg.seed, "id", ent, 1, (hv >> 16) % cfg.items_per_page) % 10_000_000
+        url = cfg.item_url(ent, item_id)
+    else:
+        url = f"http://www.{ent}.test/private/area/{hv % 50}/"
+    if (hv >> 24) % 2:
+        url = _alias_variant(url, hv >> 32)
+    return url
+
+
+def gen_seeds_dataset(cfg: WebConfig, n: int):
+    """Seed list as a Ray Dataset (url, seed_idx) — generated inside
+    map_batches so a 10^6-seed list never materializes on the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def make(batch: pa.Table) -> pa.Table:
+        idxs = batch.column("id").to_pylist()
+        return pa.table({
+            "url": pa.array([seed_url(cfg, i) for i in idxs], pa.string()),
+            "seed_idx": pa.array(idxs, pa.int64()),
+        })
+
+    return rd.range(n).map_batches(make, batch_format="pyarrow",
+                                   batch_size=16384)

@@ -1,0 +1,110 @@
+"""Conformance: the Ray crawl engine vs the sequential oracle.
+
+The BASELINE.json contract: same seed list + politeness budget =>
+(a) final URL-seen set exact match,
+(b) crawl-order match under the deterministic key (global sort equality
+    + per-domain chronological order = key order, i.e. wave numbers
+    nondecreasing along each domain's key order),
+(c) per-row span-sequence equality (kind, text, media_ref, order),
+(d) politeness: per-(domain, wave) fetch counts never exceed the budget.
+"""
+
+import pytest
+
+from scraper_ray.crawl import CrawlConfig, crawl, read_docs
+from scraper_ray.oracle import crawl_oracle
+from scraper_ray.schema import order_key_columns
+from scraper_ray.synthweb import WebConfig, default_politeness, gen_seeds
+
+CFG = WebConfig(seed=11, n_entities=8, items_per_page=5, max_pages_cap=8,
+                dup_rate=0.2, alias_rate=0.3)
+POL = default_politeness(CFG, wave_units=12)
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs"))
+    seeds = gen_seeds(CFG, 60)
+    ccfg = CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                       n_seen_shards=3, n_sched_shards=2, batch_size=64)
+    stats = crawl(seeds, ccfg)
+    docs = read_docs(out).to_pandas()
+    oracle = crawl_oracle(seeds, CFG, POL)
+    return stats, docs, oracle
+
+
+def test_seen_set_equality(crawl_run):
+    stats, docs, oracle = crawl_run
+    assert set(docs["url"]) == oracle.seen
+    assert stats.seen_total == len(oracle.seen)
+    assert len(docs) == len(oracle.docs)
+    assert docs["url"].is_unique
+
+
+def test_crawl_order_equality(crawl_run):
+    _, docs, oracle = crawl_run
+    key = order_key_columns()
+    engine_sorted = docs.sort_values(key).reset_index(drop=True)
+    for i, od in enumerate(oracle.docs):
+        row = engine_sorted.iloc[i]
+        assert row["url"] == od["url"], i
+        assert row["doc_id"] == od["doc_id"]
+        assert row["depth"] == od["depth"]
+        assert row["parent_id"] == od["parent_id"]
+        assert row["child_idx"] == od["child_idx"]
+
+
+def test_per_domain_chronological_order_is_key_order(crawl_run):
+    _, docs, _ = crawl_run
+    key = order_key_columns()
+    for dom, grp in docs.groupby("domain_key"):
+        g = grp.sort_values(key)
+        waves = g["wave"].tolist()
+        assert waves == sorted(waves), dom
+
+
+def test_span_sequence_equality(crawl_run):
+    _, docs, oracle = crawl_run
+    by_id = {d["doc_id"]: d for d in oracle.docs}
+    for _, row in docs.iterrows():
+        ospans = by_id[row["doc_id"]]["spans"]
+        espans = list(row["spans"])
+        assert len(espans) == len(ospans)
+        for e, o in zip(espans, ospans):
+            assert (e["kind"], e["text"], e["media_ref"], e["offset"]) == (
+                o["kind"], o["text"], o["media_ref"], o["offset"]
+            )
+
+
+def test_politeness_budget_never_exceeded(crawl_run):
+    _, docs, _ = crawl_run
+    counts = docs.groupby(["domain_key", "wave"]).size()
+    for (dom, _wave), n in counts.items():
+        assert n <= POL.budget_per_wave(dom), (dom, n)
+
+
+def test_robots_never_fetched(crawl_run):
+    _, docs, _ = crawl_run
+    from urllib.parse import urlsplit
+
+    for u in docs["url"]:
+        parts = urlsplit(u)
+        from scraper_ray.canonicalize import registered_domain
+
+        assert POL.allowed(registered_domain(parts.hostname or ""), parts.path)
+
+
+def test_global_level_sync_same_result(ray_session, tmp_path):
+    """level_sync='global' (safe mode for cross-domain links) must yield
+    the identical seen set and ordering on the synthetic web."""
+    seeds = gen_seeds(CFG, 40)
+    ccfg = CrawlConfig(web=CFG, politeness=POL, out_dir=str(tmp_path / "g"),
+                       n_seen_shards=2, n_sched_shards=2, batch_size=64,
+                       level_sync="global")
+    crawl(seeds, ccfg)
+    docs = read_docs(str(tmp_path / "g")).to_pandas()
+    oracle = crawl_oracle(seeds, CFG, POL)
+    assert set(docs["url"]) == oracle.seen
+    key = order_key_columns()
+    engine_sorted = docs.sort_values(key).reset_index(drop=True)
+    assert engine_sorted["url"].tolist() == [d["url"] for d in oracle.docs]

@@ -1,0 +1,58 @@
+"""Checkpoint/resume: a killed run restarted from checkpoint must yield
+the identical final output + seen set (SURVEY.md §5.2 item 3)."""
+
+import pytest
+
+from scraper_ray.crawl import CrawlConfig, crawl, latest_checkpoint, read_docs
+from scraper_ray.schema import order_key_columns
+from scraper_ray.synthweb import WebConfig, default_politeness, gen_seeds
+
+CFG = WebConfig(seed=5, n_entities=6, items_per_page=4, max_pages_cap=6,
+                dup_rate=0.2, alias_rate=0.2)
+POL = default_politeness(CFG, wave_units=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume_identical(tmp_path):
+    seeds = gen_seeds(CFG, 40)
+    key = order_key_columns()
+
+    # uninterrupted reference run
+    full_out = str(tmp_path / "full")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=full_out,
+                             batch_size=64))
+    full = read_docs(full_out).to_pandas().sort_values(key).reset_index(drop=True)
+
+    # killed mid-crawl (max_waves caps the run = crash after wave 2)
+    out = str(tmp_path / "docs")
+    ck = str(tmp_path / "ckpt")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                             checkpoint_dir=ck, batch_size=64, max_waves=3))
+    assert latest_checkpoint(ck) == 2
+    n_partial = len(read_docs(out).to_pandas())
+    assert 0 < n_partial < len(full)
+
+    # resume and finish
+    stats = crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                                    checkpoint_dir=ck, batch_size=64),
+                  resume=True)
+    resumed = read_docs(out).to_pandas().sort_values(key).reset_index(drop=True)
+    assert resumed["url"].tolist() == full["url"].tolist()
+    assert resumed["doc_id"].tolist() == full["doc_id"].tolist()
+    assert stats.seen_total == len(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_cleans_partial_wave_dirs(tmp_path):
+    import os
+
+    seeds = gen_seeds(CFG, 30)
+    out, ck = str(tmp_path / "d"), str(tmp_path / "c")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                             checkpoint_dir=ck, batch_size=64, max_waves=2))
+    junk = os.path.join(out, "wave=00050")
+    os.makedirs(junk)
+    open(os.path.join(junk, "part.parquet"), "w").write("")
+    crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                            checkpoint_dir=ck, batch_size=64), resume=True)
+    assert not os.path.isdir(junk)

@@ -1,0 +1,72 @@
+"""Unit tests: cuckoo filter + seen-shard state + sharded actor pool."""
+
+import hashlib
+
+import pytest
+
+from scraper_ray.state.cuckoo import CuckooFilter, SeenShardState
+
+
+def _d(i: int) -> bytes:
+    return hashlib.sha1(f"url-{i}".encode()).digest()
+
+
+def test_cuckoo_no_false_negatives():
+    f = CuckooFilter(capacity=4096)
+    for i in range(3000):
+        f.insert(_d(i))
+    assert all(f.contains(_d(i)) for i in range(3000))
+
+
+def test_cuckoo_low_false_positive_rate():
+    f = CuckooFilter(capacity=4096)
+    for i in range(3000):
+        f.insert(_d(i))
+    fp = sum(f.contains(_d(i)) for i in range(10_000, 20_000))
+    assert fp / 10_000 < 0.05   # 16-bit fingerprints -> ~1e-3 expected
+
+
+def test_cuckoo_overflow_keeps_correctness():
+    # overfill far past capacity: inserts must never lose an item
+    f = CuckooFilter(capacity=64)
+    for i in range(2000):
+        f.insert(_d(i))
+    assert all(f.contains(_d(i)) for i in range(2000))
+
+
+def test_shard_state_add_if_new_and_order():
+    st = SeenShardState(capacity=1024)
+    batch = [_d(1), _d(2), _d(1), _d(3), _d(2)]
+    assert st.add_if_new(batch) == [True, True, False, True, False]
+    assert st.add_if_new([_d(2), _d(4)]) == [False, True]
+    assert len(st) == 4
+
+
+def test_shard_state_dump_load_roundtrip():
+    st = SeenShardState(capacity=1024)
+    st.add_if_new([_d(i) for i in range(500)])
+    st2 = SeenShardState.load(st.dump())
+    assert len(st2) == 500
+    assert st2.add_if_new([_d(3), _d(999)]) == [False, True]
+    # filter state survives too (no false negatives after reload)
+    assert all(st2.filter.contains(_d(i)) for i in range(500))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_seen_actor_pool():
+    from scraper_ray.state.seen import ShardedSeen
+
+    seen = ShardedSeen(n_shards=3, capacity_per_shard=1024)
+    digests = [_d(i) for i in range(200)] + [_d(5), _d(6)]
+    mask = seen.add_if_new(digests)
+    assert mask[:200].all() and not mask[200:].any()
+    assert seen.total() == 200
+    # snapshot/restore across a fresh pool
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        seen.snapshot(tmp)
+        seen2 = ShardedSeen(n_shards=3, capacity_per_shard=1024)
+        seen2.restore(tmp)
+        mask2 = seen2.add_if_new([_d(0), _d(9999)])
+        assert list(mask2) == [False, True]

@@ -82,8 +82,9 @@ def test_oracle_basic_invariants():
         assert pol.allowed(registered_domain(parts.hostname or ""), parts.path), u
     assert res.n_robots_blocked > 0   # seeds do contain blocked URLs
     assert res.n_duplicates > 0       # dup_rate + aliasing exercised
-    # pop order is key-sorted (linear extension proof, SURVEY §7.3)
-    keys = [(d["depth"], d["parent_id"], d["child_idx"], d["url"]) for d in res.docs]
+    # pop order is key-sorted on (depth, path) — the discovery-path key
+    # (linear extension proof, SURVEY §7.3)
+    keys = [(d["depth"], d["path"]) for d in res.docs]
     assert keys == sorted(keys)
     # ascending pages along discovery chains: page p's successor p+1 is
     # fetched after p (seeds may inject deeper pages directly, so only the
