@@ -30,13 +30,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         crawl_queries,
         dedup,
         enrichment,
+        listing,
         media,
         relational,
         text,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
-    for mod in (relational, dedup, text, ann, enrichment, media, crawl_queries):
+    for mod in (relational, dedup, text, ann, enrichment, media,
+                crawl_queries, listing):
         out.update(mod.QUERIES)
     return out
 

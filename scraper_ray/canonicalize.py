@@ -115,10 +115,41 @@ def _remove_dot_segments(path: str) -> str:
     return joined
 
 
+import re as _re
+
+# Fast-path recognizer: URLs already in canonical form (lowercase host, no
+# default port / userinfo / query / fragment / percent-escapes / dot
+# segments, all path octets raw-safe). The slow path below is the
+# authority; tests assert the two agree (test_canonicalize.py).
+_FAST_HOST_RE = _re.compile(r"[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?")
+_FAST_PATH_RE = _re.compile(r"(?:/[A-Za-z0-9\-._~!$&'()*+,;=:@]*)+")
+
+
+def _canonical_fast(url: str) -> str | None:
+    if url.startswith("http://"):
+        rest = url[7:]
+    elif url.startswith("https://"):
+        rest = url[8:]
+    else:
+        return None
+    slash = rest.find("/")
+    host, path = (rest, "") if slash == -1 else (rest[:slash], rest[slash:])
+    if not _FAST_HOST_RE.fullmatch(host):
+        return None
+    if path and ("/../" in path or "/./" in path
+                 or path.endswith(("/..", "/."))
+                 or not _FAST_PATH_RE.fullmatch(path)):
+        return None
+    return url if path else url + "/"
+
+
 def canonicalize_url(url: str) -> str | None:
     """Return the canonical form of *url*, or None if unsupported/invalid."""
     if not url:
         return None
+    fast = _canonical_fast(url)
+    if fast is not None:
+        return fast
     url = url.strip()
     try:
         parts = urlsplit(url)
@@ -154,6 +185,10 @@ def canonicalize_url(url: str) -> str | None:
     return out
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def registered_domain(host: str) -> str:
     """Registered (pay-level) domain of *host* — the frontier partition key.
 
@@ -180,7 +215,16 @@ def doc_id_for(canonical_url: str) -> str:
 
 
 def host_of(canonical_url: str) -> str:
-    return urlsplit(canonical_url).hostname or ""
+    """Host of an already-canonical URL — cheap string slicing (the hot
+    discover path calls this per child; urlsplit costs ~10x more)."""
+    start = canonical_url.find("://") + 3
+    end = canonical_url.find("/", start)
+    netloc = canonical_url[start : end if end != -1 else len(canonical_url)]
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if ":" in netloc:
+        netloc = netloc.split(":", 1)[0]
+    return netloc
 
 
 # ---------------------------------------------------------------------------

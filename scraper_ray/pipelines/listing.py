@@ -1,0 +1,130 @@
+"""Detail/info two-table split over crawled docs (reference core shape).
+
+The reference accumulates exactly two tables per site — ``df`` (detail
+rows; one per rentable unit) and ``info`` (one per property)
+(handlers/scrapers.py:24) — then uploads them with last-write-wins
+dedupe on ``Source_ID`` (handlers/db.py:38-54) and clamps every string
+to the sink width (utils/utility_commons.py:124-130). This module
+re-expresses that tail as Ray Data stages over the crawl's doc table:
+
+- detail rows come from ``detail`` pages: ``source_id = entity_itemid``
+  (diandianzu.py:82), first text span -> title, media span -> photo,
+  parent list page propagated as property id (J1 denormalized join,
+  diandianzu.py:83-85);
+- info rows come from ``list`` pages (one per entity page -> rolled up
+  per entity);
+- ``dedupe_last_wins`` = groupby(source_id) keep max timestamp/seq —
+  the J5 sink anti-join delete expressed as a shuffle;
+- ``clamp_strings`` = utf8 slice at 250 chars (M10).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+MAX_COL = 250   # DB['MAX_COL_SIZE'] parity (utility_commons.py:37)
+
+
+def clamp_strings(tbl: pa.Table, limit: int = MAX_COL) -> pa.Table:
+    """Truncate every string column to *limit* chars (M10)."""
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_string(field.type):
+            tbl = tbl.set_column(
+                i, field.name,
+                pc.utf8_slice_codeunits(tbl.column(i), 0, limit))
+    return tbl
+
+
+def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
+                      ) -> tuple[rd.Dataset, rd.Dataset]:
+    """Crawl docs -> (detail, info) datasets, reference semantics."""
+
+    def detail_rows(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("source_id", "entity", "property_id", "title", "photo",
+                 "n_text_spans", "timestamp", "crawl_path")}
+        for r in t.to_pylist():
+            if r["page_type"] != "detail":
+                continue
+            item_id = r["url"].rstrip("/").rsplit("/", 1)[-1]
+            texts = [s["text"] for s in r["spans"] if s["kind"] == "text"]
+            media = [s["media_ref"] for s in r["spans"] if s["kind"] == "media"]
+            cols["source_id"].append(f"{r['entity']}_{item_id}")
+            cols["entity"].append(r["entity"])
+            cols["property_id"].append(r["parent_id"])     # J1 propagation
+            cols["title"].append(texts[0] if texts else "")
+            cols["photo"].append(media[0] if media else "")
+            cols["n_text_spans"].append(len(texts))
+            cols["timestamp"].append(stamp)                # M8 stamping
+            cols["crawl_path"].append(r["path"])
+        return clamp_strings(pa.table({
+            "source_id": pa.array(cols["source_id"], pa.string()),
+            "entity": pa.array(cols["entity"], pa.string()),
+            "property_id": pa.array(cols["property_id"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "photo": pa.array(cols["photo"], pa.string()),
+            "n_text_spans": pa.array(cols["n_text_spans"], pa.int32()),
+            "timestamp": pa.array(cols["timestamp"], pa.string()),
+            "crawl_path": pa.array(cols["crawl_path"], pa.string()),
+        }))
+
+    def info_rows(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in
+                ("source_id", "entity", "page_url", "n_items", "timestamp")}
+        for r in t.to_pylist():
+            if r["page_type"] != "list":
+                continue
+            cols["source_id"].append(f"{r['entity']}_{r['doc_id'][:12]}")
+            cols["entity"].append(r["entity"])
+            cols["page_url"].append(r["url"])
+            cols["n_items"].append(
+                sum(1 for s in r["spans"] if s["kind"] == "text"))
+            cols["timestamp"].append(stamp)
+        return clamp_strings(pa.table({
+            "source_id": pa.array(cols["source_id"], pa.string()),
+            "entity": pa.array(cols["entity"], pa.string()),
+            "page_url": pa.array(cols["page_url"], pa.string()),
+            "n_items": pa.array(cols["n_items"], pa.int32()),
+            "timestamp": pa.array(cols["timestamp"], pa.string()),
+        }))
+
+    detail = docs.map_batches(detail_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    info = docs.map_batches(info_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return detail, info
+
+
+def dedupe_last_wins(ds: rd.Dataset, key: str = "source_id",
+                     order_col: str = "crawl_path") -> rd.Dataset:
+    """Sink dedupe, J5 semantics: for colliding keys the latest-written
+    row wins (reference deletes old rows then inserts the new batch,
+    db.py:38-54). 'Latest' here = max order_col, deterministic."""
+    import pandas as pd
+
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, ascending=False).head(1)
+
+    return ds.groupby(key).map_groups(keep_last, batch_format="pandas")
+
+
+def q_listing_detail(sf_dir: str) -> rd.Dataset:
+    from .crawl_queries import _run_crawl
+
+    detail, _ = split_detail_info(_run_crawl(sf_dir))
+    return dedupe_last_wins(detail)
+
+
+def q_listing_info(sf_dir: str) -> rd.Dataset:
+    from .crawl_queries import _run_crawl
+
+    _, info = split_detail_info(_run_crawl(sf_dir))
+    return dedupe_last_wins(info, order_col="page_url")
+
+
+QUERIES = {
+    "listing_detail": q_listing_detail,
+    "listing_info": q_listing_info,
+}

@@ -102,3 +102,63 @@ def test_canonicalize_batch_schema():
     out = canonicalize_batch(batch)
     assert out.num_rows == 1
     assert out.schema.field("url_sha1").type == pa.binary(20)
+
+
+def test_fast_path_agrees_with_full_normalizer():
+    """The fast-path recognizer must be semantics-preserving: for any URL
+    it accepts, the full normalizer returns the same string."""
+    import scraper_ray.canonicalize as c
+
+    def slow(url):
+        fast = c._canonical_fast
+        c._canonical_fast = lambda u: None
+        try:
+            return c.canonicalize_url(url)
+        finally:
+            c._canonical_fast = fast
+
+    cases = [
+        "http://x.test/a", "http://x.test", "http://x.test/",
+        "http://x.test//a//", "http://x.test/a..b/c", "http://x.test/~u/.h",
+        "http://x.test/a.", "http://x.test/.", "http://x.test/..",
+        "http://x.test/a/.", "HTTP://X.test/a", "http://x.test:80/a",
+        "http://x.test/a/../b", "http://x.test/a%2Fb", "http://x.test/a?x=1",
+        "http://x.test/a#f", "https://y.test/Q:Z@x", "http://x.TEST/a",
+        "http://user@x.test/a", "http://x.test./a",
+    ]
+    from scraper_ray.synthweb import WebConfig, fetch_page, gen_seeds
+
+    cfg = WebConfig(seed=99, n_entities=6, items_per_page=5, max_pages_cap=4,
+                    alias_rate=0.5)
+    cases += gen_seeds(cfg, 200)
+    for ent in cfg.entities()[:3]:
+        cases += list(fetch_page(cfg.list_url(ent, 1), cfg).child_urls)
+    for u in cases:
+        assert c.canonicalize_url(u) == slow(u), u
+
+
+def test_hypothesis_canonicalize_idempotent_and_fast_consistent():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import scraper_ray.canonicalize as c
+
+    part = st.text(
+        alphabet="abcxyzABC019-._~%/?#:@ &=+!,();$'", min_size=0, max_size=25)
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme=st.sampled_from(["http", "https"]),
+           host=st.from_regex(r"[a-zA-Z0-9.\-]{1,20}", fullmatch=True),
+           rest=part)
+    def check(scheme, host, rest):
+        url = f"{scheme}://{host}/{rest}"
+        out = c.canonicalize_url(url)
+        if out is not None:
+            # idempotent
+            assert c.canonicalize_url(out) == out
+            # fast path (if taken on the canonical form) agrees
+            fast = c._canonical_fast(out)
+            if fast is not None:
+                assert fast == out
+
+    check()

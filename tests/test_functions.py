@@ -1,0 +1,102 @@
+"""Unit tests: string function family + IO seam."""
+
+import pyarrow as pa
+import pytest
+
+from scraper_ray.functions.strings import (
+    build_signed_url,
+    clean_suffix,
+    concat_key,
+    extract_numeric_id,
+    split_coords,
+    truncate,
+)
+
+
+def test_extract_numeric_id():
+    arr = pa.array(["house12345.html", "item/987/", "none"])
+    assert extract_numeric_id(arr).to_pylist() == ["12345", "987", ""]
+
+
+def test_clean_suffix():
+    arr = pa.array(["楼宇(VR看房)", "plain"])
+    assert clean_suffix(arr).to_pylist() == ["楼宇", "plain"]
+
+
+def test_truncate():
+    arr = pa.array(["x" * 300, "short"])
+    out = truncate(arr, 250).to_pylist()
+    assert len(out[0]) == 250 and out[1] == "short"
+
+
+def test_split_coords():
+    lng, lat = split_coords(pa.array(["116.39,39.90", "-73.9,40.7"]))
+    assert lng.to_pylist() == [116.39, -73.9]
+    assert lat.to_pylist() == [39.9, 40.7]
+
+
+def test_concat_key():
+    out = concat_key(pa.array(["sh", "bj"]), pa.array(["1", "2"]))
+    assert out.to_pylist() == ["sh_1", "bj_2"]
+
+
+def test_build_signed_url_deterministic():
+    u1 = build_signed_url("http://api.test/v3/place", {"k": "1", "a": "2"}, "s3cr3t")
+    u2 = build_signed_url("http://api.test/v3/place", {"a": "2", "k": "1"}, "s3cr3t")
+    assert u1 == u2                      # param order canonicalized
+    assert "sig=" in u1
+    u3 = build_signed_url("http://api.test/v3/place", {"a": "2"}, "s3cr3t")
+    assert u1 != u3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_write_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from scraper_ray.sources.io import read_table, write_dataset
+
+    ds = rd.from_items([{"a": i, "b": f"v{i}"} for i in range(100)])
+    out = str(tmp_path / "t")
+    write_dataset(ds, out, format="parquet")
+    back = read_table(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back["b"].tolist() == [f"v{i}" for i in range(100)]
+    # csv path
+    csv_dir = str(tmp_path / "c")
+    write_dataset(ds, csv_dir, format="csv")
+    import glob
+
+    vals: set[int] = set()
+    for csv_file in glob.glob(csv_dir + "/*"):
+        vals |= set(read_table(csv_file, columns=["a"]).to_pandas()["a"])
+    assert vals == set(range(100))
+    # lance falls back gracefully when the package is missing
+    with pytest.warns(UserWarning, match="lance is not installed"):
+        write_dataset(ds, str(tmp_path / "l"), format="lance")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_listing_split(tmp_path):
+    """detail/info split + dedupe-last-wins + clamp over a small crawl."""
+    from scraper_ray.crawl import CrawlConfig, crawl, read_docs
+    from scraper_ray.pipelines.listing import dedupe_last_wins, split_detail_info
+    from scraper_ray.synthweb import WebConfig, default_politeness, gen_seeds
+
+    web = WebConfig(seed=9, n_entities=4, items_per_page=5, max_pages_cap=5,
+                    dup_rate=0.3, alias_rate=0.2)
+    pol = default_politeness(web, wave_units=32)
+    out = str(tmp_path / "docs")
+    crawl(gen_seeds(web, 30), CrawlConfig(web=web, politeness=pol,
+                                          out_dir=out, batch_size=64))
+    docs = read_docs(out)
+    detail, info = split_detail_info(docs)
+    d = dedupe_last_wins(detail).to_pandas()
+    assert d["source_id"].is_unique
+    assert (d["photo"].str.startswith("http://cdn.")).all()
+    assert set(d.columns) >= {"source_id", "entity", "property_id", "title",
+                              "photo", "timestamp"}
+    i = dedupe_last_wins(info, order_col="page_url").to_pandas()
+    assert i["source_id"].is_unique
+    assert (i["n_items"] >= 0).all()
+    # J1 propagation: every detail property_id is a fetched list page
+    doc_ids = set(docs.to_pandas()["doc_id"])
+    assert set(d["property_id"]) - {""} <= doc_ids
