@@ -33,20 +33,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         listing,
         media,
         relational,
+        temporal,
         text,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
-                crawl_queries, listing):
+                crawl_queries, listing, temporal):
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from scraper_ray.pipelines import ann, dedup, relational, text
+    from scraper_ray.pipelines import ann, dedup, relational, temporal, text
 
     out: dict[str, str] = {}
-    for mod in (relational, dedup, text, ann):
+    for mod in (relational, dedup, text, ann, temporal):
         out.update(mod.ORACLE_SQL)
     return out

@@ -24,6 +24,18 @@ import ray.data as rd
 from ..functions.geocode import gcj02_to_wgs84
 
 
+PAGE_SIZE = 2
+
+
+def fake_api_page(keyword: str, city: str, page: int) -> list[dict]:
+    """One page of the deterministic fake POI API (pagination surface:
+    the reference's client loops ``page += 1`` until an empty response,
+    default_api.py:91-112). Page numbers start at 1."""
+    all_results = fake_api_results(keyword, city)
+    lo = (page - 1) * PAGE_SIZE
+    return all_results[lo : lo + PAGE_SIZE]
+
+
 def fake_api_results(keyword: str, city: str) -> list[dict]:
     """Deterministic fake POI API: 0-3 nested-JSON results per query."""
     h = int.from_bytes(
@@ -69,7 +81,17 @@ def enrich(queries: rd.Dataset) -> rd.Dataset:
         rows: list[dict] = []
         for kw, city in zip(batch.column("keyword").to_pylist(),
                             batch.column("city").to_pylist()):
-            for res in fake_api_results(kw, city):
+            # pagination loop inside the stage (T4): page ascending until
+            # an empty page, like the reference's call_api while-loop
+            results: list[dict] = []
+            page = 1
+            while True:
+                chunk = fake_api_page(kw, city, page)
+                if not chunk:
+                    break
+                results.extend(chunk)
+                page += 1
+            for res in results:
                 flat = flatten_json(res)
                 lng_s, lat_s = flat["location"].split(",")
                 wlng, wlat = gcj02_to_wgs84(float(lng_s), float(lat_s))
@@ -97,16 +119,48 @@ def enrich(queries: rd.Dataset) -> rd.Dataset:
     return queries.map_batches(call, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_api_enrichment(sf_dir: str) -> rd.Dataset:
-    """Enrichment demo over driver data: part names x nation cities."""
+def dead_letters(queries: rd.Dataset) -> rd.Dataset:
+    """Rows the API returned nothing for — the reference silently drops
+    these (default_api.py:91-105); here they become an auditable table
+    (M14: invalid responses -> dead-letter, not dropped)."""
+
+    def find(batch: pa.Table) -> pa.Table:
+        kws, cities = [], []
+        for kw, city in zip(batch.column("keyword").to_pylist(),
+                            batch.column("city").to_pylist()):
+            if not fake_api_results(kw, city):
+                kws.append(kw)
+                cities.append(city)
+        return pa.table({"ref_keyword": pa.array(kws, pa.string()),
+                         "ref_city": pa.array(cities, pa.string()),
+                         "reason": pa.array(["no_results"] * len(kws),
+                                            pa.string())})
+
+    return queries.map_batches(find, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _query_table(sf_dir: str) -> rd.Dataset:
     parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name", "p_brand"])
 
     def to_queries(t: pa.Table) -> pa.Table:
         return pa.table({"keyword": t.column("p_name"),
                          "city": t.column("p_brand")})
 
-    return enrich(parts.map_batches(to_queries, batch_format="pyarrow",
-                                    zero_copy_batch=True))
+    return parts.map_batches(to_queries, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
-QUERIES = {"api_enrichment": q_api_enrichment}
+def q_api_enrichment(sf_dir: str) -> rd.Dataset:
+    """Enrichment demo over driver data: part names x nation cities."""
+    return enrich(_query_table(sf_dir))
+
+
+def q_api_dead_letter(sf_dir: str) -> rd.Dataset:
+    return dead_letters(_query_table(sf_dir))
+
+
+QUERIES = {
+    "api_enrichment": q_api_enrichment,
+    "api_dead_letter": q_api_dead_letter,
+}

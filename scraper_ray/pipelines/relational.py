@@ -372,6 +372,38 @@ def q_join_anti(sf_dir: str) -> rd.Dataset:
     return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_join_outer(sf_dir: str) -> rd.Dataset:
+    """Full outer join (reference J4: divisions x postal summary outer
+    merge, cn_postalcode.py:218): per-nation customer counts FULL OUTER
+    per-nation supplier counts — danglers survive on both sides."""
+    cust = (_t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
+    supp = (_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
+    joined = cust.join(supp, join_type="full_outer", num_partitions=4,
+                       on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the left column name
+        return pa.table({
+            "nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "n_cust": pc.coalesce(t.column("n_cust"), pa.scalar(0)),
+            "n_supp": pc.coalesce(t.column("n_supp"), pa.scalar(0)),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["join_outer"] = """
+SELECT CAST(coalesce(c.c_nationkey, s.s_nationkey) AS BIGINT) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+"""
+
+
 ORACLE_SQL["join_anti"] = """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -630,6 +662,7 @@ QUERIES = {
     "join_hash": q_join_hash,
     "join_left": q_join_left,
     "join_anti": q_join_anti,
+    "join_outer": q_join_outer,
     "dedup_keep_latest": q_dedup_keep_latest,
     "union_all": q_union_all,
     "top_orders": q_top_orders,

@@ -1,0 +1,160 @@
+"""Temporal operators over the events stream: windows, sessions, as-of.
+
+The reference is batch-only (SURVEY §2.9 — no windows/watermarks), but a
+training-data engine needs the windowed shapes; each is expressed as a
+composition of ``map_batches`` + ``groupby``/``map_groups`` + a sort
+*inside* the group (SURVEY §2 "custom operators" ladder, option (a)):
+
+- ``window_hourly`` — tumbling window = truncate-timestamp + groupby.
+  Pre-aggregation happens inside the map (the combiner pattern), so the
+  shuffle moves (user, hour) partials, not raw events.
+- ``sessions`` — 30-min-gap sessionization: hash-partition by user
+  (groupby), sort within group, count gap breaks. Partitioning
+  assumption: one user's events fit one group (true at any sane scale;
+  a hot user would be salted by day first).
+- ``asof_join`` — each event matched to the latest order of the same
+  user at-or-before the event time: tag-union both streams, hash-
+  partition by user, per-group ``pandas.merge_asof``. Partitioning
+  assumption: co-partition both sides on the key — the one shuffle.
+
+All three have exact DuckDB oracles (ASOF JOIN is native there).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+SESSION_GAP_MIN = 30
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def q_window_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling one-hour window per user: count + exact value sum."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        value_u = pc.cast(pc.round(pc.multiply(t.column("value"), 1_000_000)),
+                          pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "hour": hour,
+                         "value_u": value_u})
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="value_u"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "hour": t.column("hour"),
+            "n": t.column("n"),
+            "total_value": pc.divide(
+                pc.cast(t.column("value_u"), pa.float64()), 1_000_000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_sessions(sf_dir: str) -> rd.Dataset:
+    """Per-user session count with a 30-minute inactivity gap."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(g)],
+            "n_sessions": [int(1 + gaps.sum())],
+        })
+
+    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+
+
+def q_asof_join(sf_dir: str) -> rd.Dataset:
+    """Each event -> latest order (same user, order date <= event time).
+
+    Co-partition both streams on the key with one tagged-union groupby,
+    then ``merge_asof`` per group; events with no prior order keep a
+    null order key (left as-of)."""
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("user_id"),
+            "t": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "side": pa.array(["e"] * t.num_rows, pa.string()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("o_custkey"),
+            "t": t.column("o_orderdate"),
+            "event_id": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderkey": t.column("o_orderkey"),
+            "side": pa.array(["o"] * t.num_rows, pa.string()),
+        })
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow"))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"][["event_id", "t"]].sort_values(
+            ["t", "event_id"])
+        # ties on order time resolve to max orderkey (both sides do this,
+        # else the as-of pick among same-timestamp orders is unspecified)
+        od = (g[g["side"] == "o"][["o_orderkey", "t"]]
+              .groupby("t", as_index=False)["o_orderkey"].max()
+              .sort_values("t"))
+        if ev.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="float64")})
+        if od.empty:
+            return pd.DataFrame({"event_id": ev["event_id"].astype("int64"),
+                                 "o_orderkey": float("nan")})
+        m = pd.merge_asof(ev, od, on="t", direction="backward")
+        return m[["event_id", "o_orderkey"]]
+
+    return both.groupby("key").map_groups(asof, batch_format="pandas")
+
+
+ORACLE_SQL = {
+    "window_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+""",
+    "sessions": """
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+FROM (SELECT user_id,
+             epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+      FROM events)
+GROUP BY user_id
+""",
+    "asof_join": """
+SELECT e.event_id, o.o_orderkey
+FROM events e ASOF LEFT JOIN
+     (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+}
+
+QUERIES = {
+    "window_hourly": q_window_hourly,
+    "sessions": q_sessions,
+    "asof_join": q_asof_join,
+}
