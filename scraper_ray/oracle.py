@@ -34,7 +34,7 @@ from .canonicalize import (
     encode_hop,
     registered_domain,
 )
-from .synthweb import Page, PolitenessConfig, WebConfig, fetch_page
+from .synthweb import Page, PolitenessConfig, WebConfig, fetch_with_retry
 
 
 @dataclass
@@ -87,30 +87,31 @@ def crawl_oracle(
 
     while heap:
         depth, path, url, parent_id, child_idx = heapq.heappop(heap)
-        page: Page = fetch_page(url, cfg)
+        page, attempts = fetch_with_retry(url, cfg)
         did = doc_id_for(url)
         host = urlsplit(url).hostname or ""
         res.docs.append(
             {
                 "doc_id": did,
                 "url": url,
-                "entity": page.entity,
-                "page_type": page.page_type,
+                "entity": page.entity if page else "",
+                "page_type": page.page_type if page else "error",
                 "domain_key": registered_domain(host),
                 "depth": depth,
                 "parent_id": parent_id,
                 "child_idx": child_idx,
                 "path": path,
                 "wave": -1,
+                "n_attempts": attempts,
                 "spans": [
                     {"kind": s.kind, "text": s.text,
                      "media_ref": s.media_ref, "offset": s.offset}
                     for s in page.spans
-                ],
+                ] if page else [],
             }
         )
         if max_docs is not None and len(res.docs) >= max_docs:
             break
-        for idx, child in enumerate(page.child_urls):
+        for idx, child in enumerate(page.child_urls if page else ()):
             _admit(child, depth + 1, did, idx, path, res, politeness, heap)
     return res

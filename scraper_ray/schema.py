@@ -32,6 +32,7 @@ DOC_SCHEMA = pa.schema(
         ("child_idx", pa.int32()),   # discovery order under the parent
         ("path", pa.string()),       # discovery path, 8-hex chars per hop
         ("wave", pa.int32()),        # engine wave number (-1 in the oracle)
+        ("n_attempts", pa.int32()),  # fetch attempts (retry accounting)
         ("spans", pa.list_(SPAN_TYPE)),
     ]
 )

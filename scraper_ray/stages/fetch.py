@@ -30,7 +30,7 @@ from ..canonicalize import doc_id_for, frontier_table
 from ..schema import DOC_SCHEMA
 from ..state.scheduler import robots_filter
 from ..state.seen import shard_of
-from ..synthweb import PolitenessConfig, WebConfig, fetch_page
+from ..synthweb import PolitenessConfig, WebConfig, fetch_with_retry
 
 FETCH_OUT_SCHEMA = DOC_SCHEMA.append(pa.field("children", pa.list_(pa.string())))
 
@@ -57,25 +57,28 @@ class FetchParse:
         for url, depth, pid, ci, path, dom, wave in zip(
             urls, depths, parents, cidxs, paths, domains, waves
         ):
-            page = fetch_page(url, self.cfg)
+            # bounded retry; permanent failures become dead-letter 'error'
+            # docs instead of silent drops (reference: scrapers.py:50-52)
+            page, attempts = fetch_with_retry(url, self.cfg)
             cols["doc_id"].append(doc_id_for(url))
             cols["url"].append(url)
-            cols["entity"].append(page.entity)
-            cols["page_type"].append(page.page_type)
+            cols["entity"].append(page.entity if page else "")
+            cols["page_type"].append(page.page_type if page else "error")
             cols["domain_key"].append(dom)
             cols["depth"].append(depth)
             cols["parent_id"].append(pid)
             cols["child_idx"].append(ci)
             cols["path"].append(path)
             cols["wave"].append(wave)
+            cols["n_attempts"].append(attempts)
             cols["spans"].append(
                 [
                     {"kind": s.kind, "text": s.text,
                      "media_ref": s.media_ref, "offset": s.offset}
                     for s in page.spans
-                ]
+                ] if page else []
             )
-            cols["children"].append(list(page.child_urls))
+            cols["children"].append(list(page.child_urls) if page else [])
         return pa.table(
             {n: pa.array(cols[n], type=FETCH_OUT_SCHEMA.field(n).type)
              for n in FETCH_OUT_SCHEMA.names}

@@ -58,6 +58,7 @@ class WebConfig:
     alias_rate: float = 0.20         # child links emitted as messy variants
     skew_entity_share: float = 0.0   # >0: entity 0 gets cap*share extra pages
     work_per_page: int = 0           # simulated fetch+parse CPU (hash rounds)
+    fail_rate: float = 0.0           # transient fetch-failure probability
 
     def entity_name(self, i: int) -> str:
         return f"ent{i:04d}"
@@ -144,6 +145,28 @@ def _item_ids_for_page(cfg: WebConfig, entity: str, page: int) -> list[int]:
         else:
             ids.append(_h(cfg.seed, "id", entity, page, slot) % 10_000_000)
     return ids
+
+
+def fetch_fails(canonical_url: str, cfg: WebConfig, attempt: int) -> bool:
+    """Deterministic transient failure for (url, attempt) — stands in for
+    the reference's fetch errors that a session renewal may cure
+    (handlers/scrapers.py:38-52)."""
+    if cfg.fail_rate <= 0:
+        return False
+    return (_h(cfg.seed, "fail", canonical_url, attempt) % 1000
+            < cfg.fail_rate * 1000)
+
+
+def fetch_with_retry(canonical_url: str, cfg: WebConfig,
+                     max_attempts: int = 3) -> tuple["Page | None", int]:
+    """Bounded retry around the synthetic fetch: returns (page, attempts)
+    or (None, max_attempts) when every attempt fails — the caller emits a
+    dead-letter 'error' doc instead of dropping the URL silently (the
+    reference returns None and loses the page, scrapers.py:50-52)."""
+    for attempt in range(max_attempts):
+        if not fetch_fails(canonical_url, cfg, attempt):
+            return fetch_page(canonical_url, cfg), attempt + 1
+    return None, max_attempts
 
 
 def fetch_page(canonical_url: str, cfg: WebConfig) -> Page:

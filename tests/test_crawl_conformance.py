@@ -108,3 +108,30 @@ def test_global_level_sync_same_result(ray_session, tmp_path):
     key = order_key_columns()
     engine_sorted = docs.sort_values(key).reset_index(drop=True)
     assert engine_sorted["url"].tolist() == [d["url"] for d in oracle.docs]
+
+
+def test_retry_and_dead_letter_conformance(ray_session, tmp_path):
+    """With transient fetch failures injected, engine == oracle, error
+    docs surface as dead letters (never silently dropped), and retry
+    counts match."""
+    web = WebConfig(seed=31, n_entities=5, items_per_page=4, max_pages_cap=5,
+                    dup_rate=0.1, alias_rate=0.2, fail_rate=0.35)
+    pol = default_politeness(web, wave_units=16)
+    seeds = gen_seeds(web, 40)
+    out = str(tmp_path / "r")
+    crawl(seeds, CrawlConfig(web=web, politeness=pol, out_dir=out,
+                             batch_size=64))
+    docs = read_docs(out).to_pandas()
+    oracle = crawl_oracle(seeds, web, pol)
+    assert set(docs["url"]) == oracle.seen
+    key = order_key_columns()
+    es = docs.sort_values(key).reset_index(drop=True)
+    assert es["url"].tolist() == [d["url"] for d in oracle.docs]
+    by_id = {d["doc_id"]: d for d in oracle.docs}
+    for _, row in docs.iterrows():
+        od = by_id[row["doc_id"]]
+        assert row["page_type"] == od["page_type"]
+        assert row["n_attempts"] == od["n_attempts"]
+    # failures actually happened and are visible
+    assert (docs["page_type"] == "error").any()
+    assert (docs["n_attempts"] > 1).any()
