@@ -158,13 +158,17 @@ def canonicalize_url(url: str) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in SUPPORTED_SCHEMES:
         return None
-    host = (parts.hostname or "").lower().rstrip(".")
+    try:
+        host = (parts.hostname or "").lower().rstrip(".")
+        port = parts.port   # raises ValueError on malformed/out-of-range ports
+    except ValueError:
+        return None
     if not host:
         return None
-    port = parts.port
-    netloc = host
+    # IPv6 literals must keep their brackets in the rebuilt netloc
+    netloc = f"[{host}]" if ":" in host else host
     if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
-        netloc = f"{host}:{port}"
+        netloc = f"{netloc}:{port}"
     if parts.username:
         userinfo = parts.username + (":" + parts.password if parts.password else "")
         netloc = f"{userinfo}@{netloc}"
@@ -196,7 +200,8 @@ def registered_domain(host: str) -> str:
     two; IP literals and single-label hosts are returned unchanged.
     """
     host = host.lower().rstrip(".")
-    if not host or host.replace(".", "").replace(":", "").isdigit():
+    if (not host or ":" in host                       # IPv6 literal
+            or host.replace(".", "").isdigit()):      # IPv4 literal
         return host
     labels = host.split(".")
     if len(labels) <= 2:
@@ -222,6 +227,8 @@ def host_of(canonical_url: str) -> str:
     netloc = canonical_url[start : end if end != -1 else len(canonical_url)]
     if "@" in netloc:
         netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):           # bracketed IPv6 literal
+        return netloc[1 : netloc.find("]")]
     if ":" in netloc:
         netloc = netloc.split(":", 1)[0]
     return netloc

@@ -67,6 +67,7 @@ def cmd_query(args: argparse.Namespace) -> None:
 
     if isinstance(res, rd.Dataset):
         if args.out:
+            res = res.materialize()   # execute once; write+count reuse blocks
             res.write_parquet(args.out)
             print(json.dumps({"rows": res.count(), "out": args.out}))
         else:

@@ -109,6 +109,8 @@ def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
     sched.snapshot(wdir)
     manifest = {
         "wave": wave,
+        "n_seen_shards": ccfg.n_seen_shards,
+        "n_sched_shards": ccfg.n_sched_shards,
         "docs": stats.docs,
         "wave_sizes": stats.wave_sizes,
         "counters": stats.counters,
@@ -153,10 +155,16 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         last = latest_checkpoint(ccfg.checkpoint_dir)
         assert last is not None, "no checkpoint to resume from"
         wdir = os.path.join(ccfg.checkpoint_dir, f"wave_{last:05d}")
-        seen.restore(wdir)
-        sched.restore(wdir)
         with open(os.path.join(wdir, "MANIFEST.json")) as f:
             manifest = json.load(f)
+        # shard routing is positional — resuming with a different shard
+        # count would silently mis-route digests/domains
+        assert manifest.get("n_seen_shards", ccfg.n_seen_shards) == ccfg.n_seen_shards, \
+            "checkpoint was written with a different n_seen_shards"
+        assert manifest.get("n_sched_shards", ccfg.n_sched_shards) == ccfg.n_sched_shards, \
+            "checkpoint was written with a different n_sched_shards"
+        seen.restore(wdir)
+        sched.restore(wdir)
         stats.docs = manifest["docs"]
         stats.wave_sizes = manifest["wave_sizes"]
         stats.counters = manifest["counters"]

@@ -21,8 +21,7 @@ import ray
 import ray.data as rd
 
 
-def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .common import read_sf_table as _t
 
 
 def _query_vector(sf_dir: str, query_vec_id: int = 0) -> np.ndarray:

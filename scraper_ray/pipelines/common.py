@@ -1,0 +1,24 @@
+"""Shared pipeline helpers: table reads + exact money scaling."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def read_sf_table(sf_dir: str, name: str,
+                  columns: list[str] | None = None) -> rd.Dataset:
+    """Read one driver table, pruning columns at the read."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def int_scaled(arr, scale: float):
+    """Exact integer-scaled money: round(x*scale) as int64.
+
+    Parallel float summation wobbles in the last ulp, which breaks the
+    driver's value-hash compare — so every money aggregate is summed in
+    scaled integers (exact, associative) and divided back at the end.
+    The DuckDB oracles mirror the same expression. (int64 headroom: safe
+    through ~sf10 row counts; beyond that scale drops to 1e4.)"""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(scale))), pa.int64())

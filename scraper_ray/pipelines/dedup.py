@@ -38,8 +38,7 @@ _PERM_A = _rng.integers(1, 1 << 62, size=_N_PERM, dtype=np.uint64) | np.uint64(1
 _PERM_B = _rng.integers(0, 1 << 62, size=_N_PERM, dtype=np.uint64)
 
 
-def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .common import read_sf_table as _t
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:

@@ -25,9 +25,8 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Read one table, pruning columns at the read."""
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .common import int_scaled as _int_scaled
+from .common import read_sf_table as _t
 
 
 def _round_cols(digits: int, *cols: str):
@@ -47,17 +46,6 @@ def _round_cols(digits: int, *cols: str):
 # Aggregations (reference A1-A6: handlers/cn_postalcode.py:184-216,
 # utils/utility_commons.py:116-120)
 # ---------------------------------------------------------------------------
-
-def _int_scaled(arr, scale: float):
-    """Exact integer-scaled money: round(x*scale) as int64.
-
-    Parallel float summation wobbles in the last ulp, which breaks the
-    driver's value-hash compare — so every money aggregate is summed in
-    scaled integers (exact, associative) and divided back at the end.
-    The DuckDB oracles mirror the same expression. (int64 headroom: safe
-    through ~sf10 row counts; beyond that scale drops to 1e4.)"""
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(scale))), pa.int64())
-
 
 def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     """Flagship groupby-aggregate (TPC-H Q1 shape; models the reference's
@@ -254,8 +242,10 @@ def q_join_broadcast(sf_dir: str) -> rd.Dataset:
         brands = [brand_of.get(k) for k in t.column("l_partkey").to_pylist()]
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({"p_brand": pa.array(brands, pa.string()),
-                         "rev_c": _int_scaled(rev, 10_000)})
+        out = pa.table({"p_brand": pa.array(brands, pa.string()),
+                        "rev_c": _int_scaled(rev, 10_000)})
+        # inner-join semantics (matches the SQL oracle): drop unmatched keys
+        return out.filter(pc.is_valid(out.column("p_brand")))
 
     agg = (
         ds.map_batches(join_agg, batch_format="pyarrow", zero_copy_batch=True)
@@ -533,7 +523,8 @@ def q_regex_extract(sf_dir: str) -> rd.Dataset:
 
 
 ORACLE_SQL["regex_extract"] = """
-SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '(\\d+)', 1), '') AS BIGINT) AS k
 FROM events
 """
 

@@ -31,8 +31,7 @@ from ray.data.aggregate import Count, Sum
 SESSION_GAP_MIN = 30
 
 
-def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .common import int_scaled, read_sf_table as _t
 
 
 def q_window_hourly(sf_dir: str) -> rd.Dataset:
@@ -41,8 +40,7 @@ def q_window_hourly(sf_dir: str) -> rd.Dataset:
 
     def pre(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
-        value_u = pc.cast(pc.round(pc.multiply(t.column("value"), 1_000_000)),
-                          pa.int64())
+        value_u = int_scaled(t.column("value"), 1_000_000)
         return pa.table({"user_id": t.column("user_id"), "hour": hour,
                          "value_u": value_u})
 

@@ -31,8 +31,7 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+from .common import read_sf_table as _t
 
 
 def q_token_count(sf_dir: str) -> rd.Dataset:

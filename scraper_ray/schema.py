@@ -25,7 +25,7 @@ DOC_SCHEMA = pa.schema(
         ("doc_id", pa.string()),     # sha1_hex(canonical url)
         ("url", pa.string()),        # canonical url
         ("entity", pa.string()),
-        ("page_type", pa.string()),  # 'list' | 'detail' | 'empty'
+        ("page_type", pa.string()),  # 'list' | 'detail' | 'empty' | 'error'
         ("domain_key", pa.string()),
         ("depth", pa.int32()),
         ("parent_id", pa.string()),  # parent doc_id, '' for seeds

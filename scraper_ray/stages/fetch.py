@@ -22,14 +22,12 @@ wave goes frontier -> fetch -> discover/offer -> parquet.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray
 
 from ..canonicalize import doc_id_for, frontier_table
 from ..schema import DOC_SCHEMA
 from ..state.scheduler import robots_filter
-from ..state.seen import shard_of
 from ..synthweb import PolitenessConfig, WebConfig, fetch_with_retry
 
 FETCH_OUT_SCHEMA = DOC_SCHEMA.append(pa.field("children", pa.list_(pa.string())))
@@ -120,12 +118,13 @@ class DiscoverOffer:
         front, n_blocked = robots_filter(front, self.politeness)
         n_seen_dropped = 0
         if front.num_rows:
-            fresh = ~self._seen_contains(front)
+            fresh = ~self.seen.contains(front.column("url_sha1").to_pylist())
             n_seen_dropped = int((~fresh).sum())
             front = front.filter(pa.array(fresh))
         n_offered = self.sched.offer(front) if front.num_rows else 0
         if self.metrics is not None:
-            self.metrics.add.remote(
+            # awaited so wave-end manifest counters are never stale
+            ray.get(self.metrics.add.remote(
                 {
                     "n_children": n_children,
                     "n_invalid_or_alias": n_invalid_or_alias,
@@ -133,19 +132,5 @@ class DiscoverOffer:
                     "n_seen_dropped": n_seen_dropped,
                     "n_offered": n_offered,
                 }
-            )
+            ))
         return batch.drop_columns(["children"])
-
-    def _seen_contains(self, front: pa.Table) -> np.ndarray:
-        digests = front.column("url_sha1").to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, d in enumerate(digests):
-            by_shard.setdefault(shard_of(d, self.seen.n_shards), []).append(i)
-        refs = [
-            self.seen.actors[s].contains.remote([digests[i] for i in ix])
-            for s, ix in by_shard.items()
-        ]
-        out = np.zeros(len(digests), dtype=bool)
-        for (s, ix), res in zip(by_shard.items(), ray.get(refs)):
-            out[np.asarray(ix)] = res
-        return out

@@ -62,9 +62,9 @@ class ShardedSeen:
             SeenShard.remote(capacity_per_shard) for _ in range(n_shards)
         ]
 
-    def add_if_new(self, digests: list[bytes]) -> np.ndarray:
-        """Freshness mask for *digests*; inserts fresh ones. One batched
-        RPC per shard, issued concurrently."""
+    def _fanout(self, method: str, digests: list[bytes]) -> np.ndarray:
+        """Group digests by owning shard, one batched RPC per shard,
+        recombine the per-digest boolean mask."""
         n = len(digests)
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -73,13 +73,22 @@ class ShardedSeen:
             by_shard.setdefault(shard_of(d, self.n_shards), []).append(i)
         shards = list(by_shard.keys())
         refs = [
-            self.actors[s].add_if_new.remote([digests[i] for i in by_shard[s]])
+            getattr(self.actors[s], method).remote(
+                [digests[i] for i in by_shard[s]])
             for s in shards
         ]
         mask = np.zeros(n, dtype=bool)
         for s, res in zip(shards, ray.get(refs)):
             mask[np.asarray(by_shard[s])] = res
         return mask
+
+    def add_if_new(self, digests: list[bytes]) -> np.ndarray:
+        """Freshness mask for *digests*; inserts fresh ones."""
+        return self._fanout("add_if_new", digests)
+
+    def contains(self, digests: list[bytes]) -> np.ndarray:
+        """Membership mask (read-only)."""
+        return self._fanout("contains", digests)
 
     def total(self) -> int:
         return int(sum(ray.get([a.size.remote() for a in self.actors])))

@@ -96,7 +96,9 @@ class Span:
 @dataclass(frozen=True)
 class Page:
     url: str                     # canonical
-    page_type: str               # 'list' | 'detail' | 'empty'
+    page_type: str               # 'list' | 'detail' | 'empty' ('error'
+                                 # docs are emitted by the crawl when
+                                 # every fetch attempt fails)
     entity: str
     child_urls: tuple[str, ...]  # raw (possibly messy) URLs, DOM order
     spans: tuple[Span, ...]

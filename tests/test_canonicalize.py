@@ -162,3 +162,19 @@ def test_hypothesis_canonicalize_idempotent_and_fast_consistent():
                 assert fast == out
 
     check()
+
+
+def test_malformed_ports_dropped():
+    assert canonicalize_url("http://h:99999/x") is None
+    assert canonicalize_url("http://h:abc/x") is None
+
+
+def test_ipv6_hosts_keep_brackets():
+    from scraper_ray.canonicalize import host_of
+
+    u = canonicalize_url("http://[2001:DB8::1]:8080/x")
+    assert u == "http://[2001:db8::1]:8080/x"
+    assert host_of(u) == "2001:db8::1"
+    assert registered_domain("2001:db8::1") == "2001:db8::1"
+    # default port removal still applies
+    assert canonicalize_url("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x"
