@@ -50,6 +50,7 @@ class CrawlConfig:
     checkpoint_every: int = 1
     n_seen_shards: int = 4
     n_sched_shards: int = 4
+    seen_capacity_per_shard: int = 1 << 18   # cuckoo slots; exact set backs it
     fetch_concurrency: int | None = None   # None -> task pool (pure fetcher);
     # an int -> actor pool of that size (stateful HTTP fetcher shape)
     batch_size: int = 1024
@@ -143,7 +144,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     the final output is identical to an uninterrupted run
     (tests/test_resume.py).
     """
-    seen = ShardedSeen(ccfg.n_seen_shards)
+    seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
                           level_sync=ccfg.level_sync, seen=seen)
     metrics = MetricsActor.remote()

@@ -22,3 +22,23 @@ def int_scaled(arr, scale: float):
     The DuckDB oracles mirror the same expression. (int64 headroom: safe
     through ~sf10 row counts; beyond that scale drops to 1e4.)"""
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(scale))), pa.int64())
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Rebuild *ds* without empty blocks.
+
+    ``groupby(...).map_groups`` / aggregate outputs include schema-less
+    zero-row blocks; Ray's hash-join aggregator rejects a partition made
+    only of those ("No match ... for key field reference"). This scrub
+    materializes the dataset and re-registers only non-empty block refs —
+    metadata-level work, no block data moves through the driver.
+    """
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)

@@ -136,46 +136,74 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     band_rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column("doc_id").to_pylist()))
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        # arrow in/out with pinned types: pandas-formatted group outputs
+        # leave schema-less empty blocks behind that break the downstream
+        # hash joins' schema unification
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
 
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pandas"
+        pairs, batch_format="pyarrow"
     )
-    # a pair can surface from several bands — dedup via one more groupby
-    import pandas as pd  # noqa: F811
+    # a pair can surface from several bands — dedup with a native
+    # aggregate (arrow-blocked output; map_groups' pandas blocks confuse
+    # the downstream hash joins' schema unification)
+    from ray.data.aggregate import Count
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    def pin_schema(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                         "doc_b": pc.cast(t.column("doc_b"), pa.int64())})
+
+    from .common import drop_empty_blocks
+
+    return drop_empty_blocks(
+        deduped.map_batches(pin_schema, batch_format="pyarrow"))
 
 
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     """Near-duplicate pairs: LSH candidates verified by exact 3-gram
-    Jaccard >= *threshold*. Texts are broadcast once via ``ray.put`` and
-    read inside every verify task — never re-shipped per batch."""
-    docs_tbl = _t(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs()
-    texts: dict[int, str] = {}
-    for ref in docs_tbl:
-        t = ray.get(ref)
-        texts.update(zip(t.column("doc_id").to_pylist(),
-                         t.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
+    Jaccard >= *threshold*. Candidate pairs are joined back to the doc
+    texts with two distributed hash joins — no driver-side text
+    materialization, so the verify stage scales with the candidate set,
+    not the corpus."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def rename(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{suffix}": t.column("doc_id"),
+                             f"text_{suffix}": t.column("text")})
+        return f
+
+    from .common import drop_empty_blocks
+
+    # each join's empty hash partitions emit schema-less blocks that the
+    # next join rejects — scrub between stages
+    cand = candidate_pairs(sf_dir)
+    with_a = drop_empty_blocks(
+        cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
+                  join_type="inner", num_partitions=8, on=("doc_a",)))
+    with_ab = drop_empty_blocks(
+        with_a.join(docs.map_batches(rename("b"), batch_format="pyarrow"),
+                    join_type="inner", num_partitions=8, on=("doc_b",)))
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
         keep_a, keep_b, jac = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(),
-                        batch.column("doc_b").to_pylist()):
-            sa = set(_shingle_hashes(tx[a]).tolist())
-            sb = set(_shingle_hashes(tx[b]).tolist())
+        for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
+                                batch.column("doc_b").to_pylist(),
+                                batch.column("text_a").to_pylist(),
+                                batch.column("text_b").to_pylist()):
+            sa = set(_shingle_hashes(ta).tolist())
+            sb = set(_shingle_hashes(tb).tolist())
             j = len(sa & sb) / max(1, len(sa | sb))
             if j >= threshold:
                 keep_a.append(a)
@@ -185,7 +213,7 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
                          "doc_b": pa.array(keep_b, pa.int64()),
                          "jaccard": pa.array(jac, pa.float64())})
 
-    return candidate_pairs(sf_dir).map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

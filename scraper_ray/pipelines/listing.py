@@ -44,7 +44,7 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
     def detail_rows(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in
                 ("source_id", "entity", "property_id", "title", "photo",
-                 "n_text_spans", "timestamp", "crawl_path")}
+                 "n_text_spans", "timestamp", "crawl_path", "extras")}
         for r in t.to_pylist():
             if r["page_type"] != "detail":
                 continue
@@ -59,6 +59,11 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             cols["n_text_spans"].append(len(texts))
             cols["timestamp"].append(stamp)                # M8 stamping
             cols["crawl_path"].append(r["path"])
+            # open-ended scraped attributes go into a map column — the
+            # Arrow answer to the reference's NVARCHAR schema evolution
+            # (db.py:108-119): schema stays fixed, keys stay open
+            cols["extras"].append(
+                [(f"f{i}", txt) for i, txt in enumerate(texts[1:])])
         return clamp_strings(pa.table({
             "source_id": pa.array(cols["source_id"], pa.string()),
             "entity": pa.array(cols["entity"], pa.string()),
@@ -68,6 +73,8 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             "n_text_spans": pa.array(cols["n_text_spans"], pa.int32()),
             "timestamp": pa.array(cols["timestamp"], pa.string()),
             "crawl_path": pa.array(cols["crawl_path"], pa.string()),
+            "extras": pa.array(cols["extras"],
+                               pa.map_(pa.string(), pa.string())),
         }))
 
     def info_rows(t: pa.Table) -> pa.Table:

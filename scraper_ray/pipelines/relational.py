@@ -350,16 +350,13 @@ def q_join_anti(sf_dir: str) -> rd.Dataset:
         m = pc.equal(t.column("o_orderpriority"), "1-URGENT")
         return t.filter(m).select(["o_custkey"])
 
-    done = set(
-        urgent.map_batches(keys, batch_format="pyarrow",
-                           zero_copy_batch=True).unique("o_custkey")
-    )
-
-    def anti(t: pa.Table) -> pa.Table:
-        keep = [k not in done for k in t.column("c_custkey").to_pylist()]
-        return t.filter(pa.array(keep))
-
-    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    done = urgent.map_batches(keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # native distributed anti join — the done-set never touches the
+    # driver (contrast: the reference materializes both entity lists,
+    # db.py:191-203)
+    return cust.join(done, join_type="left_anti", num_partitions=4,
+                     on=("c_custkey",), right_on=("o_custkey",))
 
 
 def q_join_outer(sf_dir: str) -> rd.Dataset:
