@@ -59,6 +59,7 @@ class WebConfig:
     skew_entity_share: float = 0.0   # >0: entity 0 gets cap*share extra pages
     work_per_page: int = 0           # simulated fetch+parse CPU (hash rounds)
     fail_rate: float = 0.0           # transient fetch-failure probability
+    private_link_rate: float = 0.0   # fraction of item links under /private/
 
     def entity_name(self, i: int) -> str:
         return f"ent{i:04d}"
@@ -192,10 +193,15 @@ def fetch_page(canonical_url: str, cfg: WebConfig) -> Page:
         children: list[str] = []
         spans: list[Span] = []
         for slot, item_id in enumerate(_item_ids_for_page(cfg, entity, page)):
-            raw = cfg.item_url(entity, item_id)
             hv = _h(cfg.seed, "alias", entity, page, slot)
-            if (hv % 1000) < cfg.alias_rate * 1000:
-                raw = _alias_variant(raw, hv >> 10)
+            if ((hv >> 40) % 1000) < cfg.private_link_rate * 1000:
+                # robots-sensitive link: filtered at discovery for domains
+                # whose politeness config disallows /private/
+                raw = f"http://www.{entity}.test/private/item/{item_id}/"
+            else:
+                raw = cfg.item_url(entity, item_id)
+                if (hv % 1000) < cfg.alias_rate * 1000:
+                    raw = _alias_variant(raw, hv >> 10)
             children.append(raw)
             spans.append(Span("text", f"item {item_id} " + _words(hv, 3), "", slot))
         # next list page is the final child — ascending-page iteration

@@ -135,3 +135,35 @@ def test_retry_and_dead_letter_conformance(ray_session, tmp_path):
     # failures actually happened and are visible
     assert (docs["page_type"] == "error").any()
     assert (docs["n_attempts"] > 1).any()
+
+
+def test_mid_crawl_robots_filtering(ray_session, tmp_path):
+    """Discovered (not just seeded) links under /private/ are filtered by
+    robots for disallowed domains, fetched as 'empty' docs elsewhere —
+    engine matches oracle either way and counts the blocks."""
+    web = WebConfig(seed=17, n_entities=6, items_per_page=5, max_pages_cap=4,
+                    private_link_rate=0.3)
+    pol = default_politeness(web, wave_units=16)
+    seeds = gen_seeds(web, 30)
+    out = str(tmp_path / "p")
+    stats = crawl(seeds, CrawlConfig(web=web, politeness=pol, out_dir=out,
+                                     batch_size=64))
+    docs = read_docs(out).to_pandas()
+    oracle = crawl_oracle(seeds, web, pol)
+    assert set(docs["url"]) == oracle.seen
+    assert (docs.sort_values(order_key_columns())["url"].tolist()
+            == [d["url"] for d in oracle.docs])
+    # mid-crawl discoveries were actually blocked by robots
+    assert stats.counters.get("n_robots_blocked", 0) > 0
+    assert oracle.n_robots_blocked > 0
+    # /private/ URLs of disallowed domains never fetched; allowed domains
+    # do fetch them (as 'empty' leaf pages)
+    from urllib.parse import urlsplit
+
+    from scraper_ray.canonicalize import registered_domain
+
+    priv = docs[docs["url"].str.contains("/private/")]
+    assert len(priv) > 0
+    for u in priv["url"]:
+        parts = urlsplit(u)
+        assert pol.allowed(registered_domain(parts.hostname or ""), parts.path)

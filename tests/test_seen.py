@@ -70,3 +70,33 @@ def test_sharded_seen_actor_pool():
         seen2.restore(tmp)
         mask2 = seen2.add_if_new([_d(0), _d(9999)])
         assert list(mask2) == [False, True]
+
+
+def test_cuckoo_hypothesis_vs_set_model():
+    """Property test: SeenShardState.add_if_new behaves exactly like a
+    set under arbitrary insert sequences (incl. heavy duplication and
+    overfill past filter capacity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(ops=st.lists(st.integers(min_value=0, max_value=200),
+                        min_size=0, max_size=400))
+    def check(ops):
+        st_state = SeenShardState(capacity=64)   # tiny -> forces overflow
+        model: set[bytes] = set()
+        for batch_start in range(0, len(ops), 7):
+            batch = [_d(i) for i in ops[batch_start:batch_start + 7]]
+            got = st_state.add_if_new(batch)
+            want = []
+            for d in batch:
+                want.append(d not in model)
+                model.add(d)
+            assert got == want
+        assert len(st_state) == len(model)
+        # dump/load preserves behavior
+        st2 = SeenShardState.load(st_state.dump())
+        probe = [_d(i) for i in range(0, 250, 5)]
+        assert st2.add_if_new(probe) == [d not in model for d in probe]
+
+    check()
