@@ -34,7 +34,7 @@ from .canonicalize import (
     encode_hop,
     registered_domain,
 )
-from .synthweb import Page, PolitenessConfig, WebConfig, fetch_with_retry
+from .synthweb import PolitenessConfig, WebConfig, fetch_with_retry
 
 
 @dataclass

@@ -10,7 +10,6 @@ the crawl size tier so bigger scale factors exercise bigger webs.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 import pyarrow as pa

@@ -15,7 +15,6 @@ vanishing (the reference silently drops them, default_api.py:91-105).
 from __future__ import annotations
 
 import hashlib
-import json
 
 import numpy as np
 import pyarrow as pa

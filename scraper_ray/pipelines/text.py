@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -145,6 +144,43 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '),
            x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
 FROM documents
+""",
+    "lang_id": """
+WITH s AS (
+  SELECT doc_id, lang,
+    (length(text) - length(replace(text,'en',''))) / 2
+      + (length(text) - length(replace(text,'er',''))) / 2
+      + (length(text) - length(replace(text,'ch',''))) / 2
+      + (length(text) - length(replace(text,'de',''))) / 2
+      + (length(text) - length(replace(text,'ei',''))) / 2 AS s_de,
+    (length(text) - length(replace(text,'th',''))) / 2
+      + (length(text) - length(replace(text,'he',''))) / 2
+      + (length(text) - length(replace(text,'in',''))) / 2
+      + (length(text) - length(replace(text,'er',''))) / 2
+      + (length(text) - length(replace(text,'an',''))) / 2 AS s_en,
+    (length(text) - length(replace(text,'de',''))) / 2
+      + (length(text) - length(replace(text,'la',''))) / 2
+      + (length(text) - length(replace(text,'os',''))) / 2
+      + (length(text) - length(replace(text,'en',''))) / 2
+      + (length(text) - length(replace(text,'el',''))) / 2 AS s_es,
+    (length(text) - length(replace(text,'es',''))) / 2
+      + (length(text) - length(replace(text,'le',''))) / 2
+      + (length(text) - length(replace(text,'de',''))) / 2
+      + (length(text) - length(replace(text,'en',''))) / 2
+      + (length(text) - length(replace(text,'re',''))) / 2 AS s_fr,
+    (length(text) - length(replace(text,'zh',''))) / 2
+      + (length(text) - length(replace(text,'sh',''))) / 2
+      + (length(text) - length(replace(text,'ng',''))) / 2
+      + (length(text) - length(replace(text,'ia',''))) / 2
+      + (length(text) - length(replace(text,'uo',''))) / 2 AS s_zh
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       WHEN s_fr >= s_zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM s
 """,
     "quality_filter": """
 SELECT doc_id, n_tokens FROM (
