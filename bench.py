@@ -108,10 +108,15 @@ def main() -> None:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-                env=env, capture_output=True, text=True, check=True,
+                env=env, capture_output=True, text=True,
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                sys.stderr.write(out.stderr[-4000:])
+                raise SystemExit(
+                    f"child bench run at {cpus} cpus failed "
+                    f"(rc={out.returncode}, json_lines={len(lines)})")
+            results[cpus] = json.loads(lines[-1])
         t_lo = results[lo]["crawl"]["pages_per_sec"]
         t_hi = results[hi]["crawl"]["pages_per_sec"]
         eff = (t_hi / t_lo) / (hi / lo)

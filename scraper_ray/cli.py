@@ -55,7 +55,10 @@ def cmd_crawl(args: argparse.Namespace) -> None:
 
 
 def cmd_query(args: argparse.Namespace) -> None:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
     import __ray_entry__ as e
 
     qs = e.queries()

@@ -21,7 +21,12 @@ def int_scaled(arr, scale: float):
     scaled integers (exact, associative) and divided back at the end.
     The DuckDB oracles mirror the same expression. (int64 headroom: safe
     through ~sf10 row counts; beyond that scale drops to 1e4.)"""
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(scale))), pa.int64())
+    # half-away-from-zero to match SQL round() (Arrow defaults to
+    # half-to-even, which diverges on exact .5 scaled values)
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(scale)),
+                 round_mode="half_towards_infinity"),
+        pa.int64())
 
 
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:

@@ -30,7 +30,7 @@ MAX_COL = 250   # DB['MAX_COL_SIZE'] parity (utility_commons.py:37)
 def clamp_strings(tbl: pa.Table, limit: int = MAX_COL) -> pa.Table:
     """Truncate every string column to *limit* chars (M10)."""
     for i, field in enumerate(tbl.schema):
-        if pa.types.is_string(field.type):
+        if pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
             tbl = tbl.set_column(
                 i, field.name,
                 pc.utf8_slice_codeunits(tbl.column(i), 0, limit))
@@ -83,7 +83,10 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
         for r in t.to_pylist():
             if r["page_type"] != "list":
                 continue
-            cols["source_id"].append(f"{r['entity']}_{r['doc_id'][:12]}")
+            # entity-level key: pages of the same entity COLLIDE here, so
+            # dedupe_last_wins keeps the newest page per property — the
+            # reference's one-info-row-per-property upsert (db.py:38-54)
+            cols["source_id"].append(r["entity"])
             cols["entity"].append(r["entity"])
             cols["page_url"].append(r["url"])
             cols["n_items"].append(

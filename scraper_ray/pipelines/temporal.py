@@ -120,10 +120,17 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "o_orderkey": pd.Series([], dtype="float64")})
         if od.empty:
-            return pd.DataFrame({"event_id": ev["event_id"].astype("int64"),
-                                 "o_orderkey": float("nan")})
-        m = pd.merge_asof(ev, od, on="t", direction="backward")
-        return m[["event_id", "o_orderkey"]]
+            m = pd.DataFrame({"event_id": ev["event_id"],
+                              "o_orderkey": float("nan")})
+        else:
+            m = pd.merge_asof(ev, od, on="t", direction="backward")
+        # the tagged union nulled event_id on order rows, coercing the
+        # column to float64 — cast back so ids stay exact int64 and all
+        # branches emit identical block schemas
+        m = m[["event_id", "o_orderkey"]].copy()
+        m["event_id"] = m["event_id"].astype("int64")
+        m["o_orderkey"] = m["o_orderkey"].astype("float64")
+        return m
 
     return both.groupby("key").map_groups(asof, batch_format="pandas")
 

@@ -25,7 +25,9 @@ import ray.data as rd
 
 
 def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    if path.endswith(".parquet") or "/" == path[-1:] or "." not in path.rsplit("/", 1)[-1]:
+    import os
+
+    if os.path.isdir(path) or path.endswith(".parquet"):
         return rd.read_parquet(path, columns=columns)
     if path.endswith(".csv"):
         ds = rd.read_csv(path)
@@ -47,14 +49,24 @@ def write_dataset(ds: rd.Dataset, path: str, format: str = "parquet") -> str:
                 "directory layout instead", stacklevel=2)
             format = "parquet"
         else:
-            # stream fragments into the Lance dataset (append mode) so no
-            # full materialization happens on the driver
+            # stream fragments into the Lance dataset (append mode). Note:
+            # batches funnel through the driver sequentially — at real
+            # scale this becomes a per-partition distributed write via
+            # lance fragment writers; acceptable here because lance is an
+            # optional sink in this sandbox.
+            import pyarrow as pa
+
             first = True
             for batch in ds.iter_batches(batch_format="pyarrow",
                                          batch_size=65536):
                 lance.write_dataset(
                     batch, path, mode="create" if first else "append")
                 first = False
+            if first:   # empty dataset: still create a readable table
+                empty = pa.table({}, schema=pa.schema(
+                    [(n, t) for n, t in zip(ds.schema().names,
+                                            ds.schema().types)]))
+                lance.write_dataset(empty, path, mode="create")
             return path
     if format == "parquet":
         ds.write_parquet(path)
