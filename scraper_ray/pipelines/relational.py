@@ -639,6 +639,71 @@ FROM events GROUP BY event_type
 """
 
 
+
+def q_range_join(sf_dir: str) -> rd.Dataset:
+    """Range (band) join — each order matched to its price band.
+
+    The bands dimension is tiny and sorted, so the scale plan is a
+    broadcast + vectorized ``searchsorted`` per batch (never an
+    all-pairs shuffle); the DuckDB oracle is the equivalent BETWEEN
+    join. Bands: [0,50k), [50k,150k), [150k,300k), [300k,inf).
+    """
+    import numpy as np
+
+    edges = np.array([0.0, 50_000.0, 150_000.0, 300_000.0])
+    names = ["B0_low", "B1_mid", "B2_high", "B3_top"]
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def band(t: pa.Table) -> pa.Table:
+        prices = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, prices, side="right") - 1
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "band": pa.array([names[i] for i in idx], pa.string()),
+        })
+
+    from ray.data.aggregate import Count as _Count
+
+    return (
+        ds.map_batches(band, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(_Count(alias_name="n_orders"))
+    )
+
+
+ORACLE_SQL["range_join"] = """
+SELECT b.band, count(*) AS n_orders
+FROM orders o
+JOIN (VALUES ('B0_low', 0, 50000), ('B1_mid', 50000, 150000),
+             ('B2_high', 150000, 300000), ('B3_top', 300000, 1e18))
+     b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+def q_stable_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic ~10%% hash sample (stable holdout split): keep docs
+    whose md5(text) hex starts below '1a' — identical membership on any
+    cluster size or run, unlike seeded random_sample whose draw depends
+    on block layout."""
+    import hashlib as _hl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [_hl.md5(x.encode()).hexdigest()[:2] <= "19"
+                for x in t.column("text").to_pylist()]
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["stable_sample"] = """
+SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) <= '19'
+"""
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "group_minmax": q_group_minmax,
@@ -651,6 +716,8 @@ QUERIES = {
     "join_left": q_join_left,
     "join_anti": q_join_anti,
     "join_outer": q_join_outer,
+    "range_join": q_range_join,
+    "stable_sample": q_stable_sample,
     "dedup_keep_latest": q_dedup_keep_latest,
     "union_all": q_union_all,
     "top_orders": q_top_orders,
