@@ -118,18 +118,19 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
               .sort_values("t"))
         if ev.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "o_orderkey": pd.Series([], dtype="float64")})
+                                 "o_orderkey": pd.Series([], dtype="Int64")})
         if od.empty:
             m = pd.DataFrame({"event_id": ev["event_id"],
                               "o_orderkey": float("nan")})
         else:
             m = pd.merge_asof(ev, od, on="t", direction="backward")
         # the tagged union nulled event_id on order rows, coercing the
-        # column to float64 — cast back so ids stay exact int64 and all
-        # branches emit identical block schemas
+        # column to float64 — cast back to exact int64, and emit unmatched
+        # events as NULL (nullable Int64), not float NaN: the DuckDB ASOF
+        # LEFT JOIN oracle yields NULL and NaN != NULL under a value hash
         m = m[["event_id", "o_orderkey"]].copy()
         m["event_id"] = m["event_id"].astype("int64")
-        m["o_orderkey"] = m["o_orderkey"].astype("float64")
+        m["o_orderkey"] = m["o_orderkey"].round().astype("Int64")
         return m
 
     return both.groupby("key").map_groups(asof, batch_format="pandas")
@@ -142,15 +143,16 @@ SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """,
     "sessions": """
-SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions
 FROM (SELECT user_id,
              epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
       FROM events)
 GROUP BY user_id
 """,
     "asof_join": """
-SELECT e.event_id, o.o_orderkey
+SELECT e.event_id, CAST(o.o_orderkey AS BIGINT) AS o_orderkey
 FROM events e ASOF LEFT JOIN
      (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
       FROM orders GROUP BY o_custkey, o_orderdate) o

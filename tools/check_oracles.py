@@ -32,12 +32,21 @@ def value_hash(df) -> str:
     import pandas as pd
 
     df = df[sorted(df.columns)].copy()
-    # canonicalize dtypes: ints -> int64, floats -> repr at 12 sig digits
+    # canonicalize dtypes: ints -> int64, floats -> repr at 12 sig digits;
+    # nulls (None/NaN/pd.NA) all canonicalize to the same token so a
+    # nullable-int NULL equals a SQL NULL but NOT a float NaN literal
+    def fmt_num(x):
+        if pd.isna(x):
+            return "null"
+        return f"{float(x):.12g}"
+
     for c in df.columns:
         if pd.api.types.is_numeric_dtype(df[c]):
-            df[c] = df[c].map(lambda x: f"{float(x):.12g}")
+            df[c] = df[c].map(fmt_num)
         else:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(
+                lambda x: "null" if (not isinstance(x, (list, tuple, dict))
+                                     and pd.isna(x) is True) else str(x))
     rows = sorted(tuple(r) for r in df.itertuples(index=False, name=None))
     return hashlib.sha1(repr(rows).encode()).hexdigest()[:16]
 
