@@ -5,9 +5,9 @@
                  ▼ next_wave (politeness budget, min-depth, key order;
                  │            emitted URLs marked in the cuckoo seen set)
            wave Dataset ── map_batches(FetchParse) ── map_batches(DiscoverOffer)
-                 │                                        │ children offered
-                 ▼                                        ▼ back to shards
-           docs parquet (wave=K dir)                 metrics actor
+                 │                                        │ children + run
+                 ▼                                        ▼ counters to shards
+           docs parquet (wave=K dir)             (piggybacked on offer RPC)
 
 One streaming execution per wave (fetch -> discover -> write are fused;
 blocks pipeline with backpressure). Frontier iteration is inherently a
@@ -30,12 +30,10 @@ import shutil
 from dataclasses import dataclass, field
 
 import pyarrow as pa
-import ray
 import ray.data as rd
 
 from .canonicalize import frontier_table
 from .stages.fetch import DiscoverOffer, FetchParse
-from .state.metrics import MetricsActor
 from .state.scheduler import SchedulerPool, robots_filter
 from .state.seen import ShardedSeen
 from .synthweb import PolitenessConfig, WebConfig
@@ -76,16 +74,17 @@ def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     the seen set records emissions only; scheduler keep-min dedups."""
     if isinstance(seeds, list):
         tbl = frontier_table(seeds, depth=0, parent_ids="")
-        tbl, _ = robots_filter(tbl, ccfg.politeness)
-        return sched.offer(tbl)
+        tbl, n_blocked = robots_filter(tbl, ccfg.politeness)
+        # seed-stage robots blocks count like any other stage's — the
+        # 'blocked URLs are never silently lost' contract covers admission
+        return sched.offer(
+            tbl, {"n_robots_blocked": n_blocked} if n_blocked else None)
     assert "seed_idx" in seeds.schema().names, "seed Dataset needs a seed_idx column"
 
     def canon(batch: pa.Table) -> pa.Table:
-        tbl = frontier_table(batch.column("url").to_pylist(), depth=0,
-                             parent_ids="",
-                             child_idxs=batch.column("seed_idx").to_pylist())
-        tbl, _ = robots_filter(tbl, ccfg.politeness)
-        return tbl
+        return frontier_table(batch.column("url").to_pylist(), depth=0,
+                              parent_ids="",
+                              child_idxs=batch.column("seed_idx").to_pylist())
 
     # two executions with a barrier: fusing canonicalize with the
     # offer RPCs into one task chain serializes badly (measured 27s vs
@@ -94,7 +93,9 @@ def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                               batch_size=8192).materialize()
 
     def offer(batch: pa.Table) -> pa.Table:
-        return pa.table({"n_offered": [sched.offer(batch)]})
+        batch, n_blocked = robots_filter(batch, ccfg.politeness)
+        return pa.table({"n_offered": [sched.offer(
+            batch, {"n_robots_blocked": n_blocked} if n_blocked else None)]})
 
     stats = front.map_batches(offer, batch_format="pyarrow",
                               batch_size=8192).to_pandas()
@@ -147,7 +148,6 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
                           level_sync=ccfg.level_sync, seen=seen)
-    metrics = MetricsActor.remote()
     stats = CrawlStats()
     start_wave = 0
 
@@ -168,8 +168,9 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         sched.restore(wdir)
         stats.docs = manifest["docs"]
         stats.wave_sizes = manifest["wave_sizes"]
-        stats.counters = manifest["counters"]
-        ray.get(metrics.add.remote(stats.counters))
+        # run counters live in the scheduler-shard dumps (piggybacked on
+        # offer RPCs), so restoring the shards restores the counters
+        stats.counters = sched.counters()
         start_wave = last + 1
         # resumable output: drop partial results from waves after the ckpt
         if os.path.isdir(ccfg.out_dir):
@@ -181,7 +182,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
 
     os.makedirs(ccfg.out_dir, exist_ok=True)
     fetch_fn = FetchParse(ccfg.web)
-    discover_fn = DiscoverOffer(ccfg.politeness, seen, sched, metrics)
+    discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
     wave = start_wave
     while wave < ccfg.max_waves:
         refs, n_wave = sched.next_wave_refs(wave)
@@ -208,14 +209,16 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         ds.write_parquet(os.path.join(ccfg.out_dir, f"wave={wave:05d}"))
         stats.docs += n_wave
         stats.wave_sizes.append(n_wave)
-        stats.counters = ray.get(metrics.get.remote())
         if ccfg.checkpoint_dir and (wave % ccfg.checkpoint_every == 0):
+            # offer RPCs are awaited inside the wave's discover stage, so
+            # at this barrier the shard counters are exactly complete
+            stats.counters = sched.counters()
             _checkpoint(ccfg, wave, seen, sched, stats)
         wave += 1
 
     stats.waves = wave - start_wave
     stats.seen_total = seen.total()
-    stats.counters = ray.get(metrics.get.remote())
+    stats.counters = sched.counters()
     return stats
 
 

@@ -15,15 +15,15 @@ callable class usable two ways:
 canonicalizes + robots-filters the children, drops already-seen URLs
 (batched RPC to the seen shards — safe mid-wave because the scheduler
 marks emissions in the seen set before the wave starts), offers the rest
-to the scheduler shards, reports counters to the metrics actor, and
-passes the doc rows through unchanged — so one streaming execution per
-wave goes frontier -> fetch -> discover/offer -> parquet.
+to the scheduler shards with the batch's run counters piggybacked on the
+offer RPC (zero extra round-trips on the hot path), and passes the doc
+rows through unchanged — so one streaming execution per wave goes
+frontier -> fetch -> discover/offer -> parquet.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
-import ray
 
 from ..canonicalize import doc_id_for, frontier_table
 from ..schema import DOC_SCHEMA
@@ -86,11 +86,10 @@ class FetchParse:
 class DiscoverOffer:
     """Fused discover stage: offer children, pass doc rows through."""
 
-    def __init__(self, politeness: PolitenessConfig, seen, sched, metrics=None):
+    def __init__(self, politeness: PolitenessConfig, seen, sched):
         self.politeness = politeness
         self.seen = seen       # ShardedSeen
         self.sched = sched     # SchedulerPool
-        self.metrics = metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -121,16 +120,12 @@ class DiscoverOffer:
             fresh = ~self.seen.contains(front.column("url_sha1").to_pylist())
             n_seen_dropped = int((~fresh).sum())
             front = front.filter(pa.array(fresh))
-        n_offered = self.sched.offer(front) if front.num_rows else 0
-        if self.metrics is not None:
-            # awaited so wave-end manifest counters are never stale
-            ray.get(self.metrics.add.remote(
-                {
-                    "n_children": n_children,
-                    "n_invalid_or_alias": n_invalid_or_alias,
-                    "n_robots_blocked": n_blocked,
-                    "n_seen_dropped": n_seen_dropped,
-                    "n_offered": n_offered,
-                }
-            ))
+        counters = {
+            "n_children": n_children,
+            "n_invalid_or_alias": n_invalid_or_alias,
+            "n_robots_blocked": n_blocked,
+            "n_seen_dropped": n_seen_dropped,
+        }
+        if front.num_rows or any(counters.values()):
+            self.sched.offer(front, counters)
         return batch.drop_columns(["children"])

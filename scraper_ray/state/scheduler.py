@@ -87,9 +87,17 @@ class SchedulerShard:
         self.n_offered = 0
         self.n_upgraded = 0
         self.last_emit = 0
+        # run counters piggybacked on offer() calls — the discover stage
+        # attaches its batch counters to the offer RPC it must await
+        # anyway, so metrics cost zero extra round-trips on the hot path
+        # and are exactly consistent at every wave barrier
+        self.run_counters: dict[str, int] = {}
 
-    def offer(self, tbl: pa.Table) -> int:
+    def offer(self, tbl: pa.Table, counters: dict | None = None) -> int:
         """Insert or keep-min-upgrade frontier rows. Returns rows accepted."""
+        if counters:
+            for k, v in counters.items():
+                self.run_counters[k] = self.run_counters.get(k, 0) + int(v)
         cols = {n: tbl.column(n).to_pylist() for n in _ROW_FIELDS}
         n_new = 0
         for i in range(tbl.num_rows):
@@ -110,6 +118,9 @@ class SchedulerShard:
             heapq.heappush(self.heaps.setdefault(domain, []), (*key, url))
             n_new += 1
         self.n_offered += n_new
+        if n_new:
+            self.run_counters["n_offered"] = (
+                self.run_counters.get("n_offered", 0) + n_new)
         return n_new
 
     def _valid_top(self, domain: str) -> tuple | None:
@@ -182,10 +193,13 @@ class SchedulerShard:
             "domains": len(self.entries),
         }
 
+    def counters(self) -> dict[str, int]:
+        return dict(self.run_counters)
+
     def dump(self) -> bytes:
         return pickle.dumps(
             {"entries": self.entries, "offered": self.n_offered,
-             "upgraded": self.n_upgraded},
+             "upgraded": self.n_upgraded, "counters": self.run_counters},
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
@@ -194,6 +208,7 @@ class SchedulerShard:
         self.entries = d["entries"]
         self.n_offered = d["offered"]
         self.n_upgraded = d["upgraded"]
+        self.run_counters = d.get("counters", {})
         self.heaps = {
             dom: [(v[0], v[1], url) for url, v in ent.items()]
             for dom, ent in self.entries.items()
@@ -220,19 +235,32 @@ class SchedulerPool:
             SchedulerShard.remote(politeness, seen) for _ in range(n_shards)
         ]
 
-    def offer(self, tbl: pa.Table) -> int:
-        """Hash-route rows to their domain's shard; one RPC per shard."""
+    def offer(self, tbl: pa.Table, counters: dict | None = None) -> int:
+        """Hash-route rows to their domain's shard; one RPC per shard.
+        Batch *counters* ride along on one of the RPCs (they are summed
+        across shards at read time, so the carrier shard is arbitrary)."""
+        counters = counters or None
         if tbl.num_rows == 0:
+            if counters:
+                ray.get(self.actors[0].offer.remote(tbl, counters))
             return 0
         domains = tbl.column("domain_key").to_pylist()
         idx_by_shard: dict[int, list[int]] = {}
         for i, d in enumerate(domains):
             idx_by_shard.setdefault(shard_of_domain(d, self.n_shards), []).append(i)
-        refs = [
-            self.actors[s].offer.remote(tbl.take(pa.array(ix)))
-            for s, ix in idx_by_shard.items()
-        ]
+        refs = []
+        for s, ix in idx_by_shard.items():
+            refs.append(self.actors[s].offer.remote(
+                tbl.take(pa.array(ix)), counters))
+            counters = None   # attach to the first RPC only
         return int(sum(ray.get(refs)))
+
+    def counters(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in ray.get([a.counters.remote() for a in self.actors]):
+            for k, v in d.items():
+                out[k] = out.get(k, 0) + v
+        return out
 
     def next_wave_refs(self, wave: int) -> tuple[list, int]:
         """Emit the wave on every shard. Returns (object refs of Arrow
