@@ -45,9 +45,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from scraper_ray.pipelines import ann, dedup, relational, temporal, text
+    from scraper_ray.pipelines import (
+        ann,
+        crawl_queries,
+        dedup,
+        relational,
+        temporal,
+        text,
+    )
 
     out: dict[str, str] = {}
-    for mod in (relational, dedup, text, ann, temporal):
+    for mod in (relational, dedup, text, ann, temporal, crawl_queries):
         out.update(mod.ORACLE_SQL)
     return out

@@ -109,6 +109,91 @@ def q_geocode_grid(sf_dir: str) -> "pa.Table":
     })
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the geocode grid — the datum-conversion formulas
+# (functions/geocode.py) re-expressed as SQL with identical operation
+# order, so both sides evaluate the same IEEE-754 double expressions.
+# The SQL is generated programmatically to keep the two deltas (one per
+# input datum) consistent with the numpy kernels.
+# ---------------------------------------------------------------------------
+
+_EE_S = "0.00669342162296594323"
+_A_S = "6378245.0"
+_XPI = "(pi() * 3000.0 / 180.0)"
+
+
+def _delta_cols(lng: str, lat: str, tag: str) -> str:
+    """SQL computed columns mirroring geocode._delta({lng}, {lat})."""
+    x = f"({lng} - 105.0)"
+    y = f"({lat} - 35.0)"
+    tlat = (f"(-100.0 + 2.0*{x} + 3.0*{y} + 0.2*{y}*{y} + 0.1*{x}*{y} "
+            f"+ 0.2*sqrt(abs({x}))) "
+            f"+ (20.0*sin(6.0*{x}*pi()) + 20.0*sin(2.0*{x}*pi())) * 2.0 / 3.0 "
+            f"+ (20.0*sin({y}*pi()) + 40.0*sin({y}/3.0*pi())) * 2.0 / 3.0 "
+            f"+ (160.0*sin({y}/12.0*pi()) + 320.0*sin({y}*pi()/30.0)) * 2.0 / 3.0")
+    tlng = (f"(300.0 + {x} + 2.0*{y} + 0.1*{x}*{x} + 0.1*{x}*{y} "
+            f"+ 0.1*sqrt(abs({x}))) "
+            f"+ (20.0*sin(6.0*{x}*pi()) + 20.0*sin(2.0*{x}*pi())) * 2.0 / 3.0 "
+            f"+ (20.0*sin({x}*pi()) + 40.0*sin({x}/3.0*pi())) * 2.0 / 3.0 "
+            f"+ (150.0*sin({x}/12.0*pi()) + 300.0*sin({x}/30.0*pi())) * 2.0 / 3.0")
+    radlat = f"({lat} / 180.0 * pi())"
+    magic = f"(1 - {_EE_S} * sin({radlat}) * sin({radlat}))"
+    dlat = (f"(({tlat}) * 180.0) / (({_A_S} * (1 - {_EE_S})) "
+            f"/ ({magic} * sqrt({magic})) * pi())")
+    dlng = (f"(({tlng}) * 180.0) / ({_A_S} / sqrt({magic}) "
+            f"* cos({radlat}) * pi())")
+    ooc = (f"NOT (72.004 <= {lng} AND {lng} <= 137.8347 "
+           f"AND 0.8293 <= {lat} AND {lat} <= 55.8271)")
+    return (f"{dlng} AS dlng_{tag}, {dlat} AS dlat_{tag}, "
+            f"({ooc}) AS ooc_{tag}")
+
+
+def geocode_grid_oracle_sql() -> str:
+    return f"""
+WITH grid AS (
+  SELECT 74.0 + i * 5.0 AS lng, 19.0 + j * 4.25 AS lat
+  FROM range(0, 13) t1(i) CROSS JOIN range(0, 9) t2(j)
+  UNION ALL SELECT * FROM (VALUES (10.0, 50.0), (-74.0, 40.7)) v(lng, lat)
+),
+d1 AS (SELECT lng, lat, {_delta_cols('lng', 'lat', 'w')} FROM grid),
+g1 AS (SELECT lng, lat,
+         CASE WHEN ooc_w THEN lng ELSE lng + dlng_w END AS glng,
+         CASE WHEN ooc_w THEN lat ELSE lat + dlat_w END AS glat
+       FROM d1),
+d2 AS (SELECT *, {_delta_cols('glng', 'glat', 'g')} FROM g1),
+w2 AS (SELECT lng, lat, glng, glat,
+         CASE WHEN ooc_g THEN glng ELSE glng * 2 - (glng + dlng_g) END AS wlng,
+         CASE WHEN ooc_g THEN glat ELSE glat * 2 - (glat + dlat_g) END AS wlat
+       FROM d2),
+bd AS (SELECT *,
+         sqrt(glng * glng + glat * glat) + 0.00002 * sin(glat * {_XPI}) AS bz,
+         atan2(glat, glng) + 0.000003 * cos(glng * {_XPI}) AS btheta
+       FROM w2),
+bd2 AS (SELECT *,
+         bz * cos(btheta) + 0.0065 AS blng,
+         bz * sin(btheta) + 0.006 AS blat
+        FROM bd),
+rg AS (SELECT *,
+         sqrt((blng - 0.0065) * (blng - 0.0065)
+              + (blat - 0.006) * (blat - 0.006))
+           - 0.00002 * sin((blat - 0.006) * {_XPI}) AS rz,
+         atan2(blat - 0.006, blng - 0.0065)
+           - 0.000003 * cos((blng - 0.0065) * {_XPI}) AS rtheta
+       FROM bd2)
+SELECT lng, lat,
+       round(glng, 6) AS gcj_lng, round(glat, 6) AS gcj_lat,
+       round(blng, 6) AS bd_lng, round(blat, 6) AS bd_lat,
+       round(wlng, 6) AS back_wgs_lng, round(wlat, 6) AS back_wgs_lat,
+       round(rz * cos(rtheta), 6) AS back_gcj_lng,
+       round(rz * sin(rtheta), 6) AS back_gcj_lat
+FROM rg
+"""
+
+
+ORACLE_SQL = {
+    "geocode_grid": geocode_grid_oracle_sql(),
+}
+
 QUERIES = {
     "crawl_docs": q_crawl_docs,
     "crawl_spans": q_crawl_spans,

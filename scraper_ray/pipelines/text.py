@@ -108,8 +108,10 @@ def q_lang_id(sf_dir: str) -> rd.Dataset:
 
 
 def q_fingerprint(sf_dir: str) -> rd.Dataset:
-    """Winnowed rolling-hash document fingerprint (MOSS-style): min
-    blake2b hash over token 4-gram windows — a compact near-identity key."""
+    """Winnowed rolling-hash document fingerprint (MOSS-style): min md5
+    over token 4-gram windows — a compact near-identity key. md5 (not
+    blake2b) so DuckDB's ``md5()`` can mirror it exactly; the lexicographic
+    min of the hex digests equals the numeric min of the 128-bit hashes."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -120,12 +122,7 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
                 [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
                 if len(toks) >= 4 else [x]
             )
-            hmin = min(
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                               "big")
-                for g in grams
-            )
-            fps.append(format(hmin, "016x"))
+            fps.append(min(hashlib.md5(g.encode()).hexdigest() for g in grams))
         return pa.table({"doc_id": t.column("doc_id"),
                          "fingerprint": pa.array(fps, pa.string())})
 
@@ -190,6 +187,14 @@ SELECT doc_id, n_tokens FROM (
              x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
   FROM documents)
 WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+""",
+    "fingerprint": """
+SELECT doc_id,
+       CASE WHEN len(toks) >= 4 THEN
+         list_min(list_transform(range(1, len(toks) - 2),
+                  i -> md5(array_to_string(toks[i:i+3], ' '))))
+       ELSE md5(text) END AS fingerprint
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """,
 }
 
