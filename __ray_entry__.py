@@ -49,12 +49,18 @@ def oracle_sql() -> dict[str, str]:
         ann,
         crawl_queries,
         dedup,
+        listing,
         relational,
         temporal,
         text,
     )
 
+    # the crawl/listing oracles compare against the sequential oracle
+    # crawler's output — generate its parquet fixtures for the gate tier
+    crawl_queries.ensure_oracle_fixtures()
+
     out: dict[str, str] = {}
-    for mod in (relational, dedup, text, ann, temporal, crawl_queries):
+    for mod in (relational, dedup, text, ann, temporal, crawl_queries,
+                listing):
         out.update(mod.ORACLE_SQL)
     return out

@@ -52,8 +52,13 @@ def _run_crawl(sf_dir: str) -> rd.Dataset:
 
 
 def q_crawl_docs(sf_dir: str) -> rd.Dataset:
-    """Full crawl; returns the doc table (deterministic given sf tier)."""
-    return _run_crawl(sf_dir).drop_columns(["spans"])
+    """Full crawl; returns the doc table (deterministic given sf tier).
+
+    ``wave`` (the engine's internal scheduling round) and ``spans``
+    (exploded by q_crawl_spans) are dropped so every remaining column is
+    derivable by the sequential oracle crawler — the DuckDB oracle
+    compares against oracle.py's output, not engine internals."""
+    return _run_crawl(sf_dir).drop_columns(["spans", "wave"])
 
 
 def q_crawl_spans(sf_dir: str) -> rd.Dataset:
@@ -107,6 +112,71 @@ def q_geocode_grid(sf_dir: str) -> "pa.Table":
         "back_wgs_lng": np.round(w_lng, 6), "back_wgs_lat": np.round(w_lat, 6),
         "back_gcj_lng": np.round(r_lng, 6), "back_gcj_lat": np.round(r_lat, 6),
     })
+
+
+# ---------------------------------------------------------------------------
+# Sequential-oracle crawl fixtures for the driver gate.
+#
+# The driver compares queries() against oracle_sql() at sf=0.01. The
+# crawl is not SQL-expressible, but its ground truth IS independently
+# computable: the sequential oracle crawler (scraper_ray/oracle.py —
+# reference semantics, no Ray). ensure_oracle_fixtures() runs it for the
+# sf0.01 tier and writes docs/spans parquets under /tmp; the crawl_* and
+# listing_* oracle SQL read those files, so the driver's DuckDB compare
+# checks the distributed engine end-to-end against the independent
+# implementation (exactly what tests/test_crawl_conformance.py asserts,
+# surfaced through the driver's gate).
+# ---------------------------------------------------------------------------
+
+_ORACLE_TIER = "sf0.01"
+_ORACLE_ROOT = "/tmp/scraper_ray_oracle"
+ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
+ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
+
+
+def ensure_oracle_fixtures() -> None:
+    """Run the sequential oracle crawler for the driver-gate tier and
+    write its docs + exploded spans as parquet (atomic rename)."""
+    import pyarrow.parquet as pq
+
+    from ..oracle import crawl_oracle
+    from ..synthweb import default_politeness, gen_seeds
+
+    out_dir = os.path.dirname(ORACLE_DOCS_PATH)
+    os.makedirs(out_dir, exist_ok=True)
+    web, n_seeds = _cfg_for(_ORACLE_TIER)
+    pol = default_politeness(web, wave_units=48)
+    res = crawl_oracle(gen_seeds(web, n_seeds), web, pol)
+
+    doc_cols = ["doc_id", "url", "entity", "page_type", "domain_key",
+                "depth", "parent_id", "child_idx", "path", "n_attempts"]
+    docs_tbl = pa.table({
+        **{c: [d[c] for d in res.docs] for c in doc_cols},
+        "depth": pa.array([d["depth"] for d in res.docs], pa.int32()),
+        "child_idx": pa.array([d["child_idx"] for d in res.docs], pa.int32()),
+        "n_attempts": pa.array([d["n_attempts"] for d in res.docs], pa.int32()),
+    })
+    s_cols: dict[str, list] = {"doc_id": [], "kind": [], "text": [],
+                               "media_ref": [], "offset": []}
+    for d in res.docs:
+        for s in d["spans"]:
+            s_cols["doc_id"].append(d["doc_id"])
+            s_cols["kind"].append(s["kind"])
+            s_cols["text"].append(s["text"])
+            s_cols["media_ref"].append(s["media_ref"])
+            s_cols["offset"].append(s["offset"])
+    spans_tbl = pa.table({
+        "doc_id": pa.array(s_cols["doc_id"], pa.string()),
+        "kind": pa.array(s_cols["kind"], pa.string()),
+        "text": pa.array(s_cols["text"], pa.string()),
+        "media_ref": pa.array(s_cols["media_ref"], pa.string()),
+        "offset": pa.array(s_cols["offset"], pa.int32()),
+    })
+    for tbl, path in ((docs_tbl, ORACLE_DOCS_PATH),
+                      (spans_tbl, ORACLE_SPANS_PATH)):
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +262,15 @@ FROM rg
 
 ORACLE_SQL = {
     "geocode_grid": geocode_grid_oracle_sql(),
+    "crawl_docs": f"""
+SELECT doc_id, url, entity, page_type, domain_key, depth, parent_id,
+       child_idx, path, n_attempts
+FROM read_parquet('{ORACLE_DOCS_PATH}')
+""",
+    "crawl_spans": f"""
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM read_parquet('{ORACLE_SPANS_PATH}')
+""",
 }
 
 QUERIES = {

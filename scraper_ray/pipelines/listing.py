@@ -20,6 +20,8 @@ re-expresses that tail as Ray Data stages over the crawl's doc table:
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -59,11 +61,13 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             cols["n_text_spans"].append(len(texts))
             cols["timestamp"].append(stamp)                # M8 stamping
             cols["crawl_path"].append(r["path"])
-            # open-ended scraped attributes go into a map column — the
-            # Arrow answer to the reference's NVARCHAR schema evolution
-            # (db.py:108-119): schema stays fixed, keys stay open
+            # open-ended scraped attributes in one packed string column —
+            # the fixed-schema answer to the reference's NVARCHAR schema
+            # evolution (db.py:108-119). A plain string (not map<k,v>):
+            # map columns defeat Ray's schema dedup (hash spam) and SQL
+            # comparators; 'k=v;k=v' keeps keys open and stays comparable
             cols["extras"].append(
-                [(f"f{i}", txt) for i, txt in enumerate(texts[1:])])
+                ";".join(f"f{i}={txt}" for i, txt in enumerate(texts[1:])))
         return clamp_strings(pa.table({
             "source_id": pa.array(cols["source_id"], pa.string()),
             "entity": pa.array(cols["entity"], pa.string()),
@@ -73,13 +77,13 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             "n_text_spans": pa.array(cols["n_text_spans"], pa.int32()),
             "timestamp": pa.array(cols["timestamp"], pa.string()),
             "crawl_path": pa.array(cols["crawl_path"], pa.string()),
-            "extras": pa.array(cols["extras"],
-                               pa.map_(pa.string(), pa.string())),
+            "extras": pa.array(cols["extras"], pa.string()),
         }))
 
     def info_rows(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in
-                ("source_id", "entity", "page_url", "n_items", "timestamp")}
+                ("source_id", "entity", "page_url", "page_no", "n_items",
+                 "timestamp")}
         for r in t.to_pylist():
             if r["page_type"] != "list":
                 continue
@@ -89,6 +93,10 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             cols["source_id"].append(r["entity"])
             cols["entity"].append(r["entity"])
             cols["page_url"].append(r["url"])
+            # numeric page for 'newest page wins' ordering — lexicographic
+            # page_url breaks at p10 ('p9/' > 'p10/')
+            m = re.search(r"p(\d+)/$", r["url"])
+            cols["page_no"].append(int(m.group(1)) if m else 0)
             cols["n_items"].append(
                 sum(1 for s in r["spans"] if s["kind"] == "text"))
             cols["timestamp"].append(stamp)
@@ -96,6 +104,7 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
             "source_id": pa.array(cols["source_id"], pa.string()),
             "entity": pa.array(cols["entity"], pa.string()),
             "page_url": pa.array(cols["page_url"], pa.string()),
+            "page_no": pa.array(cols["page_no"], pa.int32()),
             "n_items": pa.array(cols["n_items"], pa.int32()),
             "timestamp": pa.array(cols["timestamp"], pa.string()),
         }))
@@ -131,8 +140,80 @@ def q_listing_info(sf_dir: str) -> rd.Dataset:
     from .crawl_queries import _run_crawl
 
     _, info = split_detail_info(_run_crawl(sf_dir))
-    return dedupe_last_wins(info, order_col="page_url")
+    return dedupe_last_wins(info, order_col="page_no")
 
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the same listing tail expressed in SQL over the
+# *sequential oracle crawler's* docs/spans parquet (written by
+# crawl_queries.ensure_oracle_fixtures for the driver-gate tier), so the
+# distributed crawl + listing pipeline is checked end-to-end against an
+# independent implementation.
+# ---------------------------------------------------------------------------
+
+def _listing_oracle_sql() -> dict[str, str]:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_SPANS_PATH
+
+    base = f"""
+WITH docs AS (SELECT * FROM read_parquet('{ORACLE_DOCS_PATH}')),
+spans AS (SELECT * FROM read_parquet('{ORACLE_SPANS_PATH}'))
+"""
+    detail = base + """
+, agg AS (
+  SELECT d.doc_id, d.entity, d.parent_id, d.path, d.url,
+         coalesce(list(s.text ORDER BY s.offset)
+                  FILTER (s.kind = 'text'), []) AS texts,
+         coalesce(list(s.media_ref ORDER BY s.offset)
+                  FILTER (s.kind = 'media'), []) AS media
+  FROM docs d LEFT JOIN spans s ON d.doc_id = s.doc_id
+  WHERE d.page_type = 'detail'
+  GROUP BY ALL
+),
+rows_ AS (
+  SELECT entity || '_' || regexp_extract(url, '/([^/]+)/$', 1) AS source_id,
+         entity,
+         parent_id AS property_id,
+         CASE WHEN len(texts) > 0 THEN texts[1] ELSE '' END AS title,
+         CASE WHEN len(media) > 0 THEN media[1] ELSE '' END AS photo,
+         len(texts) AS n_text_spans,
+         '2024-01-01' AS timestamp,
+         path AS crawl_path,
+         array_to_string(list_transform(range(2, len(texts) + 1),
+             i -> 'f' || CAST(i - 2 AS VARCHAR) || '=' || texts[i]),
+             ';') AS extras
+  FROM agg
+)
+SELECT substr(source_id, 1, 250) AS source_id,
+       substr(entity, 1, 250) AS entity,
+       substr(property_id, 1, 250) AS property_id,
+       substr(title, 1, 250) AS title,
+       substr(photo, 1, 250) AS photo,
+       n_text_spans,
+       substr(timestamp, 1, 250) AS timestamp,
+       substr(crawl_path, 1, 250) AS crawl_path,
+       substr(extras, 1, 250) AS extras
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY source_id ORDER BY crawl_path DESC) AS rn FROM rows_)
+WHERE rn = 1
+"""
+    info = base + """
+, rows_ AS (
+  SELECT d.entity AS source_id, d.entity, d.url AS page_url,
+         CAST(regexp_extract(d.url, 'p(\\d+)/$', 1) AS INTEGER) AS page_no,
+         (SELECT count(*) FROM spans s
+          WHERE s.doc_id = d.doc_id AND s.kind = 'text') AS n_items,
+         '2024-01-01' AS timestamp
+  FROM docs d WHERE d.page_type = 'list'
+)
+SELECT source_id, entity, page_url, page_no, n_items, timestamp
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY source_id ORDER BY page_no DESC) AS rn FROM rows_)
+WHERE rn = 1
+"""
+    return {"listing_detail": detail, "listing_info": info}
+
+
+ORACLE_SQL = _listing_oracle_sql()
 
 QUERIES = {
     "listing_detail": q_listing_detail,
