@@ -53,9 +53,16 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 def test_all_oracle_queries_match(entrymod, con):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
+    # the crawl/listing oracles compare against sequential-crawler parquet
+    # fixtures pinned to the driver's gate tier (sf0.01) — run those
+    # queries at that tier; everything else stays on the fast sf0.001
+    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER
+
+    pinned = "/root/testdata/" + _ORACLE_TIER
+    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail", "listing_info"}
     failures = []
     for name, sql in oracles.items():
-        mine = _to_pandas(qs[name](SF))
+        mine = _to_pandas(qs[name](pinned if name in pinned_qs else SF))
         orc = con.execute(sql).df()
         if sorted(mine.columns) != sorted(orc.columns):
             failures.append(f"{name}: cols {sorted(mine.columns)} vs {sorted(orc.columns)}")
