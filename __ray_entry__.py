@@ -49,6 +49,7 @@ def oracle_sql() -> dict[str, str]:
         ann,
         crawl_queries,
         dedup,
+        enrichment,
         listing,
         relational,
         temporal,
@@ -61,6 +62,6 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing):
+                listing, enrichment):
         out.update(mod.ORACLE_SQL)
     return out

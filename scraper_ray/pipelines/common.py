@@ -29,6 +29,19 @@ def int_scaled(arr, scale: float):
         pa.int64())
 
 
+def sql_hex64(expr: str) -> str:
+    """DuckDB expression: first 64 bits of ``md5(expr)`` as HUGEINT.
+
+    Mirrors ``int.from_bytes(hashlib.md5(x).digest()[:8], 'big')`` — the
+    deterministic 64-bit hash used by the synthetic fixtures (fake API,
+    minhash/simhash token hashes), so SQL oracles can recompute them."""
+    return (
+        "list_sum(list_transform(range(1, 17), hx -> "
+        f"(instr('0123456789abcdef', substr(md5({expr}), hx, 1)) - 1)::HUGEINT"
+        " * (1::HUGEINT << (4 * (16 - hx)))))"
+    )
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Rebuild *ds* without empty blocks.
 

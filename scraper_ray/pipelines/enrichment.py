@@ -36,15 +36,18 @@ def fake_api_page(keyword: str, city: str, page: int) -> list[dict]:
 
 
 def fake_api_results(keyword: str, city: str) -> list[dict]:
-    """Deterministic fake POI API: 0-3 nested-JSON results per query."""
+    """Deterministic fake POI API: 0-3 nested-JSON results per query.
+
+    Hashes are md5-derived (not sha1) so the DuckDB oracle can recompute
+    the exact same responses in SQL (common.sql_hex64)."""
     h = int.from_bytes(
-        hashlib.sha1(f"api:{keyword}:{city}".encode()).digest()[:8], "big"
+        hashlib.md5(f"api:{keyword}:{city}".encode()).digest()[:8], "big"
     )
     n = h % 4
     out = []
     for i in range(n):
         hi = int.from_bytes(
-            hashlib.sha1(f"api:{keyword}:{city}:{i}".encode()).digest()[:8], "big"
+            hashlib.md5(f"api:{keyword}:{city}:{i}".encode()).digest()[:8], "big"
         )
         lng = 73.5 + (hi % 10_000_000) / 10_000_000 * 60.0
         lat = 18.2 + ((hi >> 24) % 10_000_000) / 10_000_000 * 35.0
@@ -158,6 +161,71 @@ def q_api_enrichment(sf_dir: str) -> rd.Dataset:
 def q_api_dead_letter(sf_dir: str) -> rd.Dataset:
     return dead_letters(_query_table(sf_dir))
 
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the fake API is md5-derived, so SQL can recompute the
+# responses (sql_hex64), re-derive each flattened row, and re-run the
+# GCJ-02 -> WGS-84 conversion with the same IEEE operation order
+# (crawl_queries._delta_cols). This checks the distributed enrichment
+# join end-to-end: fan-out per input row, pagination coverage, flatten,
+# ref_* echo, geocode, and dead-letter completeness.
+# ---------------------------------------------------------------------------
+
+def _enrichment_oracle_sql() -> dict[str, str]:
+    from .common import sql_hex64
+    from .crawl_queries import _delta_cols
+
+    base = f"""
+WITH q AS (SELECT p_name AS kw, p_brand AS city FROM part),
+nres AS (SELECT kw, city,
+           CAST({sql_hex64("'api:' || kw || ':' || city")} % 4 AS BIGINT)
+             AS n_res
+         FROM q)
+"""
+    hi = sql_hex64("'api:' || kw || ':' || city || ':' || CAST(i AS VARCHAR)")
+    enr = base + f"""
+, hits AS (
+  SELECT kw, city, i, {hi} AS hi
+  FROM nres CROSS JOIN range(0, 4) t(i)
+  WHERE i < n_res
+),
+flat AS (
+  SELECT kw, city, i,
+         printf('poi_%010d', CAST(hi % 10000000000 AS BIGINT)) AS id,
+         kw || ' ' || ['center', 'plaza', 'tower'][(i % 3) + 1] AS name,
+         printf('%.6f,%.6f',
+                73.5 + CAST(hi % 10000000 AS DOUBLE) / 10000000 * 60.0,
+                18.2 + CAST((hi >> 24) % 10000000 AS DOUBLE) / 10000000 * 35.0)
+           AS location,
+         CAST(CAST((hi >> 8) % 50 AS DOUBLE) / 10.0 AS VARCHAR) AS rating,
+         CAST(CAST((hi >> 16) % 500 AS BIGINT) AS VARCHAR) AS cost
+  FROM hits
+),
+-- the engine parses coordinates back out of the formatted location
+-- string (lossy 6-decimal round-trip) before converting — mirror that
+coords AS (
+  SELECT *,
+         CAST(string_split(location, ',')[1] AS DOUBLE) AS glng,
+         CAST(string_split(location, ',')[2] AS DOUBLE) AS glat
+  FROM flat
+),
+d AS (SELECT *, {_delta_cols('glng', 'glat', 'g')} FROM coords)
+SELECT id, name, location, rating, cost,
+       round(CASE WHEN ooc_g THEN glng
+                  ELSE glng * 2 - (glng + dlng_g) END, 6) AS MapIT_lon,
+       round(CASE WHEN ooc_g THEN glat
+                  ELSE glat * 2 - (glat + dlat_g) END, 6) AS MapIT_lat,
+       kw AS ref_keyword, city AS ref_city
+FROM d
+"""
+    dead = base + """
+SELECT kw AS ref_keyword, city AS ref_city, 'no_results' AS reason
+FROM nres WHERE n_res = 0
+"""
+    return {"api_enrichment": enr, "api_dead_letter": dead}
+
+
+ORACLE_SQL = _enrichment_oracle_sql()
 
 QUERIES = {
     "api_enrichment": q_api_enrichment,
