@@ -51,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         enrichment,
         listing,
+        media,
         relational,
         temporal,
         text,
@@ -62,6 +63,6 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing, enrichment):
+                listing, enrichment, media):
         out.update(mod.ORACLE_SQL)
     return out

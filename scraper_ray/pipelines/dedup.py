@@ -97,11 +97,37 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    from .common import sql_hex64
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {sql_hex64('tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN range(0, 64) t(b)
+  GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b)
+                  ELSE 0::HUGEINT END) AS simv
+  FROM bits GROUP BY doc_id)
+SELECT doc_id,
+       lpad(lower(to_hex(simv)), 16, '0') AS simhash,
+       CAST(simv >> 48 AS BIGINT) AS bucket
+FROM sim
+"""
+
+
 ORACLE_SQL = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
+    "simhash": _simhash_oracle_sql(),
 }
 
 
@@ -222,7 +248,8 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
 
 def q_simhash(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per document + 16-bit prefix bucket (near-dup
-    blocking key). Pure map — no shuffle."""
+    blocking key). Pure map — no shuffle. Token hashes are the first 64
+    bits of md5 so the DuckDB oracle recomputes them (common.sql_hex64)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -233,7 +260,7 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
             acc = np.zeros(64, dtype=np.int64)
             for tok in set(text.split(" ")):
                 h = np.uint64(int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    hashlib.md5(tok.encode()).digest()[:8], "big"
                 ))
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == np.uint64(1), 1, -1)

@@ -72,21 +72,29 @@ class MediaDecoder:
         )
 
     def fake_features(self, payload: bytes) -> np.ndarray:
-        """Deterministic stand-in features: bytes -> fixed-dim float32."""
-        h = hashlib.sha256(payload).digest()
-        raw = np.frombuffer(h[: self.feature_dim * 4], dtype=np.uint32)
-        return (raw % 1000).astype(np.float32) / 1000.0
+        """Deterministic stand-in features: bytes -> fixed-dim float64.
+
+        Hashes the hex encoding (not the raw bytes) so the DuckDB oracle
+        — whose sha256() only takes VARCHAR — can recompute the exact
+        values; little-endian u32 words are made explicit for parity."""
+        h = hashlib.sha256(payload.hex().encode()).digest()
+        raw = np.frombuffer(h[: self.feature_dim * 4], dtype="<u4")
+        return (raw % 1000).astype(np.float64) / 1000.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self.fake_features(p)
-                 for p in batch.column("payload").to_pylist()]
-        return pa.table({
+        feats = np.stack([self.fake_features(p)
+                          for p in batch.column("payload").to_pylist()])
+        cols = {
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
             "n_bytes": batch.column("n_bytes"),
-            "features": pa.array([f.tolist() for f in feats],
-                                 pa.list_(pa.float32())),
-        })
+        }
+        # one scalar column per feature dim (f0..fN): list<float> columns
+        # defeat value-level comparators; wide scalar columns also
+        # vectorize better downstream
+        for j in range(self.feature_dim):
+            cols[f"f{j}"] = pa.array(feats[:, j], pa.float64())
+        return pa.table(cols)
 
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
@@ -101,5 +109,39 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
         zero_copy_batch=True,
     )
 
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: recompute payload -> features in SQL. The synthetic
+# payload is sha256(text) bytes x8; its hex is repeat(sha256(text), 8),
+# so the feature hash is sha256(repeat(sha256(text), 8)) and each f_j is
+# the j-th little-endian u32 of that digest, mod 1000, / 1000.
+# ---------------------------------------------------------------------------
+
+def _media_oracle_sql() -> str:
+    digit = "(instr('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+
+    def byte(k: int) -> str:   # k-th byte (0-based) of the hex digest
+        return f"({digit.format(p=2 * k + 1)} * 16 + {digit.format(p=2 * k + 2)})"
+
+    feats = []
+    for j in range(8):
+        word = " + ".join(f"{byte(4 * j + m)} * {1 << (8 * m)}" for m in range(4))
+        feats.append(
+            f"CAST(CAST({word} AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f{j}")
+    cols = ",\n       ".join(feats)
+    return f"""
+WITH b AS (
+  SELECT 'm' || printf('%08d', doc_id) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CAST(256 AS BIGINT) AS n_bytes,
+         sha256(repeat(sha256(text), 8)) AS h
+  FROM documents)
+SELECT media_id, kind, n_bytes,
+       {cols}
+FROM b
+"""
+
+
+ORACLE_SQL = {"media_features": _media_oracle_sql()}
 
 QUERIES = {"media_features": q_media_features}
