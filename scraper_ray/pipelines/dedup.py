@@ -41,8 +41,12 @@ _PERM_B = _rng.integers(0, 1 << 62, size=_N_PERM, dtype=np.uint64)
 from .common import read_sf_table as _t
 
 
+_BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Deterministic 61-bit hashes of word k-shingles."""
+    """Deterministic 64-bit md5 hashes of word k-shingles (md5 so the
+    DuckDB oracle can recompute them, common.sql_hex64)."""
     toks = text.split(" ")
     if len(toks) < k:
         shingles = [" ".join(toks)]
@@ -50,9 +54,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
     return out
 
 
@@ -97,6 +99,64 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _minhash_oracle_sql(threshold: float = 0.6) -> str:
+    """The full MinHash+LSH near-dup pipeline re-expressed in SQL:
+    shingle -> 64-perm signature (same multiply-shift constants, uint64
+    wraparound via HUGEINT & mask) -> banded md5 buckets -> capped
+    in-bucket pairs -> exact Jaccard verify. Constants are inlined from
+    the module's seeded permutation family."""
+    from .common import sql_hex64
+
+    a_lst = "[" + ", ".join(f"{int(a)}::HUGEINT" for a in _PERM_A) + "]"
+    b_lst = "[" + ", ".join(f"{int(b)}::HUGEINT" for b in _PERM_B) + "]"
+    mask = "18446744073709551615::HUGEINT"
+    band_key = " || ',' || ".join(
+        f"CAST(sig[4 * b + {r}] AS VARCHAR)" for r in range(1, 5))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [text] END AS gs
+  FROM docs),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(gs, g -> {sql_hex64('g')})) AS h
+  FROM grams),
+sigs AS (
+  SELECT doc_id, h,
+         list_transform(range(1, 65), p ->
+           list_min(list_transform(h,
+             s -> (s * ({a_lst})[p] + ({b_lst})[p]) & {mask}))) AS sig
+  FROM hs),
+bands AS (
+  SELECT doc_id, b, md5({band_key}) AS bucket
+  FROM sigs CROSS JOIN range(0, 16) t(b)),
+ok_buckets AS (
+  SELECT b, bucket FROM bands GROUP BY b, bucket
+  HAVING count(DISTINCT doc_id) <= {_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+               AND x.doc_id < y.doc_id
+  JOIN ok_buckets ob ON ob.b = x.b AND ob.bucket = x.bucket),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+           / greatest(1, len(ha.h) + len(hb.h)
+                         - len(list_intersect(ha.h, hb.h))) AS j
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.doc_a
+  JOIN hs hb ON hb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM verified WHERE j >= {threshold}
+"""
+
+
 def _simhash_oracle_sql() -> str:
     from .common import sql_hex64
 
@@ -128,6 +188,7 @@ SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
     "simhash": _simhash_oracle_sql(),
+    "minhash_pairs": _minhash_oracle_sql(),
 }
 
 
@@ -145,7 +206,10 @@ def minhash_band_rows(t: pa.Table) -> pa.Table:
         sig = _minhash_sig(_shingle_hashes(text))
         for b in range(_BANDS):
             chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            bucket = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            # bucket key = md5 of the band's signature values in decimal
+            # (SQL-recomputable, endianness-free)
+            bucket = hashlib.md5(
+                ",".join(str(int(v)) for v in chunk).encode()).hexdigest()
             doc_ids.append(did)
             bands.append(b)
             buckets.append(bucket)
@@ -165,6 +229,15 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     def pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
         a, b = [], []
+        # degenerate buckets (boilerplate text hashing everything
+        # together) would go quadratic — cap and drop, loudly. The SQL
+        # oracle mirrors the cap (HAVING count(*) <= cap)
+        if len(ids) > _BUCKET_CAP:
+            import sys
+
+            print(f"minhash: dropping overflow bucket ({len(ids)} docs "
+                  f"> cap {_BUCKET_CAP})", file=sys.stderr)
+            ids = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
