@@ -1,35 +1,52 @@
 """Approximate-nearest-neighbor search over the embeddings table.
 
-- ``ann_topk`` — brute-force cosine top-k: the query matrix is broadcast
+- ``ann_topk`` — brute-force cosine top-k: the query vector is broadcast
   once (``ray.put``), each batch does one float64 matmul against it, and
   per-batch partial top-k rows flow into a tiny global sort+limit. This
   is the exact baseline and the verification oracle for the scale path.
-- ``ann_lsh_topk`` — sign-LSH bucketed variant: candidates share at
-  least one hyperplane-signature band with the query; only candidates
-  are scored. At 100 TB the bucket keys become the shuffle/partition key
-  and the brute-force pass never happens.
+- ``ann_lsh_topk`` — sign-LSH **partitioned index** variant: a one-time
+  build pass writes the embeddings into hive-partitioned parquet keyed
+  by (band, signature) — two bands of 4 hyperplanes each — and the query
+  reads *only* the two partitions matching the query's signatures. At
+  100 TB the scan cost is the candidate partitions, not the corpus; the
+  build is a single streaming pass (storage 2x, the standard banded-LSH
+  index tradeoff).
 
 Determinism: similarities are computed in float64 and rounded to 4
-decimals; ordering ties break on vec_id. Hyperplanes are seeded.
+decimals; ordering ties break on vec_id. Hyperplanes are seeded, and the
+DuckDB oracles inline the same plane constants.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .common import embs_to_numpy, read_sf_table as _t
 
-from .common import read_sf_table as _t
+N_PLANES = 8
+_HALF = N_PLANES // 2
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(11).standard_normal((dim, N_PLANES))
 
 
 def _query_vector(sf_dir: str, query_vec_id: int = 0) -> np.ndarray:
+    """Pruned single-row read — a row-group/predicate-pushdown read, not
+    a driver-side scan of the whole embeddings table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(query_vec_id)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", query_vec_id)])
+    assert t.num_rows == 1, f"vec_id {query_vec_id} not found"
+    return embs_to_numpy(t.column("embedding"))[0]
 
 
 def q_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
@@ -40,7 +57,7 @@ def q_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
 
     def score(t: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        embs = embs_to_numpy(t.column("embedding"))
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         sims = (embs / norms[:, None]) @ qv
@@ -60,46 +77,92 @@ def q_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
     )
 
 
-def q_ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
-                   n_planes: int = 8) -> rd.Dataset:
-    """Sign-LSH pre-filtered top-k: score only vectors whose signature
-    matches the query's in at least one of two plane bands."""
+# ---------------------------------------------------------------------------
+# Sign-LSH partitioned index
+# ---------------------------------------------------------------------------
+
+def band_keys(embs: np.ndarray, planes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) int keys for the two 4-plane signature bands."""
+    signs = (embs @ planes) > 0
+    w = 1 << np.arange(_HALF)
+    return signs[:, :_HALF] @ w, signs[:, _HALF:] @ w
+
+
+def build_lsh_index(sf_dir: str, out_dir: str) -> str:
+    """One streaming pass: embeddings -> hive-partitioned parquet under
+    ``out_dir/band=B/key=K/`` (each vector written once per band)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    pl_ref = ray.put(_planes(dim))
+
+    def expand(t: pa.Table) -> pa.Table:
+        pl = ray.get(pl_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        k1, k2 = band_keys(embs, pl)
+        n = t.num_rows
+        base = t.select(["vec_id", "embedding"])
+        both = pa.concat_tables([base, base])
+        both = both.append_column("band", pa.array([0] * n + [1] * n, pa.int32()))
+        return both.append_column(
+            "key", pa.array(np.concatenate([k1, k2]).astype("int64")))
+
+    ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True
+                   ).write_parquet(out_dir, partition_cols=["band", "key"])
+    return out_dir
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(sf_dir: str) -> str:
+    key = os.path.normpath(sf_dir)
+    if key not in _INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="lsh_index_")
+        build_lsh_index(sf_dir, out)
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def q_ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
+    """Banded sign-LSH top-k: read ONLY the two index partitions whose
+    (band, key) match the query's signatures, dedupe candidates that
+    match in both bands, score, global top-k."""
     q = _query_vector(sf_dir, query_vec_id)
-    dim = q.shape[0]
-    planes = np.random.default_rng(11).standard_normal((dim, n_planes))
-    q_sig = (q @ planes) > 0
-    half = n_planes // 2
+    planes = _planes(q.shape[0])
+    k1, k2 = band_keys(q[None, :], planes)
+    idx = _index_for(sf_dir)
+    import glob as _glob
+
+    paths = [f for d in (os.path.join(idx, f"band=0/key={int(k1[0])}"),
+                         os.path.join(idx, f"band=1/key={int(k2[0])}"))
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
     qn = q / (np.linalg.norm(q) or 1.0)
-    state = ray.put((qn, planes, q_sig))
+    q_ref = ray.put(qn)
 
     def score(t: pa.Table) -> pa.Table:
-        qv, pl, qs = ray.get(state)
-        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        sigs = (embs @ pl) > 0
-        cand = (sigs[:, :half] == qs[:half]).all(axis=1) | (
-            sigs[:, half:] == qs[half:]
-        ).all(axis=1)
-        if not cand.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        embs = embs[cand]
-        ids = np.asarray(t.column("vec_id").to_pylist())[cand]
+        qv = ray.get(q_ref)
+        embs = embs_to_numpy(t.column("embedding"))
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         sims = (embs / norms[:, None]) @ qv
-        out = pa.table({"vec_id": pa.array(ids.astype("int64")),
-                        "cosine": pa.array(np.round(sims, 4))})
-        order = pa.compute.sort_indices(
-            out, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
-        )
-        return out.take(order[: min(k, out.num_rows)])
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "cosine": pa.array(np.round(sims, 4))})
 
-    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return (
-        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["cosine", "vec_id"], descending=[True, False])
-        .limit(k)
+    if not paths:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    from ray.data.aggregate import Count
+
+    scored = (
+        rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     )
+    # a vector matching in both bands appears in both partitions — its
+    # two scored rows are identical, so a native (vec_id, cosine) groupby
+    # dedupes without a driver round-trip
+    deduped = scored.groupby(["vec_id", "cosine"]).aggregate(
+        Count(alias_name="n")).drop_columns(["n"])
+    return deduped.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
 def q_embedding_norms(sf_dir: str) -> rd.Dataset:
@@ -108,11 +171,47 @@ def q_embedding_norms(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def f(t: pa.Table) -> pa.Table:
-        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        embs = embs_to_numpy(t.column("embedding"))
         return pa.table({"vec_id": t.column("vec_id"),
                          "l2": pa.array(np.round(np.linalg.norm(embs, axis=1), 4))})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+def _plane_sql_lists(dim: int = 64) -> list[str]:
+    """Each hyperplane as a SQL DOUBLE[] literal (full-precision repr,
+    round-trips to the identical float64)."""
+    pl = _planes(dim)
+    return ["[" + ", ".join(repr(float(x)) for x in pl[:, p]) + "]"
+            for p in range(N_PLANES)]
+
+
+def _ann_lsh_oracle_sql(k: int = 10) -> str:
+    planes = _plane_sql_lists()
+    def key_expr(col: str, off: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {planes[off + p]}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)" for p in range(_HALF))
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+keyed AS (
+  SELECT vec_id, emb,
+         {key_expr('emb', 0)} AS k1,
+         {key_expr('emb', _HALF)} AS k2
+  FROM e),
+qk AS (SELECT {key_expr('qe', 0)} AS k1, {key_expr('qe', _HALF)} AS k2 FROM q)
+SELECT vec_id,
+       round(list_cosine_similarity(emb, (SELECT qe FROM q)), 4) AS cosine
+FROM keyed
+WHERE k1 = (SELECT k1 FROM qk) OR k2 = (SELECT k2 FROM qk)
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
 
 
 ORACLE_SQL = {
@@ -130,6 +229,7 @@ SELECT vec_id,
                                           x -> x * x))), 4) AS l2
 FROM embeddings
 """,
+    "ann_lsh_topk": _ann_lsh_oracle_sql(),
 }
 
 QUERIES = {

@@ -29,6 +29,23 @@ def int_scaled(arr, scale: float):
         pa.int64())
 
 
+def embs_to_numpy(col: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+    """Embedding list column -> (n, dim) float64 matrix, zero-copy.
+
+    Flattens the Arrow list child buffer directly instead of
+    ``to_pylist()`` (which boxes every float into a Python object) — the
+    difference between O(n*dim) pointer chasing and one buffer view."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
 def sql_hex64(expr: str) -> str:
     """DuckDB expression: first 64 bits of ``md5(expr)`` as HUGEINT.
 
