@@ -43,6 +43,15 @@ from .common import read_sf_table as _t
 
 _BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
 
+_EMB_BANDS = 8          # independent sign-LSH bands...
+_EMB_PLANES = 6         # ...of this many hyperplanes each
+
+
+def _emb_planes(dim: int) -> np.ndarray:
+    """(dim, bands*planes) seeded hyperplanes, band-major."""
+    return np.random.default_rng(7).standard_normal(
+        (dim, _EMB_BANDS * _EMB_PLANES))
+
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Deterministic 64-bit md5 hashes of word k-shingles (md5 so the
@@ -157,6 +166,51 @@ FROM verified WHERE j >= {threshold}
 """
 
 
+def _embedding_neardup_oracle_sql(threshold: float = 0.3,
+                                  dim: int = 64) -> str:
+    """Banded sign-LSH + cosine verify in SQL, plane constants inlined
+    (band-major, same seeded family as _emb_planes)."""
+    pl = _emb_planes(dim)
+    keys = []
+    for b in range(_EMB_BANDS):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(emb, ["
+            + ", ".join(repr(float(x))
+                        for x in pl[:, b * _EMB_PLANES + p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_EMB_PLANES))
+        keys.append(f"({bits}) AS k{b}")
+    key_cols = ",\n         ".join(keys)
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS bucket FROM keyed"
+        for b in range(_EMB_BANDS))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+keyed AS (
+  SELECT vec_id, emb,
+         {key_cols}
+  FROM e),
+bands AS ({band_union}),
+ok_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(DISTINCT vec_id) <= {_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+  JOIN ok_buckets ob ON ob.band = x.band AND ob.bucket = x.bucket),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+         list_cosine_similarity(ea.emb, eb.emb) AS s
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, round(s, 4) AS cosine
+FROM verified WHERE s >= {threshold}
+"""
+
+
 def _simhash_oracle_sql() -> str:
     from .common import sql_hex64
 
@@ -189,6 +243,7 @@ FROM documents GROUP BY md5(text)
 """,
     "simhash": _simhash_oracle_sql(),
     "minhash_pairs": _minhash_oracle_sql(),
+    "embedding_neardup": _embedding_neardup_oracle_sql(),
 }
 
 
@@ -353,49 +408,119 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
 # Embedding near-dup (random hyperplane LSH + cosine verify)
 # ---------------------------------------------------------------------------
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.3,
-                        n_planes: int = 6) -> rd.Dataset:
-    """Near-dup vector pairs: sign-LSH bucket (groupby) -> exact cosine
-    within bucket. Deterministic seeded hyperplanes."""
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
+    """Near-dup vector pairs: banded sign-LSH candidates -> exact cosine
+    verify via distributed joins (same topology as minhash_pairs).
+
+    8 bands x 6 planes: a pair is a candidate when it shares a bucket in
+    ANY band (multi-probe recall), buckets above the cap are dropped
+    loudly (no quadratic blowup on a degenerate bucket — at N docs each
+    of the 64 single-band buckets held ~N/64 before, O(N^2) in-bucket),
+    and candidate pairs join back to the embeddings for the exact check
+    — the verify stage scales with the candidate count, not the corpus."""
     import pandas as pd
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
-    planes = np.random.default_rng(7).standard_normal((dim, n_planes))
-    planes_ref = ray.put(planes)
+    planes_ref = ray.put(_emb_planes(dim))
+    w = 1 << np.arange(_EMB_PLANES, dtype=np.int64)
 
-    def bucketize(t: pa.Table) -> pa.Table:
+    def band_rows(t: pa.Table) -> pa.Table:
+        from .common import embs_to_numpy
+
         pl = ray.get(planes_ref)
-        embs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        signs = (embs @ pl) > 0
-        keys = (signs.astype(np.uint32) @ (1 << np.arange(n_planes, dtype=np.uint32)))
-        return pa.table({"vec_id": t.column("vec_id"),
-                         "bucket": pa.array(keys.astype("int64")),
-                         "embedding": t.column("embedding")})
+        embs = embs_to_numpy(t.column("embedding"))
+        signs = (embs @ pl) > 0                      # (n, bands*planes)
+        ids = t.column("vec_id")
+        n = t.num_rows
+        keys = np.concatenate([
+            signs[:, b * _EMB_PLANES:(b + 1) * _EMB_PLANES] @ w
+            for b in range(_EMB_BANDS)
+        ])
+        ids_np = ids.to_numpy()
+        return pa.table({
+            "vec_id": pa.array(np.tile(ids_np, _EMB_BANDS).astype("int64")),
+            "band": pa.array(np.repeat(np.arange(_EMB_BANDS), n)
+                             .astype("int32")),
+            "bucket": pa.array(keys.astype("int64")),
+        })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        embs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(embs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = embs / norms[:, None]
-        sims = unit @ unit.T
-        a, b, s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((int(ids[i]), int(ids[j])))
-                    a.append(lo)
-                    b.append(hi)
-                    s.append(round(float(sims[i, j]), 4))
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": s})
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["vec_id"]))
+        if len(ids) > _BUCKET_CAP:
+            import sys
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+            print(f"embedding_neardup: dropping overflow bucket "
+                  f"({len(ids)} vecs > cap {_BUCKET_CAP})", file=sys.stderr)
+            ids = []
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"vec_a": pd.Series(a, dtype="int64"),
+                             "vec_b": pd.Series(b, dtype="int64")})
+
+    from ray.data.aggregate import Count
+
+    from .common import drop_empty_blocks, embs_to_numpy
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])                 # dedup across bands
+        .aggregate(Count(alias_name="n_bands"))
     )
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_a": pc.cast(t.column("vec_a"), pa.int64()),
+                         "vec_b": pc.cast(t.column("vec_b"), pa.int64())})
+
+    cand = drop_empty_blocks(cand.map_batches(pin, batch_format="pyarrow"))
+
+    def rename(suffix: str):
+        # Ray's hash join rejects list-typed payload columns — carry the
+        # vectors through the join as fixed-width float32 bytes
+        def f(t: pa.Table) -> pa.Table:
+            embs = embs_to_numpy(t.column("embedding")).astype(np.float32)
+            return pa.table({
+                f"vec_{suffix}": t.column("vec_id"),
+                f"emb_{suffix}": pa.array([r.tobytes() for r in embs],
+                                          pa.binary()),
+            })
+        return f
+
+    def unpack(col: pa.ChunkedArray) -> np.ndarray:
+        rows = col.to_pylist()
+        return np.frombuffer(b"".join(rows), dtype=np.float32).reshape(
+            len(rows), -1).astype(np.float64)
+
+    with_a = drop_empty_blocks(
+        cand.join(ds.map_batches(rename("a"), batch_format="pyarrow"),
+                  join_type="inner", num_partitions=8, on=("vec_a",)))
+    with_ab = drop_empty_blocks(
+        with_a.join(ds.map_batches(rename("b"), batch_format="pyarrow"),
+                    join_type="inner", num_partitions=8, on=("vec_b",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ea = unpack(t.column("emb_a"))
+        eb = unpack(t.column("emb_b"))
+        na = np.linalg.norm(ea, axis=1)
+        nb = np.linalg.norm(eb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = np.einsum("ij,ij->i", ea / na[:, None], eb / nb[:, None])
+        keep = sims >= threshold
+        va = np.asarray(t.column("vec_a").to_pylist())[keep]
+        vb = np.asarray(t.column("vec_b").to_pylist())[keep]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        return pa.table({"vec_a": pa.array(lo.astype("int64")),
+                         "vec_b": pa.array(hi.astype("int64")),
+                         "cosine": pa.array(np.round(sims[keep], 4))})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 QUERIES = {

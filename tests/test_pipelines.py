@@ -125,3 +125,51 @@ def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
     assert (0, 101) in got
     # unrelated docs must not pair
     assert all(a == 0 or b in (100, 101) or a in (100, 101) for a, b in got), got
+
+
+def test_skewed_bucket_capped(ray_session, tmp_path):
+    """Adversarial degenerate bucket: one boilerplate text repeated far
+    past the bucket cap must be dropped (no quadratic pair blowup) while
+    near-dups outside the hot bucket are still found; same for the
+    embedding path with a repeated vector."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import (
+        _BUCKET_CAP, q_embedding_neardup, q_minhash_pairs,
+    )
+
+    n_hot = _BUCKET_CAP + 40
+    texts = ["cookie banner accept all rights reserved footer text here"] * n_hot
+    ids = list(range(n_hot))
+    texts += ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+              "alpha beta gamma delta epsilon zeta eta theta iota lambda"]
+    ids += [900, 901]
+    d = tmp_path / "skewed"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(d / "documents.parquet"))
+    pairs = q_minhash_pairs(str(d), threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (900, 901) in got                      # survivors still pair
+    assert not any(a < n_hot and b < n_hot for a, b in got)  # hot bucket dropped
+    assert len(pairs) < 50                        # no quadratic blowup
+
+    rng = np.random.default_rng(5)
+    hot_vec = rng.standard_normal(16).astype(np.float32)
+    base = rng.standard_normal(16).astype(np.float32)
+    near = base + rng.standard_normal(16).astype(np.float32) * 0.01
+    embs = [hot_vec] * n_hot + [base, near.astype(np.float32)]
+    vids = list(range(n_hot)) + [900, 901]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(vids, pa.int64()),
+                  "embedding": pa.array([e.tolist() for e in embs],
+                                        pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"))
+    epairs = q_embedding_neardup(str(d), threshold=0.9).to_pandas()
+    egot = {(a, b) for a, b in zip(epairs["vec_a"], epairs["vec_b"])}
+    assert (900, 901) in egot
+    assert not any(a < n_hot and b < n_hot for a, b in egot)
+    assert len(epairs) < 50
