@@ -49,27 +49,17 @@ def write_dataset(ds: rd.Dataset, path: str, format: str = "parquet") -> str:
                 "directory layout instead", stacklevel=2)
             format = "parquet"
         else:
-            # stream fragments into the Lance dataset (append mode). Note:
-            # batches funnel through the driver sequentially — at real
-            # scale this becomes a per-partition distributed write via
-            # lance fragment writers; acceptable here because lance is an
-            # optional sink in this sandbox.
-            import pyarrow as pa
-
-            first = True
-            for batch in ds.iter_batches(batch_format="pyarrow",
-                                         batch_size=65536):
-                lance.write_dataset(
-                    batch, path, mode="create" if first else "append")
-                first = False
-            if first:   # empty dataset: still create a readable table
-                empty = pa.table({}, schema=pa.schema(
-                    [(n, t) for n, t in zip(ds.schema().names,
-                                            ds.schema().types)]))
-                lance.write_dataset(empty, path, mode="create")
-            return path
+            return _write_lance_distributed(ds, path)
     if format == "parquet":
         ds.write_parquet(path)
+        return path
+    if format == "lance-seq":   # driver-side fallback (tiny tables only)
+        import lance
+
+        first = True
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            lance.write_dataset(batch, path, mode="create" if first else "append")
+            first = False
         return path
     if format == "csv":
         ds.write_csv(path)
@@ -78,3 +68,42 @@ def write_dataset(ds: rd.Dataset, path: str, format: str = "parquet") -> str:
         ds.write_json(path)
         return path
     raise ValueError(f"unsupported sink format: {format}")
+
+
+def _write_lance_distributed(ds: rd.Dataset, path: str) -> str:
+    """Distributed Lance write: every map_batches task writes its own
+    fragment data files directly to *path* and returns only the fragment
+    METADATA (a small JSON string); the driver then commits all fragments
+    in one atomic manifest operation. No table bytes funnel through the
+    driver — the wide write is as parallel as the dataset has blocks
+    (the north rule's Lance sink at scale).
+
+    Uses the public ``lance.fragment.write_fragments`` +
+    ``LanceDataset.commit`` two-phase API; falls back to the sequential
+    driver loop if this lance build predates it.
+    """
+    import pyarrow as pa
+
+    import lance
+
+    schema = pa.schema(
+        [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)])
+
+    try:
+        from lance.fragment import FragmentMetadata, write_fragments
+    except ImportError:
+        warnings.warn("lance.fragment API unavailable; falling back to the "
+                      "sequential driver write", stacklevel=2)
+        return write_dataset(ds, path, format="lance-seq")
+
+    def write_frag(t: pa.Table) -> pa.Table:
+        frags = write_fragments(t, path, schema=schema)
+        return pa.table({"frag_json": pa.array(
+            [f.to_json() for f in frags], pa.string())})
+
+    frag_rows = ds.map_batches(write_frag, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    frags = [FragmentMetadata.from_json(r["frag_json"]) for r in frag_rows]
+    op = lance.LanceOperation.Overwrite(schema, frags)
+    lance.LanceDataset.commit(path, op)
+    return path
