@@ -1,0 +1,97 @@
+"""Real-HTML adapter: stored page bytes -> interleaved spans + links.
+
+Reproduces the reference's DOM-extraction semantics on actual HTML
+(headers zipped to cells, 照片 column -> media span, header-row skip,
+(VR看房) cleanup), and routes the bytes through the FetchParse-shaped
+stage so the engine-side plumbing (schema, children, doc ids) is proven
+on real markup, not only the synthetic web.
+"""
+
+import os
+
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(FIX, name), "rb") as f:
+        return f.read()
+
+
+def test_list_page_items_and_links():
+    from scraper_ray.adapters.html import parse
+
+    p = parse(_read("list_page.html"), "http://www.example.test/listing/p1/")
+    assert p.page_type == "list"
+    # header row skipped (reference item_list[1:]), DOM order preserved
+    assert p.child_urls == [
+        "http://www.example.test/item/1001/",
+        "http://www.example.test/item/1002/",
+        "http://www.example.test/item/1003/",
+    ]
+    kinds_texts = [(k, t) for k, t, _, _ in p.spans]
+    assert kinds_texts[0] == ("text", "国贸大厦 A座")   # (VR看房) stripped
+    assert [o for _, _, _, o in p.spans] == list(range(len(p.spans)))
+
+
+def test_detail_page_interleaved_spans():
+    from scraper_ray.adapters.html import parse
+
+    p = parse(_read("detail_page.html"), "http://www.example.test/item/1001/")
+    assert p.page_type == "detail"
+    # span sequence: exact (kind, text, media_ref, offset) interleaving —
+    # the input_hint invariant on real markup
+    assert p.spans == [
+        ("text", "12/45层", "", 0),
+        ("text", "268平米", "", 1),
+        ("media", "", "http://cdn.example.test/img/1001_0.jpg", 2),
+        ("text", "8.5元/平米/天", "", 3),
+        ("text", "15/45层", "", 4),
+        ("text", "120平米", "", 5),
+        ("media", "", "http://cdn.example.test/img/1001_1.jpg", 6),
+        ("text", "9.0元/平米/天", "", 7),
+    ]
+    # discovered-at-parse-time keys (reference row dict, diandianzu.py:71-75)
+    assert p.fields["面积"] == "120平米"       # last row wins in the dict
+    assert p.fields["照片"].startswith("http://cdn.")
+
+
+def test_gbk_encoding_override():
+    """Reference sets response.encoding for GBK sites (scrapers.py:40-43)."""
+    from scraper_ray.adapters.html import parse
+
+    html = ('<div class="ftitle">地址</div>'
+            '<div class="fitem"><div>北京市朝阳区</div></div>')
+    p = parse(html.encode("gbk"), encoding="gbk")
+    assert p.page_type == "detail"
+    assert p.spans[0] == ("text", "北京市朝阳区", "", 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_html_fetchparse_stage():
+    """Route real HTML through the FetchParse-shaped map_batches stage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scraper_ray.adapters.html import HtmlFetchParse
+
+    store = {
+        "http://www.example.test/listing/p1/": _read("list_page.html"),
+        "http://www.example.test/item/1001/": _read("detail_page.html"),
+    }
+    frontier = rd.from_arrow(pa.table({
+        "url": pa.array(list(store) + ["http://www.example.test/missing/"]),
+    }))
+    docs = frontier.map_batches(
+        HtmlFetchParse(store), batch_format="pyarrow").to_pandas()
+    by_url = {r["url"]: r for _, r in docs.iterrows()}
+    assert by_url["http://www.example.test/listing/p1/"]["page_type"] == "list"
+    d = by_url["http://www.example.test/item/1001/"]
+    assert d["page_type"] == "detail"
+    assert [s["kind"] for s in d["spans"]] == [
+        "text", "text", "media", "text", "text", "text", "media", "text"]
+    # missing pages become dead-letter 'error' docs, never silent drops
+    assert by_url["http://www.example.test/missing/"]["page_type"] == "error"
+    kids = by_url["http://www.example.test/listing/p1/"]["children"]
+    assert len(kids) == 3
