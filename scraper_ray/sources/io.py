@@ -33,6 +33,13 @@ def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
         ds = rd.read_csv(path)
     elif path.endswith((".json", ".jsonl")):
         ds = rd.read_json(path)
+    elif path.endswith((".xlsx", ".xls")):
+        # workbooks are small edge inputs (dims, seed lists): read on the
+        # driver with the all-string contract (reference
+        # utility_commons.py:72-93), then hand to Ray as one table
+        from .xlsx import read_excel
+
+        ds = rd.from_arrow(read_excel(path))
     else:
         raise ValueError(f"unsupported table format: {path}")
     return ds.select_columns(columns) if columns else ds
