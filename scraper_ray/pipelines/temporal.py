@@ -136,6 +136,213 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
     return both.groupby("key").map_groups(asof, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# Hot-key salting: one skewed user must never blow up a single group.
+# Both salted variants return results IDENTICAL to the unsalted ones
+# (property-tested with a 50%-skew user), so they share the same oracle.
+# ---------------------------------------------------------------------------
+
+def q_sessions_salted(sf_dir: str) -> rd.Dataset:
+    """Sessionization with a (user, day) pre-split: big per-user event
+    sets shard by day, each salt group counts its sessions locally, and
+    a tiny per-(user, day) summary table merges boundary sessions — the
+    second groupby moves one row per user-day, not raw events."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+        })
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "day": [g["day"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(1 + gaps.sum())],
+            "first_ts": [ts.iloc[0]],
+            "last_ts": [ts.iloc[-1]],
+        })
+
+    summaries = (
+        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .map_groups(per_salt, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        # a session spanning two salt groups was counted twice — subtract
+        # one per adjacent pair whose boundary gap is within the window
+        gap_s = (g["first_ts"].iloc[1:].to_numpy()
+                 - g["last_ts"].iloc[:-1].to_numpy()).astype(
+                     "timedelta64[s]").astype("int64")
+        merged = int((gap_s <= SESSION_GAP_MIN * 60).sum())
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [int(g["n_events"].sum())],
+            "n_sessions": [int(g["n_sessions"].sum()) - merged],
+        })
+
+    return summaries.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
+    """As-of join with a (user, day) pre-split.
+
+    Raw events and orders each shuffle ONCE into (user, day) salt
+    groups. Cross-day matches are handled by carry-in rows built from a
+    *small* per-(user, day) summary: the per-day latest order, scanned
+    per user against the user's event-days (also a small distinct
+    aggregate) and replicated into each event-day group. A 50%-skew
+    user therefore shards across days; no group ever holds one user's
+    full history."""
+    from ray.data.aggregate import Count, Max
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("o_custkey"),
+            "day": pc.floor_temporal(t.column("o_orderdate"), unit="day"),
+            "t": t.column("o_orderdate"),
+            "o_orderkey": t.column("o_orderkey"),
+        })
+
+    orders_salted = orders.map_batches(order_salt, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    def ev_salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column("user_id"),
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            "t": t.column("ts"),
+            "event_id": t.column("event_id"),
+        })
+
+    ev = events.map_batches(ev_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # SMALL summaries: one row per (user, day) on each side
+    day_tops = orders_salted.groupby(["key", "day"]).aggregate(
+        Max("t", alias_name="top_t"), Max("o_orderkey", alias_name="any_key"))
+    ev_days = ev.groupby(["key", "day"]).aggregate(Count(alias_name="n"))
+
+    def tag_small(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "key": pc.cast(t.column("key"), pa.int64()),
+                "day": pc.cast(t.column("day"), pa.timestamp("us")),
+                "top_t": (pc.cast(t.column("top_t"), pa.timestamp("us"))
+                          if side == "o"
+                          else pa.nulls(n, pa.timestamp("us"))),
+                "side": pa.array([side] * n, pa.string()),
+            })
+        return f
+
+    small = day_tops.map_batches(tag_small("o"), batch_format="pyarrow").union(
+        ev_days.map_batches(tag_small("d"), batch_format="pyarrow"))
+
+    def build_carries(g: pd.DataFrame) -> pd.DataFrame:
+        """Per user: for each event-day, the timestamp of the latest
+        order on any EARLIER day (the carry-in marker). Emits one row
+        per event-day that has a carry-in."""
+        key = int(g["key"].iloc[0])
+        odays = g[g["side"] == "o"].sort_values("day")
+        edays = g[g["side"] == "d"]["day"]
+        out_day, out_t = [], []
+        if not odays.empty:
+            od = odays["day"].to_numpy()
+            ot = odays["top_t"].to_numpy()
+            import numpy as np
+
+            idx = np.searchsorted(od, edays.to_numpy(), side="left") - 1
+            for d, i in zip(edays, idx):
+                if i >= 0:
+                    out_day.append(d)
+                    out_t.append(ot[i])
+        return pd.DataFrame({"key": [key] * len(out_day), "day": out_day,
+                             "carry_t": out_t})
+
+    carries = small.groupby("key").map_groups(build_carries,
+                                              batch_format="pandas")
+
+    # replicate the carried order ROW (need its orderkey at that exact
+    # t): join carry markers back to the per-(user, t) max orderkey —
+    # tiny join, marker rows only
+    per_t = orders_salted.groupby(["key", "t"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey"))
+
+    TS = pa.timestamp("us")
+
+    def c_key(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t.column("key"), pa.int64()),
+                         "day": pc.cast(t.column("day"), TS),
+                         "t": pc.cast(t.column("carry_t"), TS)})
+
+    def p_key(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t.column("key"), pa.int64()),
+                         "t": pc.cast(t.column("t"), TS),
+                         "o_orderkey": pc.cast(t.column("o_orderkey"),
+                                               pa.int64())})
+
+    from .common import drop_empty_blocks
+
+    carry_rows = drop_empty_blocks(
+        carries.map_batches(c_key, batch_format="pyarrow").join(
+            drop_empty_blocks(per_t.map_batches(p_key, batch_format="pyarrow")),
+            join_type="inner", num_partitions=8, on=("key", "t")))
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "key": pc.cast(t.column("key"), pa.int64()),
+                "day": pc.cast(t.column("day"), TS),
+                "t": pc.cast(t.column("t"), TS),
+                "event_id": (t.column("event_id") if side == "e"
+                             else pa.nulls(n, pa.int64())),
+                "o_orderkey": (pc.cast(t.column("o_orderkey"), pa.int64())
+                               if side != "e" else pa.nulls(n, pa.int64())),
+                "side": pa.array([side] * n, pa.string()),
+            })
+        return f
+
+    both = (
+        ev.map_batches(tag("e"), batch_format="pyarrow")
+        .union(orders_salted.map_batches(tag("o"), batch_format="pyarrow"))
+        .union(carry_rows.map_batches(tag("c"), batch_format="pyarrow"))
+    )
+
+    def asof_day(g: pd.DataFrame) -> pd.DataFrame:
+        evd = g[g["side"] == "e"][["event_id", "t"]].sort_values(
+            ["t", "event_id"])
+        if evd.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "o_orderkey": pd.Series([], dtype="Int64")})
+        od = (g[g["side"] != "e"][["o_orderkey", "t"]]
+              .groupby("t", as_index=False)["o_orderkey"].max()
+              .sort_values("t"))
+        if od.empty:
+            m = pd.DataFrame({"event_id": evd["event_id"],
+                              "o_orderkey": float("nan")})
+        else:
+            m = pd.merge_asof(evd, od, on="t", direction="backward")
+        m = m[["event_id", "o_orderkey"]].copy()
+        m["event_id"] = m["event_id"].astype("int64")
+        m["o_orderkey"] = m["o_orderkey"].round().astype("Int64")
+        return m
+
+    return both.groupby(["key", "day"]).map_groups(
+        asof_day, batch_format="pandas")
+
+
 ORACLE_SQL = {
     "window_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
@@ -160,8 +367,15 @@ FROM events e ASOF LEFT JOIN
 """,
 }
 
+# the salted variants compute identical results, so they reuse the same
+# SQL oracles under their own query names
+ORACLE_SQL["sessions_salted"] = ORACLE_SQL["sessions"]
+ORACLE_SQL["asof_join_salted"] = ORACLE_SQL["asof_join"]
+
 QUERIES = {
     "window_hourly": q_window_hourly,
     "sessions": q_sessions,
     "asof_join": q_asof_join,
+    "sessions_salted": q_sessions_salted,
+    "asof_join_salted": q_asof_join_salted,
 }
