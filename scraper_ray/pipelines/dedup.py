@@ -44,13 +44,23 @@ from .common import read_sf_table as _t
 _BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
 
 _EMB_BANDS = 8          # independent sign-LSH bands...
-_EMB_PLANES = 6         # ...of this many hyperplanes each
+_EMB_PLANES = 6         # ...of at least this many hyperplanes each
 
 
-def _emb_planes(dim: int) -> np.ndarray:
+def _emb_planes_for(n_vecs: int) -> int:
+    """Planes per band scale with corpus size so the expected bucket
+    occupancy stays ~16 regardless of N — with a FIXED plane count the
+    2^planes buckets saturate (at N=4096 every bucket of a 6-plane band
+    exceeds the cap and the whole corpus gets dropped)."""
+    import math
+
+    return max(_EMB_PLANES, math.ceil(math.log2(max(2, n_vecs / 16))))
+
+
+def _emb_planes(dim: int, planes_per_band: int = _EMB_PLANES) -> np.ndarray:
     """(dim, bands*planes) seeded hyperplanes, band-major."""
     return np.random.default_rng(7).standard_normal(
-        (dim, _EMB_BANDS * _EMB_PLANES))
+        (dim, _EMB_BANDS * planes_per_band))
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -306,13 +316,10 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs, batch_format="pyarrow"
     )
-    # a pair can surface from several bands — dedup with a native
-    # aggregate (arrow-blocked output; map_groups' pandas blocks confuse
-    # the downstream hash joins' schema unification)
-    from ray.data.aggregate import Count
-
-    deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    # a pair can surface from several bands; deduping HERE would pay
+    # Ray's per-group aggregate overhead once per candidate pair — the
+    # caller dedupes after the jaccard threshold instead, on the much
+    # smaller verified set
 
     def pin_schema(t: pa.Table) -> pa.Table:
         return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
@@ -321,7 +328,7 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     from .common import drop_empty_blocks
 
     return drop_empty_blocks(
-        deduped.map_batches(pin_schema, batch_format="pyarrow"))
+        cand.map_batches(pin_schema, batch_format="pyarrow"))
 
 
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
@@ -367,7 +374,15 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
                          "doc_b": pa.array(keep_b, pa.int64()),
                          "jaccard": pa.array(jac, pa.float64())})
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    verified = with_ab.map_batches(verify, batch_format="pyarrow")
+    # band-duplicate candidates verify identically — dedup the small
+    # surviving set (cheaper than a per-pair aggregate pre-verify)
+    return (
+        verified.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("jaccard", alias_name="jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -422,8 +437,9 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
-    planes_ref = ray.put(_emb_planes(dim))
-    w = 1 << np.arange(_EMB_PLANES, dtype=np.int64)
+    n_planes = _emb_planes_for(ds.count())   # metadata-only for parquet
+    planes_ref = ray.put(_emb_planes(dim, n_planes))
+    w = 1 << np.arange(n_planes, dtype=np.int64)
 
     def band_rows(t: pa.Table) -> pa.Table:
         from .common import embs_to_numpy
@@ -434,7 +450,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
         ids = t.column("vec_id")
         n = t.num_rows
         keys = np.concatenate([
-            signs[:, b * _EMB_PLANES:(b + 1) * _EMB_PLANES] @ w
+            signs[:, b * n_planes:(b + 1) * n_planes] @ w
             for b in range(_EMB_BANDS)
         ])
         ids_np = ids.to_numpy()
@@ -461,16 +477,20 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
         return pd.DataFrame({"vec_a": pd.Series(a, dtype="int64"),
                              "vec_b": pd.Series(b, dtype="int64")})
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Max
 
     from .common import drop_empty_blocks, embs_to_numpy
 
+    # NOTE on dedup placement: a pair surfacing from k bands appears k
+    # times here. Deduping candidates pre-verify costs a hash aggregate
+    # with one tiny group PER PAIR (measured 19 s for 138k pairs — Ray's
+    # per-group overhead dominates); verifying the few duplicates is
+    # ~free, so dedup happens AFTER the threshold cut, on the far
+    # smaller verified set.
     cand = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "bucket"])
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])                 # dedup across bands
-        .aggregate(Count(alias_name="n_bands"))
     )
 
     def pin(t: pa.Table) -> pa.Table:
@@ -520,7 +540,13 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
                          "vec_b": pa.array(hi.astype("int64")),
                          "cosine": pa.array(np.round(sims[keep], 4))})
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    verified = with_ab.map_batches(verify, batch_format="pyarrow")
+    # duplicate candidates (matched in >1 band) verified to identical
+    # rows — one aggregate over the small surviving set dedupes them
+    return (
+        verified.groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
 
 
 QUERIES = {
