@@ -7,10 +7,22 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). The driver's parquet
+    files carry a ``pandas`` metadata blob that makes ``hash(schema)``
+    raise, which both spams 'Failed to hash the schemas' warnings and
+    silently disables Ray's schema-deduplication fast path in every
+    downstream shuffle."""
+    return t.replace_schema_metadata(None)
+
+
 def read_sf_table(sf_dir: str, name: str,
                   columns: list[str] | None = None) -> rd.Dataset:
     """Read one driver table, pruning columns at the read."""
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns
+                           ).map_batches(strip_schema_metadata,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
 
 
 def int_scaled(arr, scale: float):

@@ -316,10 +316,16 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs, batch_format="pyarrow"
     )
-    # a pair can surface from several bands; deduping HERE would pay
-    # Ray's per-group aggregate overhead once per candidate pair — the
-    # caller dedupes after the jaccard threshold instead, on the much
-    # smaller verified set
+    # a true near-dup pair surfaces from MANY of the 16 bands (matched
+    # signatures collide band after band), so deduping here shrinks the
+    # verify joins up to 16x; minhash candidate sets are small by
+    # construction (banded high-similarity blocking), so the per-group
+    # aggregate overhead stays negligible — unlike the embedding path,
+    # whose dense candidate sets dedupe after the verify instead
+    from ray.data.aggregate import Count
+
+    deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
 
     def pin_schema(t: pa.Table) -> pa.Table:
         return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
@@ -328,7 +334,7 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     from .common import drop_empty_blocks
 
     return drop_empty_blocks(
-        cand.map_batches(pin_schema, batch_format="pyarrow"))
+        deduped.map_batches(pin_schema, batch_format="pyarrow"))
 
 
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:

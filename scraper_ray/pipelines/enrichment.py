@@ -143,7 +143,9 @@ def dead_letters(queries: rd.Dataset) -> rd.Dataset:
 
 
 def _query_table(sf_dir: str) -> rd.Dataset:
-    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name", "p_brand"])
+    from .common import read_sf_table
+
+    parts = read_sf_table(sf_dir, "part", ["p_name", "p_brand"])
 
     def to_queries(t: pa.Table) -> pa.Table:
         return pa.table({"keyword": t.column("p_name"),

@@ -31,8 +31,9 @@ MEDIA_SCHEMA = pa.schema(
 def synth_media_table(sf_dir: str) -> rd.Dataset:
     """Deterministic fake media blobs derived from the documents table
     (each doc's text bytes stand in for an encoded payload)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+    from .common import read_sf_table
+
+    docs = read_sf_table(sf_dir, "documents", ["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
         ids, kinds, payloads, sizes = [], [], [], []
