@@ -65,4 +65,6 @@ def oracle_sql() -> dict[str, str]:
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
                 listing, enrichment, media):
         out.update(mod.ORACLE_SQL)
+    # generated at call time: inlines the gate tier's k-means centroids
+    out["ann_ivf_topk"] = ann.ivf_oracle_sql()
     return out

@@ -165,6 +165,121 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Datase
     return deduped.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means scale path
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 3
+
+
+def ivf_k(n_vecs: int) -> int:
+    return max(4, min(4096, n_vecs // 32))
+
+
+def train_centroids(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means in float64: init = first k vectors
+    (by position in the vec_id-sorted sample), assignment = argmin of
+    -2*v.c + |c|^2 (first index wins ties), empty clusters keep their
+    previous centroid. No RNG anywhere — reproducible across runs and
+    cluster sizes, and re-derivable by the oracle generator."""
+    c = vecs[:k].copy()
+    for _ in range(iters):
+        d = -2.0 * (vecs @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = vecs[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def _ivf_train_set(sf_dir: str) -> np.ndarray:
+    """Deterministic training sample: every 4th vector by vec_id order.
+    Bounded driver work — at 100 TB the sample read keeps a row cap and
+    the training set stays O(k * oversample)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = pa.compute.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+    t = t.take(order)
+    embs = embs_to_numpy(t.column("embedding"))
+    return embs[::4]
+
+
+def build_ivf_index(sf_dir: str, out_dir: str) -> np.ndarray:
+    """One streaming pass: assign every vector to its nearest centroid
+    and write hive-partitioned parquet under ``out_dir/cid=C/``.
+    Returns the centroids (they parameterize the query side)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = _ivf_train_set(sf_dir)
+    cents = train_centroids(sample, ivf_k(ds.count()))
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        d = -2.0 * (embs @ c.T) + (c * c).sum(axis=1)[None, :]
+        return t.append_column(
+            "cid", pa.array(np.argmin(d, axis=1).astype("int64")))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                   ).write_parquet(out_dir, partition_cols=["cid"])
+    return cents
+
+
+_IVF_CACHE: dict[str, tuple[str, np.ndarray]] = {}
+
+
+def _ivf_for(sf_dir: str) -> tuple[str, np.ndarray]:
+    key = os.path.normpath(sf_dir)
+    if key not in _IVF_CACHE:
+        out = tempfile.mkdtemp(prefix="ivf_index_")
+        cents = build_ivf_index(sf_dir, out)
+        _IVF_CACHE[key] = (out, cents)
+    return _IVF_CACHE[key]
+
+
+def q_ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                   nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """IVF top-k: score only the ``nprobe`` partitions whose centroids
+    are nearest the query — at scale the scan is nprobe/k of the corpus,
+    and the partitions are separate parquet dirs (pruned at the read)."""
+    q = _query_vector(sf_dir, query_vec_id)
+    idx, cents = _ivf_for(sf_dir)
+    d = -2.0 * (cents @ q) + (cents * cents).sum(axis=1)
+    probes = np.argsort(d, kind="stable")[:nprobe]
+    import glob as _glob
+
+    paths = [f for c in probes
+             for f in sorted(_glob.glob(os.path.join(idx, f"cid={int(c)}",
+                                                     "*.parquet")))]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (embs / norms[:, None]) @ qv
+        out = pa.table({"vec_id": t.column("vec_id"),
+                        "cosine": pa.array(np.round(sims, 4))})
+        order = pa.compute.sort_indices(
+            out, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")])
+        return out.take(order[: min(k, out.num_rows)])
+
+    if not paths:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    return (
+        rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def q_embedding_norms(sf_dir: str) -> rd.Dataset:
     """Per-vector L2 norm (rounded) — the simplest vector kernel, used to
     anchor the float pipeline against the SQL oracle."""
@@ -214,6 +329,39 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                   k: int = 10, nprobe: int = IVF_NPROBE) -> str:
+    """Generated for the driver-gate tier: recompute the deterministic
+    centroids in Python, inline them (and the probe set for query vec 0)
+    as constants, assign each vector with the same argmin formula, and
+    take the cosine top-k over the probed cells."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(n))
+    q = _query_vector(sf_dir, 0)
+    d = -2.0 * (cents @ q) + (cents * cents).sum(axis=1)
+    probes = ", ".join(str(int(c))
+                       for c in np.argsort(d, kind="stable")[:nprobe])
+    c_lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    norms = [(c * c).sum() for c in cents]
+    dist_list = ", ".join(
+        f"(-2 * list_dot_product(emb, {cl}) + {repr(float(nm))})"
+        for cl, nm in zip(c_lists, norms))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, emb,
+         list_position(d, list_min(d)) - 1 AS cid
+  FROM (SELECT vec_id, emb, [{dist_list}] AS d FROM e))
+SELECT vec_id,
+       round(list_cosine_similarity(emb, (SELECT qe FROM q)), 4) AS cosine
+FROM assigned WHERE cid IN ({probes})
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
 ORACLE_SQL = {
     "ann_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -235,5 +383,6 @@ FROM embeddings
 QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_norms": q_embedding_norms,
 }
