@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .common import embs_to_numpy, read_sf_table as _t
+from .common import embs_to_numpy, read_sf_table as _t, round_half_away
 
 N_PLANES = 8
 _HALF = N_PLANES // 2
@@ -62,7 +62,7 @@ def q_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Dataset:
         norms[norms == 0] = 1.0
         sims = (embs / norms[:, None]) @ qv
         out = pa.table({"vec_id": t.column("vec_id"),
-                        "cosine": pa.array(np.round(sims, 4))})
+                        "cosine": pa.array(round_half_away(sims))})
         # partial top-k per batch: only k candidate rows leave each task
         order = pa.compute.sort_indices(
             out, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
@@ -146,7 +146,7 @@ def q_ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> rd.Datase
         norms[norms == 0] = 1.0
         sims = (embs / norms[:, None]) @ qv
         return pa.table({"vec_id": t.column("vec_id"),
-                         "cosine": pa.array(np.round(sims, 4))})
+                         "cosine": pa.array(round_half_away(sims))})
 
     if not paths:
         return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
@@ -193,14 +193,23 @@ def train_centroids(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return c
 
 
+IVF_TRAIN_CAP = 1 << 17   # max vectors read for centroid training
+
+
 def _ivf_train_set(sf_dir: str) -> np.ndarray:
-    """Deterministic training sample: every 4th vector by vec_id order.
-    Bounded driver work — at 100 TB the sample read keeps a row cap and
-    the training set stays O(k * oversample)."""
+    """Deterministic training sample: every 4th vector by vec_id order,
+    reading row groups only until the cap — the driver never holds more
+    than IVF_TRAIN_CAP vectors regardless of corpus size."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    parts, rows = [], 0
+    for rg in range(f.num_row_groups):
+        parts.append(f.read_row_group(rg, columns=["vec_id", "embedding"]))
+        rows += parts[-1].num_rows
+        if rows >= IVF_TRAIN_CAP:
+            break
+    t = pa.concat_tables(parts).slice(0, IVF_TRAIN_CAP)
     order = pa.compute.sort_indices(t, sort_keys=[("vec_id", "ascending")])
     t = t.take(order)
     embs = embs_to_numpy(t.column("embedding"))
@@ -264,7 +273,7 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         norms[norms == 0] = 1.0
         sims = (embs / norms[:, None]) @ qv
         out = pa.table({"vec_id": t.column("vec_id"),
-                        "cosine": pa.array(np.round(sims, 4))})
+                        "cosine": pa.array(round_half_away(sims))})
         order = pa.compute.sort_indices(
             out, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")])
         return out.take(order[: min(k, out.num_rows)])
@@ -288,7 +297,7 @@ def q_embedding_norms(sf_dir: str) -> rd.Dataset:
     def f(t: pa.Table) -> pa.Table:
         embs = embs_to_numpy(t.column("embedding"))
         return pa.table({"vec_id": t.column("vec_id"),
-                         "l2": pa.array(np.round(np.linalg.norm(embs, axis=1), 4))})
+                         "l2": pa.array(round_half_away(np.linalg.norm(embs, axis=1)))})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -348,8 +357,11 @@ def ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
     dist_list = ", ".join(
         f"(-2 * list_dot_product(emb, {cl}) + {repr(float(nm))})"
         for cl, nm in zip(c_lists, norms))
+    # read the pinned tier by absolute path (not the session's views):
+    # the centroid/probe constants above were derived from THIS file
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
 q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
 assigned AS (
   SELECT vec_id, emb,

@@ -41,6 +41,20 @@ def int_scaled(arr, scale: float):
         pa.int64())
 
 
+def round_half_away(x, ndigits: int = 4):
+    """Round half away from zero — SQL round() semantics.
+
+    Python's round()/np.round are half-to-even, which diverges from the
+    DuckDB oracles on exactly-representable ties (e.g. 21/32 = 0.65625:
+    DuckDB round(.,4)=0.6563, Python=0.6562). Every rounded similarity /
+    coordinate the oracles compare goes through this instead."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def embs_to_numpy(col: pa.ChunkedArray | pa.Array) -> "np.ndarray":
     """Embedding list column -> (n, dim) float64 matrix, zero-copy.
 

@@ -96,6 +96,11 @@ def q_geocode_grid(sf_dir: str) -> "pa.Table":
         bd09_to_gcj02, gcj02_to_bd09, gcj02_to_wgs84, wgs84_to_gcj02,
     )
 
+    from .common import round_half_away as _rha
+
+    def _r6(x):
+        return _rha(x, 6)
+
     lngs = np.linspace(74.0, 134.0, 13)
     lats = np.linspace(19.0, 53.0, 9)
     glng, glat = np.meshgrid(lngs, lats)
@@ -107,10 +112,10 @@ def q_geocode_grid(sf_dir: str) -> "pa.Table":
     r_lng, r_lat = bd09_to_gcj02(b_lng, b_lat)
     return pa.table({
         "lng": lng, "lat": lat,
-        "gcj_lng": np.round(g_lng, 6), "gcj_lat": np.round(g_lat, 6),
-        "bd_lng": np.round(b_lng, 6), "bd_lat": np.round(b_lat, 6),
-        "back_wgs_lng": np.round(w_lng, 6), "back_wgs_lat": np.round(w_lat, 6),
-        "back_gcj_lng": np.round(r_lng, 6), "back_gcj_lat": np.round(r_lat, 6),
+        "gcj_lng": _r6(g_lng), "gcj_lat": _r6(g_lat),
+        "bd_lng": _r6(b_lng), "bd_lat": _r6(b_lat),
+        "back_wgs_lng": _r6(w_lng), "back_wgs_lat": _r6(w_lat),
+        "back_gcj_lng": _r6(r_lng), "back_gcj_lat": _r6(r_lat),
     })
 
 

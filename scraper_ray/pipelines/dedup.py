@@ -38,7 +38,7 @@ _PERM_A = _rng.integers(1, 1 << 62, size=_N_PERM, dtype=np.uint64) | np.uint64(1
 _PERM_B = _rng.integers(0, 1 << 62, size=_N_PERM, dtype=np.uint64)
 
 
-from .common import read_sf_table as _t
+from .common import read_sf_table as _t, round_half_away
 
 
 _BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
@@ -179,7 +179,12 @@ FROM verified WHERE j >= {threshold}
 def _embedding_neardup_oracle_sql(threshold: float = 0.3,
                                   dim: int = 64) -> str:
     """Banded sign-LSH + cosine verify in SQL, plane constants inlined
-    (band-major, same seeded family as _emb_planes)."""
+    (band-major, same seeded family as _emb_planes).
+
+    Pinned to the default 6 planes/band — the engine's adaptive
+    _emb_planes_for(n) also yields 6 for every n <= 1024, which covers
+    both driver-compare tiers (sf0.001: 100 vecs, sf0.01: 500); bigger
+    tiers are benchmarked, not oracle-compared."""
     pl = _emb_planes(dim)
     keys = []
     for b in range(_EMB_BANDS):
@@ -375,20 +380,14 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(round(j, 4))
+                jac.append(float(round_half_away(j)))
         return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
                          "doc_b": pa.array(keep_b, pa.int64()),
                          "jaccard": pa.array(jac, pa.float64())})
 
-    from ray.data.aggregate import Max
-
-    verified = with_ab.map_batches(verify, batch_format="pyarrow")
-    # band-duplicate candidates verify identically — dedup the small
-    # surviving set (cheaper than a per-pair aggregate pre-verify)
-    return (
-        verified.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("jaccard", alias_name="jaccard"))
-    )
+    # candidate_pairs already collapsed band duplicates pre-join, so
+    # every row reaching verify is unique — no post-verify dedup needed
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -544,7 +543,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
         hi = np.maximum(va, vb)
         return pa.table({"vec_a": pa.array(lo.astype("int64")),
                          "vec_b": pa.array(hi.astype("int64")),
-                         "cosine": pa.array(np.round(sims[keep], 4))})
+                         "cosine": pa.array(round_half_away(sims[keep]))})
 
     verified = with_ab.map_batches(verify, batch_format="pyarrow")
     # duplicate candidates (matched in >1 band) verified to identical

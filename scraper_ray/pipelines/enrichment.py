@@ -97,8 +97,10 @@ def enrich(queries: rd.Dataset) -> rd.Dataset:
                 flat = flatten_json(res)
                 lng_s, lat_s = flat["location"].split(",")
                 wlng, wlat = gcj02_to_wgs84(float(lng_s), float(lat_s))
-                flat["MapIT_lon"] = round(float(np.asarray(wlng)), 6)
-                flat["MapIT_lat"] = round(float(np.asarray(wlat)), 6)
+                from .common import round_half_away
+
+                flat["MapIT_lon"] = float(round_half_away(wlng, 6))
+                flat["MapIT_lat"] = float(round_half_away(wlat, 6))
                 flat["ref_keyword"] = kw
                 flat["ref_city"] = city
                 rows.append(flat)

@@ -178,10 +178,12 @@ def q_sessions_salted(sf_dir: str) -> rd.Dataset:
         g = g.sort_values("day")
         # a session spanning two salt groups was counted twice — subtract
         # one per adjacent pair whose boundary gap is within the window
-        gap_s = (g["first_ts"].iloc[1:].to_numpy()
-                 - g["last_ts"].iloc[:-1].to_numpy()).astype(
-                     "timedelta64[s]").astype("int64")
-        merged = int((gap_s <= SESSION_GAP_MIN * 60).sum())
+        # nanosecond precision: truncating to whole seconds would merge
+        # sessions whose true boundary gap is in (1800, 1801) s
+        gap_ns = (g["first_ts"].iloc[1:].to_numpy()
+                  - g["last_ts"].iloc[:-1].to_numpy()).astype(
+                      "timedelta64[ns]").astype("int64")
+        merged = int((gap_ns <= SESSION_GAP_MIN * 60 * 1_000_000_000).sum())
         return pd.DataFrame({
             "user_id": [int(g["user_id"].iloc[0])],
             "n_events": [int(g["n_events"].sum())],
@@ -294,8 +296,12 @@ def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
 
     from .common import drop_empty_blocks
 
+    # BOTH join legs need the empty-block scrub: build_carries emits
+    # empty DataFrames for users with no earlier-day orders, and those
+    # schema-less blocks crash the hash join
     carry_rows = drop_empty_blocks(
-        carries.map_batches(c_key, batch_format="pyarrow").join(
+        drop_empty_blocks(
+            carries.map_batches(c_key, batch_format="pyarrow")).join(
             drop_empty_blocks(per_t.map_batches(p_key, batch_format="pyarrow")),
             join_type="inner", num_partitions=8, on=("key", "t")))
 

@@ -84,14 +84,14 @@ def read_excel(path: str, sheet_name: str | None = None) -> pa.Table:
                         txt = strings[int(txt)]
                 vals[ci] = txt
             rows.append(vals)
-    if not rows:
+    if not rows or not any(rows):
         return pa.table({})
     n_cols = max(max(r) for r in rows if r) + 1
     header = rows[0]
-    names = []
+    names: list[str] = []
     for i in range(n_cols):
         name = header.get(i, "") or f"col{i}"
-        if name in names:
+        while name in names:   # suffix until unique (never drop a column)
             name = f"{name}_{i}"
         names.append(name)
     cols = {names[i]: [r.get(i, "") for r in rows[1:]] for i in range(n_cols)}

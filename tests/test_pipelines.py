@@ -59,7 +59,10 @@ def test_all_oracle_queries_match(entrymod, con):
     from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER
 
     pinned = "/root/testdata/" + _ORACLE_TIER
-    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail", "listing_info"}
+    # ann_ivf_topk's oracle inlines centroids derived from the gate
+    # tier's embeddings, so it is tier-pinned like the crawl fixtures
+    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
+                 "listing_info", "ann_ivf_topk"}
     failures = []
     for name, sql in oracles.items():
         mine = _to_pandas(qs[name](pinned if name in pinned_qs else SF))

@@ -71,6 +71,15 @@ def main() -> int:
     only = set(sys.argv[2:])
     qs, oracles = e.queries(), e.oracle_sql()
 
+    # these oracles embed gate-tier fixtures/constants (sequential-crawl
+    # parquets, IVF centroids) — always compare them at the gate tier,
+    # exactly like tests/test_pipelines.py
+    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER
+
+    pinned = "/root/testdata/" + _ORACLE_TIER
+    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
+                 "listing_info", "ann_ivf_topk"}
+
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -84,7 +93,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            mine = to_pandas(fn(sf))
+            mine = to_pandas(fn(pinned if name in pinned_qs else sf))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             n_fail += 1
