@@ -27,6 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from scraper_ray.pipelines import (
         ann,
+        corpus,
         crawl_queries,
         dedup,
         enrichment,
@@ -39,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
-                crawl_queries, listing, temporal):
+                crawl_queries, listing, temporal, corpus):
         out.update(mod.QUERIES)
     return out
 
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from scraper_ray.pipelines import (
         ann,
+        corpus,
         crawl_queries,
         dedup,
         enrichment,
@@ -63,7 +65,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing, enrichment, media):
+                listing, enrichment, media, corpus):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()

@@ -78,7 +78,7 @@ def main() -> int:
 
     pinned = "/root/testdata/" + _ORACLE_TIER
     pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
-                 "listing_info", "ann_ivf_topk"}
+                 "listing_info", "ann_ivf_topk", "corpus_build"}
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
