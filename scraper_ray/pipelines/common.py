@@ -18,11 +18,21 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
 
 def read_sf_table(sf_dir: str, name: str,
                   columns: list[str] | None = None) -> rd.Dataset:
-    """Read one driver table, pruning columns at the read."""
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns
-                           ).map_batches(strip_schema_metadata,
-                                         batch_format="pyarrow",
-                                         zero_copy_batch=True)
+    """Read one driver table, pruning columns at the read.
+
+    Passes an explicit metadata-stripped ``schema=`` (one footer read on
+    the driver) so the read tasks themselves emit metadata-free blocks:
+    the driver files carry a ``pandas`` blob that makes ``hash(schema)``
+    raise inside the fused ReadParquet->SplitBlocks operator, spamming
+    'Failed to hash the schemas' and defeating schema dedup before any
+    downstream strip could run."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def int_scaled(arr, scale: float):
