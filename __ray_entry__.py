@@ -31,16 +31,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         crawl_queries,
         dedup,
         enrichment,
+        graph,
         listing,
         media,
         relational,
+        stats,
         temporal,
         text,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
-                crawl_queries, listing, temporal, corpus):
+                crawl_queries, listing, temporal, corpus, stats, graph):
         out.update(mod.QUERIES)
     return out
 
@@ -52,9 +54,11 @@ def oracle_sql() -> dict[str, str]:
         crawl_queries,
         dedup,
         enrichment,
+        graph,
         listing,
         media,
         relational,
+        stats,
         temporal,
         text,
     )
@@ -65,7 +69,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing, enrichment, media, corpus):
+                listing, enrichment, media, corpus, stats, graph):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()

@@ -69,6 +69,8 @@ QUERY_NAMES = [
     "pricing_summary", "join_hash", "join_broadcast", "dedup_keep_latest",
     "dedup_exact", "minhash_pairs", "simhash", "token_count", "doc_stats",
     "ann_topk", "embedding_neardup", "top_orders", "group_collect",
+    "quantiles", "price_histogram", "token_df", "group_topk",
+    "neardup_clusters",
 ]
 
 

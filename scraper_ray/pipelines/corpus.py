@@ -81,6 +81,76 @@ def q_corpus_build(sf_dir: str) -> rd.Dataset:
     return dedup_exact_text(quality_gate(rollup_texts(docs)))
 
 
+NEAR_THRESHOLD = 0.6
+
+
+def _ext_docs(sf_dir: str) -> rd.Dataset:
+    """The driver `documents` table as a second corpus source, doc_ids
+    prefixed 'ext-' so they can't collide with crawl sha1 ids."""
+    from .common import read_sf_table
+
+    ds = read_sf_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = ["ext-" + str(d) for d in t.column("doc_id").to_pylist()]
+        texts = t.column("text")
+        ntok = pc.list_value_length(pc.split_pattern(texts, " "))
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": texts,
+                         "n_tokens": pc.cast(ntok, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_corpus_neardedup(sf_dir: str) -> rd.Dataset:
+    """Cross-source corpus dedup end to end: merge the fresh crawl with
+    an existing document corpus, exact-dedup the union, find MinHash
+    near-dup pairs, collapse them to clusters (connected components),
+    and keep one canonical doc (lexicographic-min doc_id) per cluster.
+    Output per kept doc: token count, exact-dup count and near-dup
+    cluster size.
+
+    The merged corpus is materialized once (bounded: post-dedup docs),
+    then feeds both the pair search and the final anti-join — without
+    the barrier the lazy lineage would re-run the whole crawl twice."""
+    from .common import drop_empty_blocks
+    from .crawl_queries import _run_crawl
+    from .dedup import minhash_pairs_over
+    from .graph import connected_components
+
+    crawl_side = quality_gate(rollup_texts(_run_crawl(sf_dir)))
+    ext_side = quality_gate(_ext_docs(sf_dir))
+    corpus = dedup_exact_text(crawl_side.union(ext_side)).materialize()
+
+    pairs = minhash_pairs_over(corpus, threshold=NEAR_THRESHOLD,
+                               id_type=pa.string())
+    clusters = connected_components(pairs, id_type=pa.string()).materialize()
+    sizes = clusters.groupby("cluster_id").count()
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("doc_id"),
+                                  t.column("cluster_id")))
+        return pa.table({"doc_id": t.column("doc_id").filter(keep)})
+
+    non_canonical = drop_empty_blocks(
+        clusters.map_batches(losers, batch_format="pyarrow"))
+    kept = corpus.join(non_canonical, join_type="left_anti",
+                       num_partitions=8, on=("doc_id",))
+    with_sizes = drop_empty_blocks(kept).join(
+        drop_empty_blocks(sizes), join_type="left_outer",
+        num_partitions=8, on=("doc_id",), right_on=("cluster_id",))
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.column("count()")
+        n_nears = pc.coalesce(pc.cast(n, pa.int64()), pa.scalar(1, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": t.column("n_tokens"),
+                         "n_dups": t.column("n_dups"),
+                         "n_nears": n_nears})
+
+    return with_sizes.map_batches(project, batch_format="pyarrow")
+
+
 def _corpus_oracle_sql() -> str:
     from .crawl_queries import ORACLE_SPANS_PATH
 
@@ -106,6 +176,74 @@ WHERE rn = 1
 """
 
 
-ORACLE_SQL = {"corpus_build": _corpus_oracle_sql()}
+def _corpus_neardedup_oracle_sql() -> str:
+    """Crawl rollup + ext-docs union -> exact dedup -> minhash pair SQL
+    over the merged corpus -> recursive transitive closure -> canonical
+    keep. The whole engine composition (crawl included) re-derived in
+    one DuckDB statement over the sequential oracle crawler's fixture."""
+    from .crawl_queries import _ORACLE_TIER, ORACLE_SPANS_PATH
+    from .dedup import _minhash_oracle_sql
 
-QUERIES = {"corpus_build": q_corpus_build}
+    # the whole query is tier-pinned (the crawl fixture is sf0.01), so
+    # the ext side must read that tier's documents parquet directly —
+    # the `documents` VIEW is bound to whatever tier the harness is
+    # checking, which differs under the sf0.001 pytest gate
+    ext_docs_path = f"/root/testdata/{_ORACLE_TIER}/documents.parquet"
+    pairs_sql = _minhash_oracle_sql(NEAR_THRESHOLD, source="corpus")
+    return f"""
+WITH RECURSIVE
+spans AS (SELECT * FROM read_parquet('{ORACLE_SPANS_PATH}')),
+rolled AS (
+  SELECT doc_id,
+         array_to_string(coalesce(list(text ORDER BY "offset")
+                                  FILTER (kind = 'text'), []), ' ') AS text
+  FROM spans GROUP BY doc_id),
+crawl_gated AS (
+  SELECT doc_id, text, n_tokens
+  FROM (SELECT doc_id, text,
+               CASE WHEN text = '' THEN 0
+                    ELSE len(string_split(text, ' ')) END AS n_tokens
+        FROM rolled)
+  WHERE n_tokens >= {MIN_TOKENS}),
+ext_gated AS (
+  SELECT 'ext-' || CAST(doc_id AS VARCHAR) AS doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM read_parquet('{ext_docs_path}')
+  WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}),
+corpus_all AS (
+  SELECT * FROM crawl_gated UNION ALL SELECT * FROM ext_gated),
+corpus AS (
+  SELECT doc_id, text, n_tokens, CAST(cnt AS BIGINT) AS n_dups
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS cnt
+        FROM corpus_all)
+  WHERE rn = 1),
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+clusters AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+SELECT c.doc_id, c.n_tokens, c.n_dups,
+       CAST(coalesce(s.n, 1) AS BIGINT) AS n_nears
+FROM corpus c
+LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+LEFT JOIN sizes s ON s.cluster_id = c.doc_id
+WHERE cl.doc_id IS NULL OR cl.cluster_id = c.doc_id
+"""
+
+
+ORACLE_SQL = {"corpus_build": _corpus_oracle_sql(),
+              "corpus_neardedup": _corpus_neardedup_oracle_sql()}
+
+QUERIES = {"corpus_build": q_corpus_build,
+           "corpus_neardedup": q_corpus_neardedup}

@@ -118,12 +118,14 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _minhash_oracle_sql(threshold: float = 0.6) -> str:
+def _minhash_oracle_sql(threshold: float = 0.6,
+                        source: str = "documents") -> str:
     """The full MinHash+LSH near-dup pipeline re-expressed in SQL:
     shingle -> 64-perm signature (same multiply-shift constants, uint64
     wraparound via HUGEINT & mask) -> banded md5 buckets -> capped
     in-bucket pairs -> exact Jaccard verify. Constants are inlined from
-    the module's seeded permutation family."""
+    the module's seeded permutation family. ``source`` is any table name
+    or parenthesized subquery with (doc_id, text) columns."""
     from .common import sql_hex64
 
     a_lst = "[" + ", ".join(f"{int(a)}::HUGEINT" for a in _PERM_A) + "]"
@@ -133,7 +135,7 @@ def _minhash_oracle_sql(threshold: float = 0.6) -> str:
         f"CAST(sig[4 * b + {r}] AS VARCHAR)" for r in range(1, 5))
     return f"""
 WITH docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM {source}),
 grams AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3 THEN
@@ -266,35 +268,39 @@ FROM documents GROUP BY md5(text)
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_band_rows(t: pa.Table) -> pa.Table:
-    """documents batch -> (band, bucket, doc_id) rows (LSH banding)."""
-    doc_ids: list[int] = []
-    bands: list[int] = []
-    buckets: list[str] = []
-    for did, text in zip(t.column("doc_id").to_pylist(),
-                         t.column("text").to_pylist()):
-        sig = _minhash_sig(_shingle_hashes(text))
-        for b in range(_BANDS):
-            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            # bucket key = md5 of the band's signature values in decimal
-            # (SQL-recomputable, endianness-free)
-            bucket = hashlib.md5(
-                ",".join(str(int(v)) for v in chunk).encode()).hexdigest()
-            doc_ids.append(did)
-            bands.append(b)
-            buckets.append(bucket)
-    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                     "band": pa.array(bands, pa.int32()),
-                     "bucket": pa.array(buckets, pa.string())})
+def _band_rows_fn(id_type: pa.DataType):
+    def minhash_band_rows(t: pa.Table) -> pa.Table:
+        """doc batch -> (band, bucket, doc_id) rows (LSH banding)."""
+        doc_ids: list = []
+        bands: list[int] = []
+        buckets: list[str] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            sig = _minhash_sig(_shingle_hashes(text))
+            for b in range(_BANDS):
+                chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+                # bucket key = md5 of the band's signature values in
+                # decimal (SQL-recomputable, endianness-free)
+                bucket = hashlib.md5(
+                    ",".join(str(int(v)) for v in chunk).encode()).hexdigest()
+                doc_ids.append(did)
+                bands.append(b)
+                buckets.append(bucket)
+        return pa.table({"doc_id": pa.array(doc_ids, id_type),
+                         "band": pa.array(bands, pa.int32()),
+                         "bucket": pa.array(buckets, pa.string())})
+    return minhash_band_rows
 
 
-def candidate_pairs(sf_dir: str) -> rd.Dataset:
-    """LSH candidate pairs: same (band, bucket) -> pair rows, deduped."""
-    import pandas as pd
-
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    band_rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow",
-                               zero_copy_batch=True)
+def candidate_pairs_over(docs: rd.Dataset,
+                         id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+    """LSH candidate pairs over any (doc_id, text) dataset: same
+    (band, bucket) -> pair rows, deduped. ``id_type`` pins the doc_id
+    dtype through the group/pair stages (int64 for the driver tables,
+    string for crawl-derived corpora)."""
+    band_rows = docs.map_batches(_band_rows_fn(id_type),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     def pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
@@ -315,8 +321,8 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
         # arrow in/out with pinned types: pandas-formatted group outputs
         # leave schema-less empty blocks behind that break the downstream
         # hash joins' schema unification
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
+        return pa.table({"doc_a": pa.array(a, id_type),
+                         "doc_b": pa.array(b, id_type)})
 
     cand = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs, batch_format="pyarrow"
@@ -333,8 +339,8 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
         Count(alias_name="n_bands"))
 
     def pin_schema(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
-                         "doc_b": pc.cast(t.column("doc_b"), pa.int64())})
+        return pa.table({"doc_a": pc.cast(t.column("doc_a"), id_type),
+                         "doc_b": pc.cast(t.column("doc_b"), id_type)})
 
     from .common import drop_empty_blocks
 
@@ -342,13 +348,17 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
         deduped.map_batches(pin_schema, batch_format="pyarrow"))
 
 
-def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
-    """Near-duplicate pairs: LSH candidates verified by exact 3-gram
-    Jaccard >= *threshold*. Candidate pairs are joined back to the doc
-    texts with two distributed hash joins — no driver-side text
-    materialization, so the verify stage scales with the candidate set,
-    not the corpus."""
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+def candidate_pairs(sf_dir: str) -> rd.Dataset:
+    return candidate_pairs_over(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
+                       id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+    """Near-duplicate pairs over any (doc_id, text) dataset: LSH
+    candidates verified by exact 3-gram Jaccard >= *threshold*.
+    Candidate pairs are joined back to the doc texts with two
+    distributed hash joins — no driver-side text materialization, so
+    the verify stage scales with the candidate set, not the corpus."""
 
     def rename(suffix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -360,7 +370,15 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
 
     # each join's empty hash partitions emit schema-less blocks that the
     # next join rejects — scrub between stages
-    cand = candidate_pairs(sf_dir)
+    cand = candidate_pairs_over(docs, id_type)
+    # a corpus with no LSH collisions at all yields a block-less dataset
+    # that the join operator can't take a schema from (cand is already
+    # materialized by the scrub, so this count is metadata-only)
+    if cand.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], id_type),
+            "doc_b": pa.array([], id_type),
+            "jaccard": pa.array([], pa.float64())}))
     with_a = drop_empty_blocks(
         cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
                   join_type="inner", num_partitions=8, on=("doc_a",)))
@@ -381,13 +399,18 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
                 keep_a.append(a)
                 keep_b.append(b)
                 jac.append(float(round_half_away(j)))
-        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
-                         "doc_b": pa.array(keep_b, pa.int64()),
+        return pa.table({"doc_a": pa.array(keep_a, id_type),
+                         "doc_b": pa.array(keep_b, id_type),
                          "jaccard": pa.array(jac, pa.float64())})
 
     # candidate_pairs already collapsed band duplicates pre-join, so
     # every row reaching verify is unique — no post-verify dedup needed
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    return minhash_pairs_over(_t(sf_dir, "documents", ["doc_id", "text"]),
+                              threshold)
 
 
 # ---------------------------------------------------------------------------

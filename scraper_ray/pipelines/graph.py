@@ -1,0 +1,173 @@
+"""Iterative graph operators: connected components over near-dup pairs.
+
+Near-duplicate PAIRS (``dedup.q_minhash_pairs``) are only half the
+dedup story — a corpus dedup needs CLUSTERS, so transitively-linked
+docs collapse to one canonical representative (A~B, B~C => {A,B,C}
+even when A and C never shared an LSH bucket).
+
+``neardup_clusters`` computes them with distributed min-label
+propagation, the standard bulk-synchronous connected-components plan:
+
+    labels(v) = v
+    repeat: labels(v) = min(labels(v), min over neighbors' labels)
+    until no label changes
+
+Each round is one hash-join (labels x edges) plus one ``groupby.min``
+— both distributed shuffles over the PAIR graph, which is orders of
+magnitude smaller than the corpus (only docs that near-dup anything).
+Rounds needed = graph diameter (near-dup clusters are dense; single
+digits in practice, capped + logged). Convergence is detected with a
+scalar label-sum aggregate per round: labels only ever decrease, so an
+unchanged sum IS the fixpoint — an O(1) driver check, not a data pull.
+Each round materializes its (node, label) table — bounded by the pair
+graph's node count — so lineage doesn't recompute prior rounds.
+
+The DuckDB oracle recomputes the same clusters from the same pair SQL
+with a recursive transitive-closure CTE.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .common import drop_empty_blocks
+from .dedup import _minhash_oracle_sql, q_minhash_pairs
+
+logger = logging.getLogger(__name__)
+
+MAX_ROUNDS = 30
+
+
+def _one_chunk(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _empty_clusters(id_type: pa.DataType) -> rd.Dataset:
+    return rd.from_arrow(pa.table({"doc_id": pa.array([], id_type),
+                                   "cluster_id": pa.array([], id_type)}))
+
+
+def connected_components(edges: rd.Dataset,
+                         src: str = "doc_a", dst: str = "doc_b",
+                         num_partitions: int = 8,
+                         id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+    """(src, dst) edge list -> (doc_id, cluster_id=min reachable node).
+
+    Node ids may be any orderable Arrow type (int64 driver keys, string
+    crawl doc_ids); labels propagate by ``min`` in that type's order,
+    and the oracle's ``least``/``min`` agree (lexicographic for
+    VARCHAR). Nodes touched by at least one edge only; singletons are
+    the caller's corpus minus this output (an anti-join, not
+    recomputation)."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a, b = _one_chunk(t.column(src)), _one_chunk(t.column(dst))
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    dir_edges = drop_empty_blocks(
+        edges.map_batches(both_dirs, batch_format="pyarrow")).materialize()
+    # id_type only matters here: a non-empty edge list carries its own
+    # key dtype through every downstream stage
+    if dir_edges.count() == 0:
+        return _empty_clusters(id_type)
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("u"), "lbl": t.column("u")})
+
+    # drop_empty_blocks after every groupby: its zero-column empty
+    # blocks crash the next round's hash join (join-side key lookup)
+    labels = drop_empty_blocks(
+        dir_edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").min("lbl")
+        .rename_columns({"min(lbl)": "lbl"}))
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("u"), "dst": t.column("v")})
+
+    keyed_edges = dir_edges.map_batches(
+        edge_key, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    def as_candidate(t: pa.Table) -> pa.Table:
+        # cur=null marks neighbor-candidate rows; the per-node Max(cur)
+        # below recovers the node's CURRENT label (exactly one non-null
+        # row per node), giving an exact, dtype-agnostic change count —
+        # a numeric label sum would not survive string doc_ids
+        n = t.num_rows
+        return pa.table({"node": t.column("dst"), "lbl": t.column("lbl"),
+                         "cur": pa.nulls(n, t.column("lbl").type)})
+
+    def as_current(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "lbl": t.column("lbl"),
+                         "cur": t.column("lbl")})
+
+    def n_changed(t: pa.Table) -> pa.Table:
+        diff = pc.sum(pc.cast(pc.not_equal(t.column("lbl"),
+                                           t.column("cur")),
+                              pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([diff], pa.int64())})
+
+    for _ in range(MAX_ROUNDS):
+        # One materialized lineage per round: join -> tag -> union ->
+        # aggregate (drop_empty_blocks is the barrier; the join output
+        # itself needs no scrub — only JOIN INPUTS choke on empty
+        # blocks, and next round's input is `merged`). The stale `cur`
+        # column rides along into the next round's join harmlessly:
+        # both union branches re-derive it.
+        prop = keyed_edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",))
+        merged = drop_empty_blocks(
+            prop.map_batches(as_candidate, batch_format="pyarrow")
+            .union(labels.map_batches(as_current, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"),
+                       Max("cur", alias_name="cur")))
+        changed = merged.map_batches(
+            n_changed, batch_format="pyarrow").sum("n")
+        labels = merged
+        if not changed:
+            break
+    else:
+        logger.warning("connected_components: label propagation hit the "
+                       "%d-round cap before converging", MAX_ROUNDS)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"),
+                         "cluster_id": t.column("lbl")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
+    """Connected components of the verified MinHash near-dup pair graph."""
+    return connected_components(q_minhash_pairs(sf_dir))
+
+
+def _clusters_oracle_sql() -> str:
+    pairs = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u)
+SELECT node AS doc_id,
+       CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql()}
+
+QUERIES = {"neardup_clusters": q_neardup_clusters}

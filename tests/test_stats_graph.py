@@ -1,0 +1,55 @@
+"""Unit tests for the iterative connected-components operator."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from scraper_ray.pipelines.graph import connected_components
+
+
+def _edges(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    return rd.from_arrow(pa.table({"doc_a": pa.array(a, pa.int64()),
+                                   "doc_b": pa.array(b, pa.int64())}))
+
+
+def _labels(ds):
+    out = ds.to_pandas()
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def test_chain_collapses_to_one_component():
+    # 1-2, 2-3, 3-4: transitive even though 1 and 4 never share an edge
+    got = _labels(connected_components(_edges([(1, 2), (2, 3), (3, 4)])))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_keep_separate_labels():
+    got = _labels(connected_components(
+        _edges([(10, 11), (5, 7), (7, 6), (99, 98)])))
+    assert got == {10: 10, 11: 10, 5: 5, 6: 5, 7: 5, 98: 98, 99: 98}
+
+
+def test_long_path_needs_multiple_rounds():
+    # a 12-node path exercises >1 propagation round (diameter 11)
+    pairs = [(i, i + 1) for i in range(100, 112)]
+    got = _labels(connected_components(_edges(pairs)))
+    assert set(got.values()) == {100}
+    assert len(got) == 13
+
+
+def test_string_node_ids_cluster_lexicographically():
+    # crawl doc_ids are sha1 strings; min-label = lexicographic min
+    ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(["bb", "cc", "zz"], pa.string()),
+        "doc_b": pa.array(["cc", "aa", "yy"], pa.string())}))
+    out = connected_components(ds).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {"aa": "aa", "bb": "aa", "cc": "aa",
+                   "yy": "yy", "zz": "yy"}
+
+
+def test_empty_edge_list_yields_empty_clusters():
+    ds = connected_components(_edges([]))
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"doc_id", "cluster_id"}

@@ -78,7 +78,8 @@ def main() -> int:
 
     pinned = "/root/testdata/" + _ORACLE_TIER
     pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
-                 "listing_info", "ann_ivf_topk", "corpus_build"}
+                 "listing_info", "ann_ivf_topk", "corpus_build",
+                 "corpus_neardedup"}
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
