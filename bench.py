@@ -30,6 +30,45 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CRAWL_SEEDS = int(os.environ.get("GRAFT_CRAWL_SEEDS", "200000"))
 
 
+_PROBE_N = 500_000
+
+
+def _probe_work(_) -> float:
+    import hashlib
+
+    h = b"x" * 1024
+    t0 = time.time()
+    for _ in range(_PROBE_N):
+        h = hashlib.blake2b(h, digest_size=32).digest()
+    return time.time() - t0
+
+
+def host_probe() -> dict:
+    """Calibrate the machine at measurement time: single-core blake2b
+    throughput + 8-process parallel efficiency. The sandbox host's
+    capability drifts hour to hour (hypervisor neighbors); reporting the
+    probe next to every timing makes runs comparable across host
+    states."""
+    import multiprocessing as mp
+
+    t1 = _probe_work(0)
+    t0 = time.time()
+    with mp.Pool(8) as p:
+        p.map(_probe_work, range(8))
+    wall8 = time.time() - t0
+    return {"onecore_khash_s": round(_PROBE_N / t1 / 1000, 1),
+            "eff_8proc": round(t1 / wall8, 3)}
+
+
+def _quiet_ray_data() -> None:
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
 def crawl_bench_config():
     from scraper_ray.synthweb import WebConfig, default_politeness
 
@@ -75,8 +114,13 @@ QUERY_NAMES = [
 
 
 def run_query_bench() -> dict:
+    import ray.data as rd
+
     import __ray_entry__ as e
 
+    # spin up the worker pool before the first timed query
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
     qs = e.queries()
     times: dict[str, float] = {}
     for name in QUERY_NAMES:
@@ -96,6 +140,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     args = ap.parse_args()
+
+    probe = host_probe()
 
     if args.scaling:
         # N vs 4N CPUs. Default 2 vs 8: this box has 16 physical cores +
@@ -130,24 +176,52 @@ def main() -> None:
             "speedup": round(t_hi / t_lo, 2),
             "cpus": [lo, hi],
             "seeds": CRAWL_SEEDS,
+            "host_probe": probe,
         }))
         return
+
+    if args.crawl_only:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, logging_level="ERROR")
+        _quiet_ray_data()
+        crawl_res = run_crawl_bench()
+        print(json.dumps({
+            "metric": "headline_suite_sec",
+            "value": crawl_res["sec"],
+            "unit": "sec",
+            "queries": {"crawl": crawl_res["sec"]},
+            "crawl": crawl_res,
+            "host_probe": probe,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
+        return
+
+    # the crawl runs in a fresh subprocess Ray session: a 300k-page run
+    # leaves worker/object-store state behind that taxes whatever
+    # executes next in the same session, which would contaminate the
+    # query timings below
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+        env=dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS)),
+        capture_output=True, text=True)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit("crawl bench subprocess failed")
+    crawl_res = json.loads(lines[-1])["crawl"]
 
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-
-    crawl_res = run_crawl_bench()
-    queries = {} if args.crawl_only else run_query_bench()
+    _quiet_ray_data()
+    queries = run_query_bench()
     total = crawl_res["sec"] + sum(queries.values())
     print(json.dumps({
         "metric": "headline_suite_sec",
@@ -155,6 +229,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {"crawl": crawl_res["sec"], **queries},
         "crawl": crawl_res,
+        "host_probe": probe,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))

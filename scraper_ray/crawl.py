@@ -219,6 +219,11 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     stats.waves = wave - start_wave
     stats.seen_total = seen.total()
     stats.counters = sched.counters()
+    # release the state actors: their heap (seen tables, pending maps)
+    # would otherwise linger for the rest of the Ray session and tax
+    # whatever pipeline runs next in it
+    seen.shutdown()
+    sched.shutdown()
     return stats
 
 

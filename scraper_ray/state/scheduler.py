@@ -303,3 +303,9 @@ class SchedulerPool:
             with open(os.path.join(directory, f"sched_shard_{i:04d}.bin"), "rb") as f:
                 refs.append(a.restore.remote(f.read()))
         ray.get(refs)
+
+    def shutdown(self) -> None:
+        """Terminate the shard actors (end-of-run cleanup)."""
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []

@@ -110,3 +110,9 @@ class ShardedSeen:
             with open(path, "rb") as f:
                 refs.append(a.restore.remote(f.read()))
         ray.get(refs)
+
+    def shutdown(self) -> None:
+        """Terminate the shard actors (end-of-run cleanup)."""
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
