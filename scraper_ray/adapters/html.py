@@ -155,9 +155,20 @@ class HtmlFetchParse:
     bytes (a fixture dir in tests; a fetch actor's response body in a
     deployment)."""
 
-    def __init__(self, store: dict[str, bytes], encoding: str | None = None):
+    def __init__(self, store: dict[str, bytes], encoding: str | None = None,
+                 adapters: dict | None = None):
+        # adapters: {netloc: (raw, url, encoding) -> ParsedPage}; pages
+        # from unregistered domains fall back to the generic parser.
+        # Passed as an explicit dict (see adapters.registry docstring)
+        # so the routing table pickles with the stage onto every worker.
         self.store = store
         self.encoding = encoding
+        self.adapters = adapters or {}
+
+    def _parse_fn(self, url: str):
+        from urllib.parse import urlsplit
+
+        return self.adapters.get(urlsplit(url).netloc, parse)
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -170,7 +181,8 @@ class HtmlFetchParse:
         cols: dict[str, list] = {n: [] for n in out_schema.names}
         for i, url in enumerate(batch.column("url").to_pylist()):
             raw = self.store.get(url)
-            page = parse(raw, url, self.encoding) if raw is not None else None
+            page = (self._parse_fn(url)(raw, url, self.encoding)
+                    if raw is not None else None)
             cols["doc_id"].append(doc_id_for(url))
             cols["url"].append(url)
             cols["entity"].append("")

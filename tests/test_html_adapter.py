@@ -95,3 +95,45 @@ def test_html_fetchparse_stage():
     assert by_url["http://www.example.test/missing/"]["page_type"] == "error"
     kids = by_url["http://www.example.test/listing/p1/"]["children"]
     assert len(kids) == 3
+
+
+def test_per_domain_adapter_registry_routes_by_netloc(ray_session):
+    """A site adapter registered for one domain overrides the generic
+    parser for that domain only — the SURVEY §2.10 extension surface."""
+    import ray.data as rd
+
+    from scraper_ray.adapters import registry
+    from scraper_ray.adapters.html import HtmlFetchParse, ParsedPage, parse
+
+    def shouty(raw, url, encoding=None):
+        base = parse(raw, url, encoding)
+        spans = [(k, t.upper(), m, o) for k, t, m, o in base.spans]
+        return ParsedPage(base.page_type, spans, base.child_urls,
+                          base.fields)
+
+    registry.clear()
+    try:
+        registry.register("www.custom.test", shouty)
+        store = {
+            "http://www.custom.test/listing/p1/": _read("list_page.html"),
+            "http://www.example.test/listing/p1/": _read("list_page.html"),
+        }
+        stage = HtmlFetchParse(store, adapters=registry.resolve())
+        frontier = rd.from_items([
+            {"url": "http://www.custom.test/listing/p1/"},
+            {"url": "http://www.example.test/listing/p1/"},
+        ])
+        docs = {r["url"]: r for r in
+                frontier.map_batches(stage, batch_format="pyarrow").take_all()}
+        custom = docs["http://www.custom.test/listing/p1/"]
+        plain = docs["http://www.example.test/listing/p1/"]
+        c_texts = [s["text"] for s in custom["spans"]]
+        p_texts = [s["text"] for s in plain["spans"]]
+        # a latin-letter span proves the override actually fired
+        assert any(t != t.lower() and t == t.upper() for t in c_texts if t)
+        assert any(t != t.lower() and t == t.upper() for t in c_texts if t)
+        assert c_texts == [t.upper() for t in p_texts]
+        # children untouched by the custom adapter
+        assert custom["children"] == plain["children"]
+    finally:
+        registry.clear()
