@@ -38,11 +38,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         stats,
         temporal,
         text,
+        window,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
-                crawl_queries, listing, temporal, corpus, stats, graph):
+                crawl_queries, listing, temporal, corpus, stats, graph,
+                window):
         out.update(mod.QUERIES)
     return out
 
@@ -61,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
         stats,
         temporal,
         text,
+        window,
     )
 
     # the crawl/listing oracles compare against the sequential oracle
@@ -69,7 +72,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing, enrichment, media, corpus, stats, graph):
+                listing, enrichment, media, corpus, stats, graph, window):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()

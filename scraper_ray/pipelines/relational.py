@@ -363,6 +363,24 @@ def q_join_anti(sf_dir: str) -> rd.Dataset:
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
+def q_join_semi(sf_dir: str) -> rd.Dataset:
+    """Semi join — existence filter without multiplying rows (the
+    complement of J6's anti join): customers holding at least one open
+    ('O') order. Native distributed left_semi; the probe side stays
+    off the driver and duplicate order rows never fan out."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    open_orders = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderstatus"), "O")
+        return t.filter(m).select(["o_custkey"])
+
+    probe = open_orders.map_batches(keys, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return cust.join(probe, join_type="left_semi", num_partitions=4,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
 def q_join_outer(sf_dir: str) -> rd.Dataset:
     """Full outer join (reference J4: divisions x postal summary outer
     merge, cn_postalcode.py:218): per-nation customer counts FULL OUTER
@@ -400,6 +418,12 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
+"""
+
+ORACLE_SQL["join_semi"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
 """
 
 
@@ -719,6 +743,7 @@ QUERIES = {
     "join_hash": q_join_hash,
     "join_left": q_join_left,
     "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
     "join_outer": q_join_outer,
     "range_join": q_range_join,
     "stable_sample": q_stable_sample,
