@@ -42,6 +42,7 @@ from .common import read_sf_table as _t, round_half_away
 
 
 _BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
+_GRAM_DF_CAP = 32  # drop 3-grams appearing in more documents than this
 
 _EMB_BANDS = 8          # independent sign-LSH bands...
 _EMB_PLANES = 6         # ...of at least this many hyperplanes each
@@ -253,6 +254,47 @@ FROM sim
 """
 
 
+def _ngram_jaccard_oracle_sql(threshold: float = 0.6) -> str:
+    """Inverted-index n-gram blocking + exact Jaccard verify in SQL:
+    same gram hashes (md5-derived, sql_hex64), same df cap, so the
+    candidate sets match the engine's exactly."""
+    from .common import sql_hex64
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [text] END AS gs
+  FROM docs),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(gs, g -> {sql_hex64('g')})) AS h
+  FROM grams),
+inc AS (SELECT doc_id, CAST(unnest(h) AS VARCHAR) AS gram FROM hs),
+ok AS (SELECT gram FROM inc GROUP BY gram
+       HAVING count(*) <= {_GRAM_DF_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM inc x
+  JOIN inc y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  JOIN ok ON ok.gram = x.gram),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+           / greatest(1, len(ha.h) + len(hb.h)
+                         - len(list_intersect(ha.h, hb.h))) AS j
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.doc_a
+  JOIN hs hb ON hb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM verified WHERE j >= {threshold}
+"""
+
+
 ORACLE_SQL = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
@@ -261,6 +303,7 @@ FROM documents GROUP BY md5(text)
     "simhash": _simhash_oracle_sql(),
     "minhash_pairs": _minhash_oracle_sql(),
     "embedding_neardup": _embedding_neardup_oracle_sql(),
+    "ngram_jaccard": _ngram_jaccard_oracle_sql(),
 }
 
 
@@ -352,13 +395,14 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
     return candidate_pairs_over(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
-                       id_type: pa.DataType = pa.int64()) -> rd.Dataset:
-    """Near-duplicate pairs over any (doc_id, text) dataset: LSH
-    candidates verified by exact 3-gram Jaccard >= *threshold*.
-    Candidate pairs are joined back to the doc texts with two
-    distributed hash joins — no driver-side text materialization, so
-    the verify stage scales with the candidate set, not the corpus."""
+def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
+                         threshold: float,
+                         id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+    """Exact 3-gram-Jaccard verification of candidate (doc_a, doc_b)
+    pairs: two distributed hash joins pull the texts to the pairs — no
+    driver-side text materialization, so this stage scales with the
+    candidate count, not the corpus. *cand* must be pre-deduped and
+    empty-block-scrubbed (``candidate_pairs_over`` output shape)."""
 
     def rename(suffix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -368,17 +412,16 @@ def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
 
     from .common import drop_empty_blocks
 
-    # each join's empty hash partitions emit schema-less blocks that the
-    # next join rejects — scrub between stages
-    cand = candidate_pairs_over(docs, id_type)
-    # a corpus with no LSH collisions at all yields a block-less dataset
-    # that the join operator can't take a schema from (cand is already
-    # materialized by the scrub, so this count is metadata-only)
+    # a corpus with no candidate collisions at all yields a block-less
+    # dataset that the join operator can't take a schema from (cand is
+    # already materialized by the scrub, so this count is metadata-only)
     if cand.count() == 0:
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], id_type),
             "doc_b": pa.array([], id_type),
             "jaccard": pa.array([], pa.float64())}))
+    # each join's empty hash partitions emit schema-less blocks that the
+    # next join rejects — scrub between stages
     with_a = drop_empty_blocks(
         cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
                   join_type="inner", num_partitions=8, on=("doc_a",)))
@@ -403,14 +446,88 @@ def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
                          "doc_b": pa.array(keep_b, id_type),
                          "jaccard": pa.array(jac, pa.float64())})
 
-    # candidate_pairs already collapsed band duplicates pre-join, so
-    # every row reaching verify is unique — no post-verify dedup needed
+    # candidates are collapsed pre-join upstream, so every row reaching
+    # verify is unique — no post-verify dedup needed
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
+                       id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+    """Near-duplicate pairs over any (doc_id, text) dataset: LSH
+    candidates verified by exact 3-gram Jaccard >= *threshold*."""
+    return jaccard_verify_pairs(candidate_pairs_over(docs, id_type),
+                                docs, threshold, id_type)
 
 
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     return minhash_pairs_over(_t(sf_dir, "documents", ["doc_id", "text"]),
                               threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index blocking, exact recall up to a
+# document-frequency cap)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
+    """Near-dup pairs via a distributed 3-gram inverted index.
+
+    Complements minhash_pairs: instead of probabilistic LSH blocking,
+    every pair sharing at least one *rare* 3-gram becomes a candidate —
+    exact recall for pairs sharing any gram with document frequency
+    <= cap. Stopword-like grams (df > cap) are dropped loudly, the same
+    bounded-bucket discipline as the LSH buckets: a boilerplate gram
+    shared by half the corpus would otherwise go quadratic. The shuffle
+    ladder is groupby(gram) -> per-gram pairs -> pair dedup ->
+    join-back verify; nothing touches the driver."""
+    import pandas as pd
+
+    from .common import drop_empty_blocks
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def incidence(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            for h in set(_shingle_hashes(text).tolist()):
+                ids.append(did)
+                # decimal-string key: the gram hash is uint64 and the SQL
+                # oracle recomputes it as HUGEINT — strings join exactly
+                grams.append(str(h))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    inc = docs.map_batches(incidence, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        if len(ids) > _GRAM_DF_CAP:
+            import sys
+
+            print(f"ngram_jaccard: dropping frequent gram "
+                  f"(df={len(ids)} > cap {_GRAM_DF_CAP})", file=sys.stderr)
+            ids = []
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64")})
+
+    from ray.data.aggregate import Count
+
+    cand = (inc.groupby("gram").map_groups(pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                         "doc_b": pc.cast(t.column("doc_b"), pa.int64())})
+
+    cand = drop_empty_blocks(cand.map_batches(pin, batch_format="pyarrow"))
+    return jaccard_verify_pairs(cand, docs, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -580,6 +697,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
 }
