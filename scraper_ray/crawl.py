@@ -54,6 +54,11 @@ class CrawlConfig:
     batch_size: int = 1024
     level_sync: str = "domain"             # 'global' when cross-domain links exist
     max_waves: int = 100_000
+    # cold-tail frontier spill (state/scheduler.py): 0 = keep the whole
+    # pending frontier in actor memory (sandbox default); at 10^10-URL
+    # scale set a per-shard threshold sized to worker heap
+    sched_spill_dir: str | None = None
+    sched_spill_threshold: int = 0
 
 
 @dataclass
@@ -147,7 +152,9 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     """
     seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
-                          level_sync=ccfg.level_sync, seen=seen)
+                          level_sync=ccfg.level_sync, seen=seen,
+                          spill_dir=ccfg.sched_spill_dir,
+                          spill_threshold=ccfg.sched_spill_threshold)
     stats = CrawlStats()
     start_wave = 0
 
@@ -187,7 +194,13 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     while wave < ccfg.max_waves:
         refs, n_wave = sched.next_wave_refs(wave)
         if n_wave == 0:
-            break
+            # with scheduler spill enabled, a zero wave can still leave
+            # rows in disk runs (pending() counts them); the empty wave
+            # above already drained dead runs, so just advance
+            if sched.pending() == 0:
+                break
+            wave += 1
+            continue
         # spread the wave evenly over fetch tasks — skew rebalancing: a
         # heavy domain's rows split across the pool instead of one worker
         n_blocks = max(1, min(64, (n_wave + ccfg.batch_size - 1) // ccfg.batch_size))

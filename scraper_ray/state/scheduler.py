@@ -32,10 +32,20 @@ cannot dominate a wave; the crawl driver additionally splits each wave's
 blocks evenly across fetch tasks (``repartition``), so a heavy domain's
 rows spread over the whole pool instead of serializing on one worker.
 
-Scale note: in-sandbox the pending maps are Python dicts (~10^5 rows);
-at 10^10-frontier scale each shard keeps its cold tail as sorted Arrow
-runs on disk with only per-domain heads in memory — offer/next_wave/dump
-are unchanged.
+Scale note (10^10 frontier): each shard spills its **cold tail** —
+pending entries deeper than a domain's current emission depth, which
+cannot emit for at least one more wave — to Arrow runs on disk once the
+in-memory pending count crosses ``spill_threshold``, keeping only the
+per-domain heads (current-depth entries) in memory. Runs are loaded
+back exactly when the frontier reaches their depth; entries whose URL
+was emitted while spilled (a duplicate discovered and crawled through a
+different path) are dropped at load time via a batched seen-set
+membership probe, and keep-min key resolution applies across the
+memory/disk boundary, so emission order and the final seen set are
+identical with or without spilling (tests/test_scheduler.py,
+test_crawl_conformance.py). Off by default in-sandbox (dict frontier is
+fine at 10^5); the 100 TB deployment sets a threshold sized to worker
+heap.
 """
 
 from __future__ import annotations
@@ -77,13 +87,23 @@ def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table
 class SchedulerShard:
     """Owns the per-domain queues for domains hashing to this shard."""
 
-    def __init__(self, politeness: PolitenessConfig, seen=None):
+    def __init__(self, politeness: PolitenessConfig, seen=None,
+                 spill_dir: str | None = None, spill_threshold: int = 0,
+                 shard_idx: int = 0):
         self.politeness = politeness
         self.seen = seen   # ShardedSeen client (marks emissions) or None
         # domain -> {url: (depth, path, parent_id, child_idx, sha1, host)}
         self.entries: dict[str, dict[str, tuple]] = {}
         # domain -> heap of (depth, path, url); stale entries dropped lazily
         self.heaps: dict[str, list] = {}
+        # cold-tail spill state: domain -> depth -> [run file paths]
+        self.spill_dir = spill_dir
+        self.spill_threshold = spill_threshold
+        self.shard_idx = shard_idx
+        self.runs: dict[str, dict[int, list[str]]] = {}
+        self.spill_seq = 0
+        self.n_spilled = 0
+        self.n_loaded = 0
         self.n_offered = 0
         self.n_upgraded = 0
         self.last_emit = 0
@@ -121,7 +141,108 @@ class SchedulerShard:
         if n_new:
             self.run_counters["n_offered"] = (
                 self.run_counters.get("n_offered", 0) + n_new)
+        self._maybe_spill()
         return n_new
+
+    # -- cold-tail disk spill ---------------------------------------------
+
+    def _spill_enabled(self) -> bool:
+        return self.spill_dir is not None and self.spill_threshold > 0
+
+    def _maybe_spill(self) -> None:
+        """Move entries deeper than each domain's current emission depth
+        to sorted Arrow runs on disk when the in-memory frontier exceeds
+        the threshold. Spilled rows cannot emit for >= 1 more wave (the
+        min-depth rule), so emission never stalls on a load."""
+        if not self._spill_enabled() or self.pending() <= self.spill_threshold:
+            return
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        for domain, ent in self.entries.items():
+            top = self._valid_top(domain)
+            if top is None:
+                continue
+            dmin = top[0]
+            cold = [(u, v) for u, v in ent.items() if v[0] > dmin]
+            if not cold:
+                continue
+            by_depth: dict[int, list] = {}
+            for u, v in cold:
+                by_depth.setdefault(v[0], []).append((u, v))
+                del ent[u]
+            for depth, rows in by_depth.items():
+                tbl = pa.table({
+                    "url": pa.array([u for u, _ in rows], pa.string()),
+                    "url_sha1": pa.array([v[4] for _, v in rows],
+                                         FRONTIER_SCHEMA.field("url_sha1").type),
+                    "host": pa.array([v[5] for _, v in rows], pa.string()),
+                    "domain_key": pa.array([domain] * len(rows), pa.string()),
+                    "depth": pa.array([depth] * len(rows),
+                                      FRONTIER_SCHEMA.field("depth").type),
+                    "parent_id": pa.array([v[2] for _, v in rows], pa.string()),
+                    "child_idx": pa.array([v[3] for _, v in rows],
+                                          FRONTIER_SCHEMA.field("child_idx").type),
+                    "path": pa.array([v[1] for _, v in rows],
+                                     FRONTIER_SCHEMA.field("path").type),
+                })
+                path = os.path.join(
+                    self.spill_dir,
+                    f"run_s{self.shard_idx:02d}_{self.spill_seq:06d}_d{depth}.parquet")
+                self.spill_seq += 1
+                pq.write_table(tbl, path)
+                self.runs.setdefault(domain, {}).setdefault(depth, []).append(path)
+                self.n_spilled += len(rows)
+            # rebuild the heap from the surviving head entries (also
+            # reclaims tuples left stale by upgrades)
+            self.heaps[domain] = [(v[0], v[1], u) for u, v in ent.items()]
+            heapq.heapify(self.heaps[domain])
+
+    def _load_runs(self, domain: str, emit_depth: int) -> None:
+        """Merge spilled runs at (or defensively below) *emit_depth* back
+        into memory. Rows whose URL was already emitted while the run sat
+        on disk (re-discovered through another path) are dropped via one
+        batched seen probe; rows also pending in memory resolve keep-min."""
+        dr = self.runs.get(domain)
+        if not dr:
+            return
+        paths = [p for d in list(dr) if d <= emit_depth for p in dr.pop(d)]
+        if not paths:
+            return
+        import pyarrow.parquet as pq
+
+        if not dr:
+            del self.runs[domain]
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        self.n_loaded += tbl.num_rows
+        emitted = (self.seen.contains(tbl.column("url_sha1").to_pylist())
+                   if self.seen is not None else None)
+        cols = {n: tbl.column(n).to_pylist() for n in _ROW_FIELDS}
+        ent = self.entries.setdefault(domain, {})
+        heap = self.heaps.setdefault(domain, [])
+        for i in range(tbl.num_rows):
+            if emitted is not None and emitted[i]:
+                continue
+            url = cols["url"][i]
+            key = (cols["depth"][i], cols["path"][i])
+            cur = ent.get(url)
+            if cur is not None and cur[:2] <= key:
+                continue   # memory already holds an equal-or-better key
+            ent[url] = (*key, cols["parent_id"][i], cols["child_idx"][i],
+                        cols["url_sha1"][i], cols["host"][i])
+            heapq.heappush(heap, (*key, url))
+
+    def _domain_min_depth(self, domain: str) -> int | None:
+        """Min pending depth for *domain* across memory AND disk runs."""
+        top = self._valid_top(domain)
+        d = top[0] if top is not None else None
+        dr = self.runs.get(domain)
+        if dr:
+            d_run = min(dr)
+            d = d_run if d is None else min(d, d_run)
+        return d
 
     def _valid_top(self, domain: str) -> tuple | None:
         """Smallest live heap entry for *domain* (drops stale ones)."""
@@ -136,7 +257,8 @@ class SchedulerShard:
         return None
 
     def min_depth(self) -> int | None:
-        depths = [t[0] for dom in list(self.heaps) if (t := self._valid_top(dom))]
+        depths = [d for dom in set(self.heaps) | set(self.runs)
+                  if (d := self._domain_min_depth(dom)) is not None]
         return min(depths) if depths else None
 
     def next_wave(self, wave: int, min_depth: int | None = None) -> pa.Table:
@@ -145,11 +267,22 @@ class SchedulerShard:
         (or to *min_depth* under global level-sync). Emitted URLs are
         marked in the seen set before the table is returned."""
         out: dict[str, list] = {n: [] for n in _ROW_FIELDS}
-        for domain in sorted(self.heaps):
-            top = self._valid_top(domain)
-            if top is None:
+        for domain in sorted(set(self.heaps) | set(self.runs)):
+            # loop: a spilled run whose rows were ALL emitted through
+            # other discovery paths loads to nothing — fall through to
+            # the next pending depth instead of emitting a hole (under
+            # global level-sync only this wave's depth may emit; deeper
+            # runs wait for the next wave's barrier)
+            while True:
+                dom_min = self._domain_min_depth(domain)
+                if dom_min is None:
+                    break
+                emit_depth = dom_min if min_depth is None else min_depth
+                self._load_runs(domain, emit_depth)
+                if self._valid_top(domain) is not None or min_depth is not None:
+                    break
+            if self._valid_top(domain) is None:
                 continue
-            emit_depth = top[0] if min_depth is None else min_depth
             budget = self.politeness.budget_per_wave(domain)
             ent = self.entries[domain]
             heap = self.heaps[domain]
@@ -183,7 +316,14 @@ class SchedulerShard:
         return self.last_emit
 
     def pending(self) -> int:
+        """In-memory pending count (spilled rows tracked separately)."""
         return sum(len(e) for e in self.entries.values())
+
+    def pending_total(self) -> int:
+        """Pending incl. rows sitting in disk runs (upper bound: a
+        spilled row re-offered and re-emitted stays in its run file
+        until load-time seen-filtering drops it)."""
+        return self.pending() + self.n_spilled - self.n_loaded
 
     def stats(self) -> dict:
         return {
@@ -191,15 +331,24 @@ class SchedulerShard:
             "offered": self.n_offered,
             "upgraded": self.n_upgraded,
             "domains": len(self.entries),
+            "spilled": self.n_spilled,
+            "spill_files": sum(len(ps) for dr in self.runs.values()
+                               for ps in dr.values()),
         }
 
     def counters(self) -> dict[str, int]:
         return dict(self.run_counters)
 
     def dump(self) -> bytes:
+        # run files are append-only during a run and the manifest names
+        # them explicitly, so a dump taken between spills is consistent:
+        # a file spilled after this dump is simply unreferenced (harmless
+        # orphan) when this snapshot is restored
         return pickle.dumps(
             {"entries": self.entries, "offered": self.n_offered,
-             "upgraded": self.n_upgraded, "counters": self.run_counters},
+             "upgraded": self.n_upgraded, "counters": self.run_counters,
+             "runs": self.runs, "spill_seq": self.spill_seq,
+             "n_spilled": self.n_spilled, "n_loaded": self.n_loaded},
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
@@ -209,6 +358,10 @@ class SchedulerShard:
         self.n_offered = d["offered"]
         self.n_upgraded = d["upgraded"]
         self.run_counters = d.get("counters", {})
+        self.runs = d.get("runs", {})
+        self.spill_seq = d.get("spill_seq", 0)
+        self.n_spilled = d.get("n_spilled", 0)
+        self.n_loaded = d.get("n_loaded", 0)
         self.heaps = {
             dom: [(v[0], v[1], url) for url, v in ent.items()]
             for dom, ent in self.entries.items()
@@ -227,12 +380,15 @@ class SchedulerPool:
     """Serializable client over the scheduler shards."""
 
     def __init__(self, politeness: PolitenessConfig, n_shards: int = 4,
-                 level_sync: str = "domain", seen=None, actors: list | None = None):
+                 level_sync: str = "domain", seen=None, actors: list | None = None,
+                 spill_dir: str | None = None, spill_threshold: int = 0):
         assert level_sync in ("domain", "global")
         self.n_shards = n_shards
         self.level_sync = level_sync
         self.actors = actors or [
-            SchedulerShard.remote(politeness, seen) for _ in range(n_shards)
+            SchedulerShard.remote(politeness, seen, spill_dir,
+                                  spill_threshold, i)
+            for i in range(n_shards)
         ]
 
     def offer(self, tbl: pa.Table, counters: dict | None = None) -> int:
@@ -278,7 +434,9 @@ class SchedulerPool:
         return refs, int(sum(counts))
 
     def pending(self) -> int:
-        return int(sum(ray.get([a.pending.remote() for a in self.actors])))
+        """Pending rows incl. spilled disk runs (drives the wave loop's
+        termination check — spilled rows must keep the loop alive)."""
+        return int(sum(ray.get([a.pending_total.remote() for a in self.actors])))
 
     def stats(self) -> list[dict]:
         return ray.get([a.stats.remote() for a in self.actors])
