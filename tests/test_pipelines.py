@@ -177,3 +177,67 @@ def test_skewed_bucket_capped(ray_session, tmp_path):
     assert (900, 901) in egot
     assert not any(a < n_hot and b < n_hot for a, b in egot)
     assert len(epairs) < 50
+
+
+def test_ngram_jaccard_frequent_gram_slow_path(ray_session, tmp_path):
+    """Exercise BOTH verify branches of q_ngram_jaccard against a
+    brute-force oracle: a boilerplate phrase shared by > _GRAM_DF_CAP
+    docs makes its grams frequent, so near-dup pairs inside that cohort
+    must route through the exact text-verify slow path (count-based
+    jaccard would undercount their intersection), while a clean pair
+    outside the cohort exercises the vectorized fast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import (
+        _GRAM_DF_CAP, _shingle_hashes, q_ngram_jaccard,
+    )
+
+    n_boiler = _GRAM_DF_CAP + 5
+    texts, ids = [], []
+    # cohort: every doc carries the same boilerplate sentence (its grams
+    # go frequent) plus unique filler
+    boiler = "all rights reserved cookie banner accept terms of service"
+    for i in range(n_boiler):
+        texts.append(f"{boiler} unique{i} filler{i} words{i} here{i} now{i}")
+        ids.append(i)
+    # planted near-dup pair INSIDE the cohort (both touch frequent grams)
+    texts.append(f"{boiler} unique0 filler0 words0 here0 changed")
+    ids.append(500)
+    # planted near-dup pair OUTSIDE the cohort (fast path)
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ids.append(600)
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota mu")
+    ids.append(601)
+    d = tmp_path / "freqgram"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(d / "documents.parquet"))
+
+    # brute-force reference: candidates = pairs sharing >=1 rare gram;
+    # jaccard over FULL gram sets
+    shingles = {i: set(_shingle_hashes(t).tolist())
+                for i, t in zip(ids, texts)}
+    df: dict[int, int] = {}
+    for s in shingles.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    rare = {h for h, c in df.items() if c <= _GRAM_DF_CAP}
+    expect = {}
+    sids = sorted(ids)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            a, b = sids[x], sids[y]
+            sa, sb = shingles[a], shingles[b]
+            if not (sa & sb & rare):
+                continue
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= 0.6:
+                expect[(a, b)] = round(j, 4)
+
+    got = q_ngram_jaccard(str(d), threshold=0.6).to_pandas()
+    got_pairs = {(int(r.doc_a), int(r.doc_b)): round(float(r.jaccard), 4)
+                 for r in got.itertuples()}
+    assert (0, 500) in expect and (600, 601) in expect  # test is non-trivial
+    assert got_pairs == expect
