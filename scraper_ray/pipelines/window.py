@@ -60,8 +60,11 @@ def q_rank_topn(sf_dir: str) -> rd.Dataset:
         df = t.to_pandas()
         df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("o_custkey").head(RANK_K),
-                                    preserve_index=False)
+        # strip the pandas metadata blob: schemas carrying it defeat
+        # Ray's downstream schema-dedup ("Failed to hash the schemas")
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey").head(RANK_K),
+            preserve_index=False).replace_schema_metadata(None)
 
     def final_rank(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],
@@ -174,7 +177,8 @@ def q_pivot_events(sf_dir: str) -> rd.Dataset:
                .reindex(columns=list(EVENT_TYPES), fill_value=0)
                .astype("int64").reset_index())
         out.columns = ["user_id"] + [f"n_{c}" for c in EVENT_TYPES]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True).groupby("user_id").sum(
