@@ -192,7 +192,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
     wave = start_wave
     while wave < ccfg.max_waves:
-        refs, n_wave = sched.next_wave_refs(wave)
+        refs, n_wave = sched.next_wave_refs(wave, chunk_rows=ccfg.batch_size)
         if n_wave == 0:
             # with scheduler spill enabled, a zero wave can still leave
             # rows in disk runs (pending() counts them); the empty wave
@@ -201,10 +201,10 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                 break
             wave += 1
             continue
-        # spread the wave evenly over fetch tasks — skew rebalancing: a
-        # heavy domain's rows split across the pool instead of one worker
-        n_blocks = max(1, min(64, (n_wave + ccfg.batch_size - 1) // ccfg.batch_size))
-        ds = rd.from_arrow_refs(refs).repartition(n_blocks)
+        # skew rebalancing happens at emission: shards pre-split their
+        # wave into ≤batch_size chunks (one block per ref), so a heavy
+        # domain's rows spread over the pool with no repartition barrier
+        ds = rd.from_arrow_refs(refs)
         if ccfg.fetch_concurrency is None:
             ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
                                 batch_size=ccfg.batch_size, zero_copy_batch=True)

@@ -312,6 +312,17 @@ class SchedulerShard:
         )
         return tbl.append_column("wave", pa.array([wave] * tbl.num_rows, pa.int32()))
 
+    def next_wave_chunks(self, wave: int, min_depth: int | None = None,
+                         chunk_rows: int = 2048):
+        """``next_wave`` streamed as ~chunk_rows zero-copy slices (one
+        object ref each). Shards pre-split their wave output so the
+        driver can build a balanced Dataset directly from the refs —
+        no per-wave ``repartition`` all-to-all; a heavy domain's rows
+        land in many small blocks instead of one fat one."""
+        tbl = self.next_wave(wave, min_depth)
+        for off in range(0, tbl.num_rows, chunk_rows):
+            yield tbl.slice(off, chunk_rows)
+
     def last_emit_count(self) -> int:
         return self.last_emit
 
@@ -418,10 +429,14 @@ class SchedulerPool:
                 out[k] = out.get(k, 0) + v
         return out
 
-    def next_wave_refs(self, wave: int) -> tuple[list, int]:
+    def next_wave_refs(self, wave: int,
+                       chunk_rows: int = 2048) -> tuple[list, int]:
         """Emit the wave on every shard. Returns (object refs of Arrow
         tables — consumed zero-copy via ``ray.data.from_arrow_refs`` —
-        and the total emitted row count)."""
+        and the total emitted row count). Each ref holds ≤ *chunk_rows*
+        rows: shards stream their wave pre-split, so the Dataset built
+        from the refs is already balanced (no repartition barrier) and
+        empty shards contribute no empty blocks."""
         min_depth = None
         if self.level_sync == "global":
             depths = [d for d in ray.get([a.min_depth.remote() for a in self.actors])
@@ -429,7 +444,9 @@ class SchedulerPool:
             if not depths:
                 return [], 0
             min_depth = min(depths)
-        refs = [a.next_wave.remote(wave, min_depth) for a in self.actors]
+        gens = [a.next_wave_chunks.remote(wave, min_depth, chunk_rows)
+                for a in self.actors]
+        refs = [ref for g in gens for ref in g]
         counts = ray.get([a.last_emit_count.remote() for a in self.actors])
         return refs, int(sum(counts))
 
