@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .common import strip_schema_metadata
+
 MIN_TOKENS = 4
 
 
@@ -71,6 +73,11 @@ def dedup_exact_text(gated: rd.Dataset) -> rd.Dataset:
         gated.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_hash")
         .map_groups(keep_first, batch_format="pandas")
+        # pandas->Arrow block conversion tags schemas with a pandas
+        # metadata blob, which makes hash(schema) raise and defeats
+        # Ray's schema dedup in every downstream join/shuffle
+        .map_batches(strip_schema_metadata, batch_format="pyarrow",
+                     zero_copy_batch=True)
     )
 
 

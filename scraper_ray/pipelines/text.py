@@ -129,6 +129,85 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# RE2 on both sides: Arrow's replace_substring_regex/count_substring_regex
+# and DuckDB's regexp_replace/regexp_extract_all are all RE2, so the
+# redaction semantics (leftmost, non-overlapping, global) match exactly.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    (r"\b(customer|supplier) [a-z]+", "<NAME>"),   # entity-mention shape
+)
+
+
+def pii_scrub_batch(t: pa.Table) -> pa.Table:
+    """One redaction pass over a (doc_id, text) batch: each pattern is
+    counted on — then applied to — the text as redacted by the previous
+    patterns (a placeholder can neither hide nor mint later matches
+    unnoticed; the SQL oracle stages the same sequence)."""
+    clean = t.column("text")
+    n_red = None
+    for pat, repl in _PII_PATTERNS:
+        n = pc.cast(pc.count_substring_regex(clean, pat), pa.int64())
+        n_red = n if n_red is None else pc.add(n_red, n)
+        clean = pc.replace_substring_regex(clean, pat, repl)
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "clean_text": clean,
+                     "n_redacted": n_red})
+
+
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """Regex redaction pass (the PII-scrub stage of a training-data
+    pipeline): emails, phone numbers and entity mentions replaced by
+    typed placeholders, with a per-doc redaction count. Fully
+    vectorized — one RE2 kernel per pattern per batch."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_stopword_strip(sf_dir: str) -> rd.Dataset:
+    """Stopword removal: drop stopword tokens from each doc, keep the
+    rest in order; emits the cleaned text and how many tokens fell.
+    Per-doc token loop (no Arrow kernel filters list elements), state
+    is a module-level frozenset — the init-once pattern."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    stop = frozenset(_STOPWORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        texts, n_rm = [], []
+        for x in t.column("text").to_pylist():
+            toks = x.split(" ")
+            kept = [w for w in toks if w not in stop]
+            texts.append(" ".join(kept))
+            n_rm.append(len(toks) - len(kept))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "clean_text": pa.array(texts, pa.string()),
+                         "n_removed": pa.array(n_rm, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_TRUNC_TOKENS = 64
+
+
+def q_truncate_tokens(sf_dir: str) -> rd.Dataset:
+    """Context-length trim: keep each doc's first 64 whitespace tokens
+    (the sequence-length cap stage before tokenization/packing)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts, n_tok = [], []
+        for x in t.column("text").to_pylist():
+            toks = x.split(" ")[:_TRUNC_TOKENS]
+            texts.append(" ".join(toks))
+            n_tok.append(len(toks))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string()),
+                         "n_tokens": pa.array(n_tok, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ORACLE_SQL = {
     "token_count": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
@@ -196,6 +275,46 @@ SELECT doc_id,
        ELSE md5(text) END AS fingerprint
 FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """,
+    "pii_scrub": r"""
+-- staged to mirror the engine exactly: each pattern is counted on the
+-- text as redacted by the previous patterns, then applied
+SELECT doc_id,
+       regexp_replace(t2, '\b(customer|supplier) [a-z]+',
+                      '<NAME>', 'g') AS clean_text,
+       CAST(n1 + n2
+          + len(regexp_extract_all(t2, '\b(customer|supplier) [a-z]+'))
+          AS BIGINT) AS n_redacted
+FROM (
+  SELECT doc_id, n1,
+         len(regexp_extract_all(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n2,
+         regexp_replace(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+                        '<PHONE>', 'g') AS t2
+  FROM (
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM documents))
+""",
+    "stopword_strip": """
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+           x -> x NOT IN ('the','a','of','and','to','in','is','it')),
+           ' ') AS clean_text,
+       CAST(len(string_split(text, ' '))
+          - len(list_filter(string_split(text, ' '),
+                x -> x NOT IN ('the','a','of','and','to','in','is','it')))
+          AS BIGINT) AS n_removed
+FROM documents
+""",
+    "truncate_tokens": """
+SELECT doc_id,
+       array_to_string(toks[1:64], ' ') AS text,
+       CAST(least(len(toks), 64) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
 }
 
 QUERIES = {
@@ -204,4 +323,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "pii_scrub": q_pii_scrub,
+    "stopword_strip": q_stopword_strip,
+    "truncate_tokens": q_truncate_tokens,
 }

@@ -100,3 +100,29 @@ def test_listing_split(tmp_path):
     # J1 propagation: every detail property_id is a fetched list page
     doc_ids = set(docs.to_pandas()["doc_id"])
     assert set(d["property_id"]) - {""} <= doc_ids
+
+
+def test_pii_scrub_batch_planted():
+    import pyarrow as pa
+
+    from scraper_ray.pipelines.text import pii_scrub_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail me at jane.doe+x@corp.example.org today",
+            "call 555-123-4567 or 555 987 6543 now",
+            "customer alice met supplier bob",
+            "nothing sensitive here",
+        ],
+    })
+    out = pii_scrub_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert rows[1]["n_redacted"] == 1
+    assert rows[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert rows[2]["n_redacted"] == 2
+    assert rows[3]["clean_text"] == "<NAME> met <NAME>"
+    assert rows[3]["n_redacted"] == 2
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert rows[4]["n_redacted"] == 0
