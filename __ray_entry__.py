@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         listing,
         media,
+        packing,
         relational,
         stats,
         temporal,
@@ -44,7 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
                 crawl_queries, listing, temporal, corpus, stats, graph,
-                window):
+                window, packing):
         out.update(mod.QUERIES)
     return out
 
@@ -59,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
         graph,
         listing,
         media,
+        packing,
         relational,
         stats,
         temporal,
@@ -72,7 +74,8 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
-                listing, enrichment, media, corpus, stats, graph, window):
+                listing, enrichment, media, corpus, stats, graph, window,
+                packing):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()

@@ -109,7 +109,7 @@ QUERY_NAMES = [
     "dedup_exact", "minhash_pairs", "simhash", "token_count", "doc_stats",
     "ann_topk", "embedding_neardup", "top_orders", "group_collect",
     "quantiles", "price_histogram", "token_df", "group_topk",
-    "neardup_clusters",
+    "neardup_clusters", "decontaminate", "chunk_tokens", "pack_bins",
 ]
 
 

@@ -59,6 +59,10 @@ class CrawlConfig:
     # scale set a per-shard threshold sized to worker heap
     sched_spill_dir: str | None = None
     sched_spill_threshold: int = 0
+    # doc sink format per wave dir: 'lance' is the north rule's target
+    # (distributed fragment writes, sources/io.py); falls back to
+    # parquet with the same wave-dir layout when lance is not installed
+    sink_format: str = "parquet"
 
 
 @dataclass
@@ -219,7 +223,10 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
             )
         ds = ds.map_batches(discover_fn, batch_format="pyarrow",
                             batch_size=ccfg.batch_size, zero_copy_batch=True)
-        ds.write_parquet(os.path.join(ccfg.out_dir, f"wave={wave:05d}"))
+        from .sources.io import write_dataset
+
+        write_dataset(ds, os.path.join(ccfg.out_dir, f"wave={wave:05d}"),
+                      format=ccfg.sink_format)
         stats.docs += n_wave
         stats.wave_sizes.append(n_wave)
         if ccfg.checkpoint_dir and (wave % ccfg.checkpoint_every == 0):
@@ -240,6 +247,21 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     return stats
 
 
-def read_docs(out_dir: str) -> rd.Dataset:
-    """All crawled docs as a Dataset (wave dirs unioned)."""
+def read_docs(out_dir: str, format: str = "parquet") -> rd.Dataset:
+    """All crawled docs as a Dataset (wave dirs unioned).
+
+    ``format='lance'`` reads each wave's Lance dataset via
+    ``ray.data.read_lance`` and unions them (only when the lance
+    package is installed; the sink falls back to parquet otherwise)."""
+    if format == "lance":
+        import lance  # noqa: F401  (gate: raises cleanly when absent)
+
+        waves = sorted(
+            os.path.join(out_dir, n) for n in os.listdir(out_dir)
+            if n.startswith("wave="))
+        parts = [rd.read_lance(w) for w in waves]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
     return rd.read_parquet(out_dir)

@@ -1,0 +1,246 @@
+"""Training-corpus assembly operators: benchmark decontamination,
+context-length chunking, and greedy sequence packing.
+
+The last mile of a training-data pipeline after dedup/quality gating:
+
+- ``decontaminate`` — flag training docs sharing any 5-token n-gram
+  with a held-out eval split (the benchmark-leakage check). The eval
+  side is tiny by construction (benchmarks are ~10^5 grams even when
+  the corpus is 100 TB), so its distinct-gram set is collected once,
+  ``ray.put`` once, and probed inside ``map_batches`` — a broadcast
+  semi-join, never a corpus-wide shuffle.
+- ``chunk_tokens`` — split each doc into fixed-length token windows
+  (the context-window chunking stage before tokenization). Pure
+  flat-map, embarrassingly parallel.
+- ``pack_bins`` — assign docs to fixed token-budget training bins by
+  their offset in the doc_id-ordered token stream (streaming-concat
+  packing: bin = exclusive-prefix-sum // budget). Prefix sums don't
+  exist as a Ray Data primitive, so this is the classic two-phase
+  distributed scan: per-partition local prefix sums (one groupby on a
+  doc_id-range key), per-partition totals to the driver (one row per
+  partition — O(N / part_size), sized so this stays small; a 100 TB
+  corpus at part_size 10^6 is ~10^5 offset rows), cumulative offsets
+  broadcast back, and a final vectorized map adds them.
+
+All three are deterministic and mirrored exactly by DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .common import read_sf_table as _t
+
+_DECON_K = 5        # eval-overlap n-gram length
+_EVAL_MOD = 17      # doc_id % 17 == 0 -> held-out eval split
+_CHUNK_LEN = 32     # tokens per context window
+_PACK_BUDGET = 512  # tokens per training bin
+_PACK_PART = 64     # docs per scan partition (small here; ~10^6 at scale)
+
+
+def _grams(text: str, k: int) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {text}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Eval-overlap decontamination: for every training doc (doc_id not
+    divisible by 17), count its distinct 5-gram overlaps with the eval
+    split's gram set and flag contamination.
+
+    The eval gram set is built distributedly (per-batch distinct gram
+    rows -> one dedup aggregate), then collected and broadcast — the
+    collect is bounded by the benchmark size, not the corpus."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out: set[str] = set()
+        for i, x in zip(ids, texts):
+            if int(i) % _EVAL_MOD == 0:
+                out |= _grams(x, _DECON_K)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    # per-batch distinct gram rows -> driver frozenset (the set union IS
+    # the dedup; a groupby here would shuffle thousands of tiny groups
+    # for nothing). Collect size is bounded by the benchmark, not the
+    # corpus.
+    gram_rows = docs.map_batches(eval_grams, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    ev = frozenset(r["gram"] for r in gram_rows.take_all())
+    ev_ref = ray.put(ev)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        ev_set = ray.get(ev_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        keep_ids, n_over = [], []
+        for i, x in zip(ids, texts):
+            if int(i) % _EVAL_MOD == 0:
+                continue
+            keep_ids.append(int(i))
+            n_over.append(len(_grams(x, _DECON_K) & ev_set))
+        n = np.asarray(n_over, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(keep_ids, pa.int64()),
+            "n_overlap": pa.array(n),
+            "contaminated": pa.array((n > 0).astype(np.int64)),
+        })
+
+    return docs.map_batches(overlap, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_chunk_tokens(sf_dir: str) -> rd.Dataset:
+    """Context-window chunking: each doc's tokens split into consecutive
+    32-token windows (last window ragged). One output row per chunk —
+    a pure flat-map, no shuffle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_id, out_cid, out_txt, out_n = [], [], [], []
+        for i, x in zip(ids, texts):
+            toks = x.split(" ")
+            for c in range(0, max(1, -(-len(toks) // _CHUNK_LEN))):
+                win = toks[c * _CHUNK_LEN : (c + 1) * _CHUNK_LEN]
+                out_id.append(int(i))
+                out_cid.append(c)
+                out_txt.append(" ".join(win))
+                out_n.append(len(win))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return docs.map_batches(chunks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_pack_bins(sf_dir: str) -> rd.Dataset:
+    """Greedy streaming-concat packing: docs in doc_id order are laid
+    end-to-end in a token stream and each doc lands in the bin covering
+    its start offset (bin = exclusive-prefix-token-sum // 512).
+
+    Two-phase distributed scan (no driver-side row loop): local prefix
+    sums inside doc_id-range partitions, partition totals -> cumulative
+    offsets on the driver (one small row per partition), offsets
+    broadcast via ray.put, final vectorized add."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def counted(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "part": pc.divide(ids, pa.scalar(_PACK_PART, pa.int64())),
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+        })
+
+    counts = docs.map_batches(counted, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # phase 1: within-partition exclusive prefix sums (sorted by doc_id)
+    def local_scan(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("doc_id"))
+        g = g.take(order)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        prefix = np.cumsum(n) - n
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "part": g.column("part"),
+            "n_tokens": g.column("n_tokens"),
+            "local_prefix": pa.array(prefix, pa.int64()),
+        })
+
+    scanned = counts.groupby("part").map_groups(
+        local_scan, batch_format="pyarrow")
+
+    # phase 2: per-partition totals -> cumulative offsets (driver holds
+    # one int per partition, never per row)
+    totals = counts.groupby("part").sum("n_tokens").take_all()
+    totals.sort(key=lambda r: r["part"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["part"])] = acc
+        acc += int(r["sum(n_tokens)"])
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        parts = t.column("part").to_numpy(zero_copy_only=False)
+        base = np.asarray([off[int(p)] for p in parts], dtype=np.int64)
+        prefix = base + t.column("local_prefix").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "bin_id": pa.array(prefix // _PACK_BUDGET, pa.int64()),
+        })
+
+    return scanned.map_batches(assign, batch_format="pyarrow")
+
+
+ORACLE_SQL = {
+    "decontaminate": f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_DECON_K} THEN
+           list_transform(range(1, len(toks) - {_DECON_K - 2}),
+                          i -> array_to_string(toks[i:i+{_DECON_K - 1}], ' '))
+         ELSE [text] END AS gs
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+       WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, list_distinct(gs) AS gs FROM g
+       WHERE doc_id % {_EVAL_MOD} <> 0),
+ex AS (SELECT doc_id, unnest(gs) AS gram FROM tr),
+h AS (SELECT ex.doc_id, count(*) AS n FROM ex
+      JOIN ev USING (gram) GROUP BY ex.doc_id)
+SELECT tr.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM tr LEFT JOIN h USING (doc_id)
+""",
+    "chunk_tokens": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ex AS (SELECT doc_id, toks,
+              unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_LEN}.0)
+                                   AS BIGINT))) AS i
+       FROM d)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[i*{_CHUNK_LEN}+1:i*{_CHUNK_LEN}+{_CHUNK_LEN}],
+                       ' ') AS chunk_text,
+       CAST(least({_CHUNK_LEN}, len(toks) - i*{_CHUNK_LEN})
+            AS BIGINT) AS n_tokens
+FROM ex
+""",
+    "pack_bins": f"""
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sum(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+""",
+}
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "chunk_tokens": q_chunk_tokens,
+    "pack_bins": q_pack_bins,
+}

@@ -56,3 +56,21 @@ def test_resume_cleans_partial_wave_dirs(tmp_path):
     crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
                             checkpoint_dir=ck, batch_size=64), resume=True)
     assert not os.path.isdir(junk)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lance_sink_config_falls_back(tmp_path):
+    """sink_format='lance' routes each wave through write_dataset: with
+    no lance package installed it must warn and fall back to parquet
+    with the identical wave-dir layout and docs."""
+    seeds = gen_seeds(CFG, 20)
+    key = order_key_columns()
+    a, b = str(tmp_path / "pq"), str(tmp_path / "ln")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=a,
+                             batch_size=64))
+    with pytest.warns(UserWarning, match="lance is not installed"):
+        crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=b,
+                                 batch_size=64, sink_format="lance"))
+    pa_docs = read_docs(a).to_pandas().sort_values(key).reset_index(drop=True)
+    ln_docs = read_docs(b).to_pandas().sort_values(key).reset_index(drop=True)
+    assert pa_docs["url"].tolist() == ln_docs["url"].tolist()
