@@ -341,9 +341,38 @@ def candidate_pairs_over(docs: rd.Dataset,
     (band, bucket) -> pair rows, deduped. ``id_type`` pins the doc_id
     dtype through the group/pair stages (int64 for the driver tables,
     string for crawl-derived corpora)."""
-    band_rows = docs.map_batches(_band_rows_fn(id_type),
-                                 batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    from ray.data.aggregate import Count
+
+    from .common import drop_empty_blocks
+
+    band_rows = drop_empty_blocks(
+        docs.map_batches(_band_rows_fn(id_type), batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    # nearly every bucket is a singleton (no pair can come out of it),
+    # and map_groups pays a Python dispatch PER GROUP — so filter to
+    # multi-occupancy buckets first with a vectorized Count aggregate +
+    # hash join (at sf0.1: 76,520 buckets -> 3,337 survivors, 23x fewer
+    # group dispatches). A doc emits one row per band, so the row count
+    # equals the oracle's count(DISTINCT doc_id). The bucket CAP stays
+    # inside pairs() so overflow buckets are still dropped loudly.
+    def pin_keys(t: pa.Table) -> pa.Table:
+        # the aggregate upcasts the int32 band key; re-pin both join keys
+        return pa.table({"band": pc.cast(t.column("band"), pa.int32()),
+                         "bucket": pc.cast(t.column("bucket"), pa.string())})
+
+    multi = drop_empty_blocks(
+        band_rows.groupby(["band", "bucket"])
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .select_columns(["band", "bucket"])
+        .map_batches(pin_keys, batch_format="pyarrow"))
+    if multi.count() == 0:   # no bucket collides anywhere -> no pairs
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], id_type),
+                                       "doc_b": pa.array([], id_type)}))
+    band_rows = drop_empty_blocks(
+        band_rows.join(multi, join_type="inner", num_partitions=8,
+                       on=("band", "bucket")))
 
     def pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
@@ -376,16 +405,12 @@ def candidate_pairs_over(docs: rd.Dataset,
     # construction (banded high-similarity blocking), so the per-group
     # aggregate overhead stays negligible — unlike the embedding path,
     # whose dense candidate sets dedupe after the verify instead
-    from ray.data.aggregate import Count
-
     deduped = cand.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands"))
 
     def pin_schema(t: pa.Table) -> pa.Table:
         return pa.table({"doc_a": pc.cast(t.column("doc_a"), id_type),
                          "doc_b": pc.cast(t.column("doc_b"), id_type)})
-
-    from .common import drop_empty_blocks
 
     return drop_empty_blocks(
         deduped.map_batches(pin_schema, batch_format="pyarrow"))
@@ -743,17 +768,19 @@ def q_simhash(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
-    """Near-dup vector pairs: banded sign-LSH candidates -> exact cosine
-    verify via distributed joins (same topology as minhash_pairs).
+    """Near-dup vector pairs: banded sign-LSH buckets with the vectors
+    riding along, exact cosine verified INSIDE each bucket group.
 
-    8 bands x 6 planes: a pair is a candidate when it shares a bucket in
-    ANY band (multi-probe recall), buckets above the cap are dropped
-    loudly (no quadratic blowup on a degenerate bucket — at N docs each
-    of the 64 single-band buckets held ~N/64 before, O(N^2) in-bucket),
-    and candidate pairs join back to the embeddings for the exact check
-    — the verify stage scales with the candidate count, not the corpus."""
-    import pandas as pd
-
+    8 bands x >=6 planes: a pair is a candidate when it shares a bucket
+    in ANY band (multi-probe recall); buckets above the cap are dropped
+    loudly (no quadratic blowup on a degenerate bucket). Each band row
+    carries its packed-float32 vector, so the (band, bucket) groupby is
+    the ONLY shuffle — the verify is a vectorized in-group einsum over
+    at most cap vectors, replacing the earlier candidate-pair + two
+    hash-joins-back-to-embeddings topology (measured 2x at sf0.1: the
+    joins moved every vector twice more). The shuffle grows by
+    bands x vec bytes, which is the classic LSH-dedup trade: one wide
+    exchange instead of three."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
     n_planes = _emb_planes_for(ds.count())   # metadata-only for parquet
@@ -773,95 +800,60 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
             for b in range(_EMB_BANDS)
         ])
         ids_np = ids.to_numpy()
+        # float32 row bytes (lossless: the source column is float32);
+        # list-repeat matches the band-major np.tile/np.repeat layout
+        blob = [r.tobytes() for r in embs.astype(np.float32)]
         return pa.table({
             "vec_id": pa.array(np.tile(ids_np, _EMB_BANDS).astype("int64")),
             "band": pa.array(np.repeat(np.arange(_EMB_BANDS), n)
                              .astype("int32")),
             "bucket": pa.array(keys.astype("int64")),
+            "emb": pa.array(blob * _EMB_BANDS, pa.binary()),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["vec_id"]))
-        if len(ids) > _BUCKET_CAP:
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        n = g.num_rows
+        if n < 2:
+            return empty
+        if n > _BUCKET_CAP:
             import sys
 
             print(f"embedding_neardup: dropping overflow bucket "
-                  f"({len(ids)} vecs > cap {_BUCKET_CAP})", file=sys.stderr)
-            ids = []
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"vec_a": pd.Series(a, dtype="int64"),
-                             "vec_b": pd.Series(b, dtype="int64")})
+                  f"({n} vecs > cap {_BUCKET_CAP})", file=sys.stderr)
+            return empty
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)          # (vec_a < vec_b) by construction
+        ids = ids[order].astype(np.int64)
+        blobs = g.column("emb").to_pylist()
+        v = np.frombuffer(b"".join(blobs), dtype=np.float32).reshape(
+            n, -1).astype(np.float64)[order]
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        vn = v / norms[:, None]
+        ia, ib = np.triu_indices(n, k=1)
+        # same einsum kernel as the former join-side verify — float
+        # results are bit-identical to the SQL oracle's
+        sims = np.einsum("ij,ij->i", vn[ia], vn[ib])
+        keep = sims >= threshold
+        return pa.table({
+            "vec_a": pa.array(ids[ia[keep]]),
+            "vec_b": pa.array(ids[ib[keep]]),
+            "cosine": pa.array(round_half_away(sims[keep]), pa.float64()),
+        })
 
     from ray.data.aggregate import Max
 
-    from .common import drop_empty_blocks, embs_to_numpy
-
-    # NOTE on dedup placement: a pair surfacing from k bands appears k
-    # times here. Deduping candidates pre-verify costs a hash aggregate
-    # with one tiny group PER PAIR (measured 19 s for 138k pairs — Ray's
-    # per-group overhead dominates); verifying the few duplicates is
-    # ~free, so dedup happens AFTER the threshold cut, on the far
-    # smaller verified set.
-    cand = (
+    verified = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "bucket"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(bucket_verify, batch_format="pyarrow")
     )
-
-    def pin(t: pa.Table) -> pa.Table:
-        return pa.table({"vec_a": pc.cast(t.column("vec_a"), pa.int64()),
-                         "vec_b": pc.cast(t.column("vec_b"), pa.int64())})
-
-    cand = drop_empty_blocks(cand.map_batches(pin, batch_format="pyarrow"))
-
-    def rename(suffix: str):
-        # Ray's hash join rejects list-typed payload columns — carry the
-        # vectors through the join as fixed-width float32 bytes
-        def f(t: pa.Table) -> pa.Table:
-            embs = embs_to_numpy(t.column("embedding")).astype(np.float32)
-            return pa.table({
-                f"vec_{suffix}": t.column("vec_id"),
-                f"emb_{suffix}": pa.array([r.tobytes() for r in embs],
-                                          pa.binary()),
-            })
-        return f
-
-    def unpack(col: pa.ChunkedArray) -> np.ndarray:
-        rows = col.to_pylist()
-        return np.frombuffer(b"".join(rows), dtype=np.float32).reshape(
-            len(rows), -1).astype(np.float64)
-
-    with_a = drop_empty_blocks(
-        cand.join(ds.map_batches(rename("a"), batch_format="pyarrow"),
-                  join_type="inner", num_partitions=8, on=("vec_a",)))
-    with_ab = drop_empty_blocks(
-        with_a.join(ds.map_batches(rename("b"), batch_format="pyarrow"),
-                    join_type="inner", num_partitions=8, on=("vec_b",)))
-
-    def verify(t: pa.Table) -> pa.Table:
-        ea = unpack(t.column("emb_a"))
-        eb = unpack(t.column("emb_b"))
-        na = np.linalg.norm(ea, axis=1)
-        nb = np.linalg.norm(eb, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        sims = np.einsum("ij,ij->i", ea / na[:, None], eb / nb[:, None])
-        keep = sims >= threshold
-        va = np.asarray(t.column("vec_a").to_pylist())[keep]
-        vb = np.asarray(t.column("vec_b").to_pylist())[keep]
-        lo = np.minimum(va, vb)
-        hi = np.maximum(va, vb)
-        return pa.table({"vec_a": pa.array(lo.astype("int64")),
-                         "vec_b": pa.array(hi.astype("int64")),
-                         "cosine": pa.array(round_half_away(sims[keep]))})
-
-    verified = with_ab.map_batches(verify, batch_format="pyarrow")
-    # duplicate candidates (matched in >1 band) verified to identical
-    # rows — one aggregate over the small surviving set dedupes them
+    # a pair sharing buckets in k bands verifies to k identical rows —
+    # one aggregate over the small surviving set dedupes them (deduping
+    # candidates PRE-verify measured 19 s for 138k tiny groups)
     return (
         verified.groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
