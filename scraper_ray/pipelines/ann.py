@@ -289,6 +289,112 @@ def q_ann_ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     )
 
 
+SEMDEDUP_THRESHOLD = 0.3
+SEMDEDUP_CLUSTER_CAP = 256   # skip-prune bound for degenerate clusters
+
+
+def q_semdedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset:
+    """SemDedup-style semantic dedup: cluster with the deterministic
+    k-means, then inside each cluster drop any vector whose cosine to a
+    LOWER-id cluster member reaches the threshold (the lower id is the
+    kept representative). Output: (vec_id, cid, keep) for every vector.
+
+    Topology: one assignment map (centroids broadcast via ray.put) and
+    one groupby(cid) shuffle with the packed vector riding along; the
+    prune is a vectorized in-group matmul bounded by the cluster cap —
+    degenerate clusters past the cap keep all members, loudly (pruning
+    them would need an unbounded pairwise pass; SQL mirrors the skip)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(ds.count()))
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        d = -2.0 * (embs @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pa.table({
+            "vec_id": pa.compute.cast(t.column("vec_id"), pa.int64()),
+            "cid": pa.array(np.argmin(d, axis=1).astype("int64")),
+            "emb": pa.array([r.tobytes()
+                             for r in embs.astype(np.float32)], pa.binary()),
+        })
+
+    def prune(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order].astype(np.int64)
+        cid = int(g.column("cid")[0].as_py())
+        if n > SEMDEDUP_CLUSTER_CAP:
+            import sys
+
+            print(f"semdedup: cluster {cid} past cap ({n} > "
+                  f"{SEMDEDUP_CLUSTER_CAP}), keeping all members",
+                  file=sys.stderr)
+            keep = np.ones(n, dtype=np.int64)
+        else:
+            v = np.frombuffer(b"".join(g.column("emb").to_pylist()),
+                              dtype=np.float32).reshape(n, -1).astype(
+                np.float64)[order]
+            norms = np.linalg.norm(v, axis=1)
+            norms[norms == 0] = 1.0
+            vn = v / norms[:, None]
+            # same pairwise einsum kernel as the embedding near-dup
+            # verify (bit-identical to DuckDB's list_cosine_similarity;
+            # a BLAS matmul could reorder the additions)
+            ia, ib = np.triu_indices(n, k=1)
+            sims = np.einsum("ij,ij->i", vn[ia], vn[ib])
+            dup = np.zeros(n, dtype=bool)
+            hit = sims >= threshold
+            # dropped when ANY lower-id member is >= threshold
+            np.logical_or.at(dup, ib[hit], True)
+            keep = (~dup).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cid": pa.array(np.full(n, cid, dtype=np.int64)),
+                         "keep": pa.array(keep)})
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cid")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
+def semdedup_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                        threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    """Generated for the driver-gate tier, like ``ivf_oracle_sql``:
+    inline the deterministic centroids, assign with the same argmin
+    formula, and mark a vector dropped when a lower-id cluster member
+    reaches the cosine threshold."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(n))
+    c_lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    norms = [(c * c).sum() for c in cents]
+    dist_list = ", ".join(
+        f"(-2 * list_dot_product(emb, {cl}) + {repr(float(nm))})"
+        for cl, nm in zip(c_lists, norms))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+assigned AS (
+  SELECT vec_id, emb,
+         list_position(d, list_min(d)) - 1 AS cid
+  FROM (SELECT vec_id, emb, [{dist_list}] AS d FROM e)),
+sizes AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid)
+SELECT v.vec_id, CAST(v.cid AS BIGINT) AS cid,
+       CAST(CASE WHEN s.n > {SEMDEDUP_CLUSTER_CAP} THEN 1
+                 WHEN EXISTS (
+                   SELECT 1 FROM assigned u
+                   WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+                     AND list_cosine_similarity(u.emb, v.emb)
+                         >= {threshold}) THEN 0
+                 ELSE 1 END AS BIGINT) AS keep
+FROM assigned v JOIN sizes s ON s.cid = v.cid
+"""
+
+
 def q_embedding_norms(sf_dir: str) -> rd.Dataset:
     """Per-vector L2 norm (rounded) — the simplest vector kernel, used to
     anchor the float pipeline against the SQL oracle."""
@@ -397,4 +503,5 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_norms": q_embedding_norms,
+    "semdedup": q_semdedup,
 }

@@ -58,3 +58,23 @@ def test_lsh_topk_contains_query(tmp_path):
     # deduped to a single row
     assert got["vec_id"].tolist()[0] == 0
     assert got["vec_id"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_drops_planted_twins_keeps_rest(tmp_path):
+    """Planted near-duplicates of vec 0 land in its cluster and must be
+    dropped (keep=0) in favor of the lowest id; unrelated vectors keep."""
+    from scraper_ray.pipelines.ann import q_semdedup
+
+    _write_embeddings(tmp_path)
+    got = q_semdedup(str(tmp_path), threshold=0.9).to_pandas()
+    assert len(got) == 400                        # one row per vector
+    by_id = got.set_index("vec_id")
+    assert by_id.loc[0, "keep"] == 1              # representative kept
+    assert by_id.loc[7, "keep"] == 0
+    assert by_id.loc[11, "keep"] == 0
+    # twins share vec 0's cluster
+    assert by_id.loc[7, "cid"] == by_id.loc[0, "cid"]
+    # random vectors at dim 32 never reach cosine 0.9 pairwise
+    others = by_id.drop(index=[7, 11])
+    assert (others["keep"] == 1).all()

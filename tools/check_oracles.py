@@ -79,7 +79,7 @@ def main() -> int:
     pinned = "/root/testdata/" + _ORACLE_TIER
     pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
                  "listing_info", "ann_ivf_topk", "corpus_build",
-                 "corpus_neardedup"}
+                 "corpus_neardedup", "semdedup"}
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
