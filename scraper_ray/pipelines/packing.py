@@ -49,15 +49,12 @@ def _grams(text: str, k: int) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def q_decontaminate(sf_dir: str) -> rd.Dataset:
-    """Eval-overlap decontamination: for every training doc (doc_id not
-    divisible by 17), count its distinct 5-gram overlaps with the eval
-    split's gram set and flag contamination.
-
-    The eval gram set is built distributedly (per-batch distinct gram
-    rows -> one dedup aggregate), then collected and broadcast — the
-    collect is bounded by the benchmark size, not the corpus."""
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+def _eval_gram_set(docs: rd.Dataset) -> frozenset:
+    """Distinct 5-grams of the eval split (doc_id % 17 == 0), built as
+    per-batch distinct gram rows then unioned on the driver (the set
+    union IS the dedup; a groupby here would shuffle thousands of tiny
+    groups for nothing). Collect size is bounded by the benchmark, not
+    the corpus."""
 
     def eval_grams(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -68,14 +65,19 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
                 out |= _grams(x, _DECON_K)
         return pa.table({"gram": pa.array(sorted(out), pa.string())})
 
-    # per-batch distinct gram rows -> driver frozenset (the set union IS
-    # the dedup; a groupby here would shuffle thousands of tiny groups
-    # for nothing). Collect size is bounded by the benchmark, not the
-    # corpus.
     gram_rows = docs.map_batches(eval_grams, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    ev = frozenset(r["gram"] for r in gram_rows.take_all())
-    ev_ref = ray.put(ev)
+    return frozenset(r["gram"] for r in gram_rows.take_all())
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Eval-overlap decontamination: for every training doc (doc_id not
+    divisible by 17), count its distinct 5-gram overlaps with the eval
+    split's gram set and flag contamination. The gram set is broadcast
+    once (ray.put) and probed inside map_batches — a broadcast
+    semi-join, never a corpus-wide shuffle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    ev_ref = ray.put(_eval_gram_set(docs))
 
     def overlap(t: pa.Table) -> pa.Table:
         ev_set = ray.get(ev_ref)
@@ -127,28 +129,25 @@ def q_chunk_tokens(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
-def q_pack_bins(sf_dir: str) -> rd.Dataset:
-    """Greedy streaming-concat packing: docs in doc_id order are laid
-    end-to-end in a token stream and each doc lands in the bin covering
-    its start offset (bin = exclusive-prefix-token-sum // 512).
+def pack_assign(counts: rd.Dataset) -> rd.Dataset:
+    """Assign (doc_id, n_tokens) rows to fixed token-budget bins by
+    their offset in the doc_id-ordered token stream
+    (bin = exclusive-prefix-sum // budget).
 
     Two-phase distributed scan (no driver-side row loop): local prefix
     sums inside doc_id-range partitions, partition totals -> cumulative
     offsets on the driver (one small row per partition), offsets
     broadcast via ray.put, final vectorized add."""
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def counted(t: pa.Table) -> pa.Table:
-        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+    def keyed(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
         return pa.table({
             "doc_id": ids,
             "part": pc.divide(ids, pa.scalar(_PACK_PART, pa.int64())),
-            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
         })
 
-    counts = docs.map_batches(counted, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    counts = counts.map_batches(keyed, batch_format="pyarrow").materialize()
 
     # phase 1: within-partition exclusive prefix sums (sorted by doc_id)
     def local_scan(g: pa.Table) -> pa.Table:
@@ -190,6 +189,86 @@ def q_pack_bins(sf_dir: str) -> rd.Dataset:
         })
 
     return scanned.map_batches(assign, batch_format="pyarrow")
+
+
+def q_pack_bins(sf_dir: str) -> rd.Dataset:
+    """Greedy streaming-concat packing of the documents table: docs in
+    doc_id order are laid end-to-end in a token stream and each doc
+    lands in the bin covering its start offset."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def counted(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+        })
+
+    return pack_assign(docs.map_batches(counted, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+def q_corpus_assemble(sf_dir: str) -> rd.Dataset:
+    """End-to-end training-set assembly over the documents table:
+
+        quality gate (>=20 tokens, stopword ratio < 0.5)
+        -> train split (drop eval docs, doc_id % 17 == 0)
+        -> decontaminate (drop docs overlapping eval 5-grams)
+        -> exact dedup (md5(text), keep min doc_id)
+        -> pack into token-budget bins
+
+    The gate + split + decontamination run in ONE map over the corpus
+    (eval grams broadcast); the only shuffles are the dedup groupby and
+    the packing scan. Mirrored end-to-end by a single SQL oracle."""
+    import hashlib
+
+    from .text import _STOPWORDS
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    ev_ref = ray.put(_eval_gram_set(docs))
+    stop = frozenset(_STOPWORDS)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_id, out_hash, out_n = [], [], []
+        for i, x in zip(ids, texts):
+            if int(i) % _EVAL_MOD == 0:
+                continue
+            toks = x.split(" ")
+            n = len(toks)
+            if n < 20:
+                continue
+            n_stop = sum(1 for w in toks if w in stop)
+            if n_stop / n >= 0.5:
+                continue
+            if _grams(x, _DECON_K) & ev:
+                continue
+            out_id.append(int(i))
+            out_hash.append(hashlib.md5(x.encode()).hexdigest())
+            out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text_hash": pa.array(out_hash, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    gated = docs.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        # identical texts have identical token counts — keep min doc_id
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array([int(ids.min())], pa.int64()),
+            "n_tokens": pa.array([int(g.column("n_tokens")[0].as_py())],
+                                 pa.int64()),
+        })
+
+    deduped = gated.groupby("text_hash").map_groups(
+        keep_first, batch_format="pyarrow")
+    return pack_assign(deduped)
 
 
 ORACLE_SQL = {
@@ -237,10 +316,43 @@ FROM (SELECT doc_id,
                OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       FROM documents)
 """,
+    "corpus_assemble": f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) >= {_DECON_K} THEN
+           list_transform(range(1, len(toks) - {_DECON_K - 2}),
+                          i -> array_to_string(toks[i:i+{_DECON_K - 1}], ' '))
+         ELSE [text] END AS gs
+  FROM d),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+       WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, text, toks, list_distinct(gs) AS gs FROM g
+       WHERE doc_id % {_EVAL_MOD} <> 0),
+ovl AS (SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(gs) AS gram FROM tr) t
+        JOIN ev USING (gram)),
+gated AS (
+  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens FROM tr
+  WHERE len(toks) >= 20
+    AND CAST(len(list_filter(toks,
+          x -> x IN ('the','a','of','and','to','in','is','it')))
+        AS DOUBLE) / len(toks) < 0.5
+    AND doc_id NOT IN (SELECT doc_id FROM ovl)),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+  FROM gated GROUP BY md5(text))
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM deduped
+""",
 }
 
 QUERIES = {
     "decontaminate": q_decontaminate,
     "chunk_tokens": q_chunk_tokens,
     "pack_bins": q_pack_bins,
+    "corpus_assemble": q_corpus_assemble,
 }
