@@ -43,6 +43,10 @@ from .common import read_sf_table as _t, round_half_away
 
 _BUCKET_CAP = 64   # max docs per LSH bucket before the bucket is dropped
 _GRAM_DF_CAP = 32  # drop 3-grams appearing in more documents than this
+# verify-side candidate broadcast: below this many pairs the distinct
+# participating doc ids fit on the driver (<= 2*cap * 16 B each) and the
+# corpus can be membership-filtered without a shuffle
+_VERIFY_BROADCAST_CAP = 2_000_000
 
 _EMB_BANDS = 8          # independent sign-LSH bands...
 _EMB_PLANES = 6         # ...of at least this many hyperplanes each
@@ -471,13 +475,19 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
                          id_type: pa.DataType = pa.int64(),
                          assume_unique: bool = True) -> rd.Dataset:
     """Exact 3-gram-Jaccard verification of candidate (doc_a, doc_b)
-    pairs: two distributed hash joins pull the texts to the pairs — no
-    driver-side text materialization, so this stage scales with the
-    candidate count, not the corpus. *cand* must be empty-block-scrubbed
-    (``candidate_pairs_over`` output shape). With ``assume_unique=False``
-    duplicate candidate rows are tolerated and collapsed AFTER the
-    verify — the surviving set is orders smaller than the candidate
-    set, so deduping there avoids a full pre-verify pair shuffle."""
+    pairs: the distinct participating doc ids (bounded by the candidate
+    count) are broadcast once and the corpus is REDUCED with a
+    shuffle-free membership map before the two hash joins pull texts to
+    the pairs — so the joins move only docs that appear in some pair,
+    and the stage truly scales with the candidate count, not the corpus
+    (an un-reduced inner join would still hash-partition all 100 TB of
+    docs twice). Past a bound the reduction is skipped — with that many
+    candidates the joins are corpus-sized anyway. *cand* must be
+    empty-block-scrubbed (``candidate_pairs_over`` output shape). With
+    ``assume_unique=False`` duplicate candidate rows are tolerated and
+    collapsed AFTER the verify — the surviving set is orders smaller
+    than the candidate set, so deduping there avoids a full pre-verify
+    pair shuffle."""
 
     def rename(suffix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -490,11 +500,28 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
     # a corpus with no candidate collisions at all yields a block-less
     # dataset that the join operator can't take a schema from (cand is
     # already materialized by the scrub, so this count is metadata-only)
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], id_type),
             "doc_b": pa.array([], id_type),
             "jaccard": pa.array([], pa.float64())}))
+    if n_cand <= _VERIFY_BROADCAST_CAP:
+        wanted: set = set()
+        for r in cand.take_all():
+            wanted.add(r["doc_a"])
+            wanted.add(r["doc_b"])
+        wanted_ref = ray.put(frozenset(wanted))
+
+        def member(t: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            mask = pa.array([x in w for x in
+                             t.column("doc_id").to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+        docs = drop_empty_blocks(
+            docs.map_batches(member, batch_format="pyarrow",
+                             zero_copy_batch=True))
     # each join's empty hash partitions emit schema-less blocks that the
     # next join rejects — scrub between stages
     with_a = drop_empty_blocks(
