@@ -87,6 +87,57 @@ def q_crawl_spans(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-domain crawl rollup: doc count, detail-page count, deepest
+    level reached and total fetch attempts — the frontier-audit view a
+    crawl operator reads first. Combiner discipline: each batch
+    pre-aggregates per domain (Arrow group_by inside the map), so the
+    shuffle moves one partial row per (domain, batch) — at 100 TB the
+    exchange is O(domains x blocks), never O(pages). The DuckDB oracle
+    aggregates the sequential oracle crawler's parquet, checking the
+    whole distributed crawl end-to-end in aggregate form."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    docs = _run_crawl(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "domain_key": t.column("domain_key"),
+            "n_docs": pa.array([1] * t.num_rows, pa.int64()),
+            "n_detail": pc.cast(pc.equal(t.column("page_type"), "detail"),
+                                pa.int64()),
+            "depth": pc.cast(t.column("depth"), pa.int64()),
+            "n_attempts": pc.cast(t.column("n_attempts"), pa.int64()),
+        })
+        g = flat.group_by("domain_key").aggregate(
+            [("n_docs", "sum"), ("n_detail", "sum"),
+             ("depth", "max"), ("n_attempts", "sum")])
+        return pa.table({
+            "domain_key": g.column("domain_key"),
+            "n_docs": pc.cast(g.column("n_docs_sum"), pa.int64()),
+            "n_detail": pc.cast(g.column("n_detail_sum"), pa.int64()),
+            "max_depth": pc.cast(g.column("depth_max"), pa.int64()),
+            "n_attempts": pc.cast(g.column("n_attempts_sum"), pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("domain_key")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_detail", alias_name="n_detail"),
+                      Max("max_depth", alias_name="max_depth"),
+                      Sum("n_attempts", alias_name="n_attempts")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(t.column(c), pa.int64())
+                         if c != "domain_key" else t.column(c)
+                         for c in ["domain_key", "n_docs", "n_detail",
+                                   "max_depth", "n_attempts"]})
+
+    return agg.map_batches(pin, batch_format="pyarrow")
+
+
 def q_geocode_grid(sf_dir: str) -> "pa.Table":
     """Geocode converter sweep over a fixed in-China grid + out-of-China
     points (rows-only; golden values pinned by tests/test_geocode.py)."""
@@ -276,10 +327,21 @@ FROM read_parquet('{ORACLE_DOCS_PATH}')
 SELECT doc_id, kind, text, media_ref, "offset"
 FROM read_parquet('{ORACLE_SPANS_PATH}')
 """,
+    "domain_stats": f"""
+SELECT domain_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN page_type = 'detail' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_detail,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(n_attempts) AS BIGINT) AS n_attempts
+FROM read_parquet('{ORACLE_DOCS_PATH}')
+GROUP BY domain_key
+""",
 }
 
 QUERIES = {
     "crawl_docs": q_crawl_docs,
     "crawl_spans": q_crawl_spans,
+    "domain_stats": q_domain_stats,
     "geocode_grid": q_geocode_grid,
 }

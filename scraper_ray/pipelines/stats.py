@@ -42,6 +42,12 @@ from .common import (int_scaled, read_sf_table as _t, round_half_away,
 QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.9, 0.99)
 SPLIT_EDGES = (80, 90)  # <80 train, <90 valid, else test
 TOPK_K = 3
+VOCAB_K = 20
+BM25_QUERY = ("merge", "spark", "window")   # fixed search terms
+BM25_K1, BM25_B = 1.2, 0.75
+SAMPLE_PER_LANG = 10
+SHUFFLE_SHARDS = 8
+LENGTH_BAND = (0.05, 0.95)
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +256,219 @@ def q_token_df(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# vocab_topk
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(sf_dir: str) -> rd.Dataset:
+    """Global top-K vocabulary by total term frequency (the tokenizer-
+    vocabulary / wordcount shape). Three bounded stages: per-batch token
+    Counter (the only pass over text), a (token, n) groupby-sum whose
+    shuffle carries one row per distinct token per batch, and a partial
+    top-k per block so the final single-group rank sees at most
+    K * n_blocks rows — never the vocabulary. Ties at the boundary break
+    by token ascending, so the result is deterministic."""
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for tok in txt.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").sum("n"))
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        out = pa.table({"token": t.column("token"),
+                        "n": pc.cast(t.column("sum(n)"), pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                                ("token", "ascending")])
+        t2 = out.take(order[: min(VOCAB_K, out.num_rows)])
+        return t2.append_column("g", pa.array([0] * t2.num_rows, pa.int8()))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["n", "token"], ascending=[False, True])
+                .head(VOCAB_K)[["token", "n"]])
+
+    return (agg.map_batches(partial_top, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+def q_bm25_search(sf_dir: str) -> rd.Dataset:
+    """BM25 relevance of every document to a fixed query (the retrieval /
+    quality-ranking stage over a crawled corpus).
+
+    Corpus stats come from two bounded exchanges: (n_docs, total_tokens)
+    partials for avgdl, and per-query-token df partials — both shuffle a
+    handful of rows per batch regardless of corpus size (the df pass only
+    tracks the |query| tokens, never the vocabulary). The stats broadcast
+    into the scoring map, which is one streaming pass emitting docs with
+    score > 0. Term order in the score sum is fixed (BM25_QUERY order) so
+    float results are bit-stable and the SQL oracle can mirror them."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def meta_partial(t: pa.Table) -> pa.Table:
+        rows = {q: 0 for q in BM25_QUERY}
+        total_toks = 0
+        for txt in t.column("text").to_pylist():
+            toks = txt.split(" ")
+            total_toks += len(toks)
+            tokset = set(toks)
+            for q in BM25_QUERY:
+                if q in tokset:
+                    rows[q] += 1
+        return pa.table({
+            "token": pa.array(list(rows) + ["__len__", "__docs__"]),
+            "n": pa.array(list(rows.values()) + [total_toks, t.num_rows],
+                          pa.int64())})
+
+    # tiny by construction: |query| + 2 rows per batch -> one small agg
+    meta = {r["token"]: r["sum(n)"]
+            for r in ds.map_batches(meta_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            .groupby("token").sum("n").take_all()}
+    n_docs = meta["__docs__"]
+    avgdl = meta["__len__"] / n_docs
+    idf = {q: math.log(1.0 + (n_docs - meta[q] + 0.5) / (meta[q] + 0.5))
+           for q in BM25_QUERY}
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            dl = len(toks)
+            s = 0.0
+            for q in BM25_QUERY:           # fixed term order: bit-stable
+                tf = toks.count(q)
+                if tf:
+                    s += idf[q] * (tf * (BM25_K1 + 1.0)) / (
+                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            if s > 0.0:
+                ids.append(did)
+                scores.append(s)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(round_half_away(scores, 6), pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# lang_balanced_sample
+# ---------------------------------------------------------------------------
+
+def q_lang_balanced_sample(sf_dir: str) -> rd.Dataset:
+    """Language-balanced subsample: the SAMPLE_PER_LANG docs per language
+    with the smallest md5(doc_id) sort key — a deterministic per-group
+    quota sample (the data-mixing step that stops one dominant language
+    from swamping a training corpus). Same bounded topology as
+    group_topk: per-batch partial quota, then a per-group final, so the
+    shuffle moves O(langs * quota * batches) rows."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(d).encode()).hexdigest()
+              for d in t.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "sort_key": pa.array(hs, pa.string())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["sort_key", "doc_id"])
+                .groupby("lang", as_index=False, sort=False)
+                .head(SAMPLE_PER_LANG))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["sort_key", "doc_id"])
+                .head(SAMPLE_PER_LANG)[["doc_id", "lang", "sort_key"]])
+
+    return (ds.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle
+# ---------------------------------------------------------------------------
+
+def q_global_shuffle(sf_dir: str) -> rd.Dataset:
+    """Deterministic training-order shuffle: every doc gets a shard
+    (first 64 md5 bits mod SHUFFLE_SHARDS) and a dense position within
+    its shard (rank by md5 hex, doc_id tie-break). Key-only hashing makes
+    the permutation identical across runs and cluster sizes; the only
+    shuffle is the groupby(shard), and each shard ranks independently —
+    at 100 TB shards are sized so one group fits a worker (shard count is
+    a config, not a rewrite)."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        shards = [int(h[:16], 16) % SHUFFLE_SHARDS for h in hs]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "shard": pa.array(shards, pa.int64()),
+                         "h": pa.array(hs, pa.string())})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "shard": g["shard"],
+                             "pos": np.arange(len(g), dtype=np.int64)})
+
+    return (ds.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# length_band_filter
+# ---------------------------------------------------------------------------
+
+def q_length_band_filter(sf_dir: str) -> rd.Dataset:
+    """Percentile-band outlier trim: keep docs whose char length lies in
+    the global [p5, p95] band — the two-phase filter shape (aggregate a
+    threshold, broadcast it into a streaming filter). Phase 1 reuses the
+    distributed value histogram: the driver sees (distinct n_chars,
+    count) rows, bounded cardinality, never documents. Phase 2 is a pure
+    vectorized filter with the two scalars in the closure."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t.column("n_chars").value_counts()
+        return pa.table({"value": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (docs.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("value").sum("n").to_pandas()
+            .sort_values("value").reset_index(drop=True))
+    cum = hist["sum(n)"].cumsum()
+    n = int(cum.iloc[-1])
+    edges = []
+    for q in LENGTH_BAND:   # quantile_disc rank = ceil(q*n), 1-based
+        rank = max(1, math.ceil(q * n))
+        edges.append(int(hist["value"].iloc[int((cum >= rank).idxmax())]))
+    lo, hi = edges
+
+    def band(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t.column("n_chars"), lo),
+                       pc.less_equal(t.column("n_chars"), hi))
+        return t.filter(keep)
+
+    return docs.map_batches(band, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -259,6 +478,27 @@ def _quantiles_sql() -> str:
         "FROM lineitem"
         for q in QUANTILE_LEVELS)
     return branches
+
+
+def _bm25_sql() -> str:
+    """Same expression tree as q_bm25_search, term order and operator
+    associativity preserved so the doubles match bit-for-bit."""
+    terms = []
+    for q in BM25_QUERY:
+        df = f"(SELECT count(*) FROM d WHERE list_contains(toks, '{q}'))"
+        idf = f"ln(1.0 + ((SELECT n FROM c) - {df} + 0.5) / ({df} + 0.5))"
+        tf = f"len(list_filter(toks, x -> x = '{q}'))"
+        terms.append(
+            f"{idf} * ({tf} * ({BM25_K1} + 1.0)) / ({tf} + {BM25_K1} * "
+            f"(1.0 - {BM25_B} + {BM25_B} * len(toks) / (SELECT avgdl FROM c)))")
+    score = " + ".join(terms)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT count(*) AS n, sum(len(toks)) / count(*) AS avgdl FROM d)
+SELECT doc_id, round(s, 6) AS score
+FROM (SELECT doc_id, {score} AS s FROM d)
+WHERE s > 0
+"""
 
 
 def _split_sql() -> str:
@@ -311,6 +551,40 @@ SELECT token, CAST(count(*) AS BIGINT) AS df,
              6) AS idf
 FROM tok GROUP BY token
 """,
+    "vocab_topk": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {VOCAB_K}
+""",
+    "bm25_search": _bm25_sql(),
+    "lang_balanced_sample": f"""
+SELECT doc_id, lang, sort_key FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_PER_LANG}
+""",
+    "global_shuffle": f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST({sql_hex64("CAST(doc_id AS VARCHAR)")}
+                  % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+      FROM documents)
+""",
+    "length_band_filter": f"""
+SELECT d.doc_id, d.n_chars
+FROM documents d,
+     (SELECT quantile_disc(n_chars, {LENGTH_BAND[0]}) AS lo,
+             quantile_disc(n_chars, {LENGTH_BAND[1]}) AS hi
+      FROM documents) t
+WHERE d.n_chars BETWEEN t.lo AND t.hi
+""",
 }
 
 QUERIES = {
@@ -320,4 +594,9 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "group_topk": q_group_topk,
     "token_df": q_token_df,
+    "vocab_topk": q_vocab_topk,
+    "bm25_search": q_bm25_search,
+    "lang_balanced_sample": q_lang_balanced_sample,
+    "global_shuffle": q_global_shuffle,
+    "length_band_filter": q_length_band_filter,
 }

@@ -208,7 +208,34 @@ def q_truncate_tokens(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_text_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonical text normalization before hashing/dedup: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, edges trimmed.
+    Fully vectorized — three RE2/utf8 kernels per batch, no Python row
+    loop, no shuffle (the shape every 100 TB normalization pass wants)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column("text"))
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "norm_text": x,
+            "n_chars": pc.cast(pc.utf8_length(x), pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ORACLE_SQL = {
+    "text_normalize": """
+SELECT doc_id, norm AS norm_text, CAST(length(norm) AS BIGINT) AS n_chars
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' ') AS norm
+      FROM documents)
+""",
     "token_count": """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 """,
@@ -326,4 +353,5 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "stopword_strip": q_stopword_strip,
     "truncate_tokens": q_truncate_tokens,
+    "text_normalize": q_text_normalize,
 }

@@ -61,9 +61,9 @@ def test_all_oracle_queries_match(entrymod, con):
     pinned = "/root/testdata/" + _ORACLE_TIER
     # ann_ivf_topk's oracle inlines centroids derived from the gate
     # tier's embeddings, so it is tier-pinned like the crawl fixtures
-    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
-                 "listing_info", "ann_ivf_topk", "corpus_build",
-                 "corpus_neardedup", "semdedup"}
+    pinned_qs = {"crawl_docs", "crawl_spans", "domain_stats",
+                 "listing_detail", "listing_info", "ann_ivf_topk",
+                 "corpus_build", "corpus_neardedup", "semdedup"}
     failures = []
     for name, sql in oracles.items():
         mine = _to_pandas(qs[name](pinned if name in pinned_qs else SF))
