@@ -47,6 +47,15 @@ _GRAM_DF_CAP = 32  # drop 3-grams appearing in more documents than this
 # participating doc ids fit on the driver (<= 2*cap * 16 B each) and the
 # corpus can be membership-filtered without a shuffle
 _VERIFY_BROADCAST_CAP = 2_000_000
+# when the membership-filtered doc side is this small, skip the two hash
+# joins entirely: ray.put the (doc_id, text) map once and verify pairs in
+# a single stateless map — the broadcast-small-side plan. Above the bound
+# the distributed join path runs unchanged.
+_VERIFY_INLINE_BYTES = 256 << 20
+# candidate-side analogue: the multi-occupancy bucket key set is tiny in
+# any non-degenerate corpus — broadcast it as a membership filter instead
+# of hash-joining the full band-rows exchange against it
+_MULTI_BROADCAST_CAP = 4_000_000
 
 _EMB_BANDS = 8          # independent sign-LSH bands...
 _EMB_PLANES = 6         # ...of at least this many hyperplanes each
@@ -371,12 +380,33 @@ def candidate_pairs_over(docs: rd.Dataset,
         .filter(expr="n_docs >= 2")
         .select_columns(["band", "bucket"])
         .map_batches(pin_keys, batch_format="pyarrow"))
-    if multi.count() == 0:   # no bucket collides anywhere -> no pairs
+    n_multi = multi.count()
+    if n_multi == 0:   # no bucket collides anywhere -> no pairs
         return rd.from_arrow(pa.table({"doc_a": pa.array([], id_type),
                                        "doc_b": pa.array([], id_type)}))
-    band_rows = drop_empty_blocks(
-        band_rows.join(multi, join_type="inner", num_partitions=8,
-                       on=("band", "bucket")))
+    if n_multi <= _MULTI_BROADCAST_CAP:
+        # the surviving key set is small (banded blocking collapses most
+        # buckets to singletons): broadcast it once and membership-filter
+        # the band rows in place of a full hash join — one barrier fewer,
+        # and nothing re-partitions the wide band-rows exchange
+        keys = frozenset((r["band"], r["bucket"]) for r in multi.take_all())
+        keys_ref = ray.put(keys)
+
+        def keep_multi(t: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            mask = pa.array(
+                [(b, u) in k for b, u in zip(t.column("band").to_pylist(),
+                                             t.column("bucket").to_pylist())],
+                pa.bool_())
+            return t.filter(mask)
+
+        band_rows = drop_empty_blocks(
+            band_rows.map_batches(keep_multi, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    else:
+        band_rows = drop_empty_blocks(
+            band_rows.join(multi, join_type="inner", num_partitions=8,
+                           on=("band", "bucket")))
 
     def pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
@@ -477,11 +507,14 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
     """Exact 3-gram-Jaccard verification of candidate (doc_a, doc_b)
     pairs: the distinct participating doc ids (bounded by the candidate
     count) are broadcast once and the corpus is REDUCED with a
-    shuffle-free membership map before the two hash joins pull texts to
-    the pairs — so the joins move only docs that appear in some pair,
-    and the stage truly scales with the candidate count, not the corpus
-    (an un-reduced inner join would still hash-partition all 100 TB of
-    docs twice). Past a bound the reduction is skipped — with that many
+    shuffle-free membership map before texts meet pairs — so the stage
+    truly scales with the candidate count, not the corpus (an un-reduced
+    inner join would still hash-partition all 100 TB of docs twice).
+    When the reduced doc side fits the broadcast byte bound, the texts
+    themselves ship once via ray.put and the verify is a single
+    stateless map over the pairs (no joins at all); past the bound the
+    two distributed hash joins pull texts to the pairs. Past the
+    candidate-count bound the reduction is skipped — with that many
     candidates the joins are corpus-sized anyway. *cand* must be
     empty-block-scrubbed (``candidate_pairs_over`` output shape). With
     ``assume_unique=False`` duplicate candidate rows are tolerated and
@@ -506,6 +539,7 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
             "doc_a": pa.array([], id_type),
             "doc_b": pa.array([], id_type),
             "jaccard": pa.array([], pa.float64())}))
+    inline_docs = None
     if n_cand <= _VERIFY_BROADCAST_CAP:
         wanted: set = set()
         for r in cand.take_all():
@@ -522,18 +556,58 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
         docs = drop_empty_blocks(
             docs.map_batches(member, batch_format="pyarrow",
                              zero_copy_batch=True))
-    # each join's empty hash partitions emit schema-less blocks that the
-    # next join rejects — scrub between stages
-    with_a = drop_empty_blocks(
-        cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
-                  join_type="inner", num_partitions=8, on=("doc_a",)))
-    with_ab = drop_empty_blocks(
-        with_a.join(docs.map_batches(rename("b"), batch_format="pyarrow"),
-                    join_type="inner", num_partitions=8, on=("doc_b",)))
+        if docs.size_bytes() <= _VERIFY_INLINE_BYTES:
+            inline_docs = docs
 
-    out = with_ab.map_batches(
-        _JaccardVerify, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"threshold": threshold, "id_type": id_type})
+    if inline_docs is not None:
+        # small participating-doc side: broadcast the texts once and
+        # verify every pair in a single stateless map — no hash joins,
+        # no actor pool, zero shuffles (the 100 TB case with a dense
+        # candidate set falls through to the join path below)
+        texts_ref = ray.put({r["doc_id"]: r["text"]
+                             for r in inline_docs.take_all()})
+
+        def verify_inline(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            shingles: dict[object, frozenset] = {}
+
+            def sh(key):
+                s = shingles.get(key)
+                if s is None:
+                    s = frozenset(_shingle_hashes(texts[key]).tolist())
+                    shingles[key] = s
+                return s
+
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist()):
+                sa, sb = sh(a), sh(b)
+                inter = len(sa & sb)
+                j = inter / max(1, len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(float(round_half_away(j)))
+            return pa.table({"doc_a": pa.array(keep_a, id_type),
+                             "doc_b": pa.array(keep_b, id_type),
+                             "jaccard": pa.array(jac, pa.float64())})
+
+        out = cand.map_batches(verify_inline, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        # each join's empty hash partitions emit schema-less blocks that
+        # the next join rejects — scrub between stages
+        with_a = drop_empty_blocks(
+            cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
+                      join_type="inner", num_partitions=8, on=("doc_a",)))
+        with_ab = drop_empty_blocks(
+            with_a.join(docs.map_batches(rename("b"), batch_format="pyarrow"),
+                        join_type="inner", num_partitions=8, on=("doc_b",)))
+
+        out = with_ab.map_batches(
+            _JaccardVerify, batch_format="pyarrow", concurrency=(1, 8),
+            fn_constructor_kwargs={"threshold": threshold,
+                                   "id_type": id_type})
     if not assume_unique:
         from ray.data.aggregate import Max
 
