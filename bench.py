@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "ann_topk", "embedding_neardup", "top_orders", "group_collect",
     "quantiles", "price_histogram", "token_df", "group_topk",
     "neardup_clusters", "decontaminate", "chunk_tokens", "pack_bins",
+    "vocab_topk", "bm25_search", "global_shuffle", "text_normalize",
 ]
 
 

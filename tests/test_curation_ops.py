@@ -1,0 +1,85 @@
+"""Invariant tests for the corpus-curation operators (stats/text).
+
+The value-level correctness gate is the DuckDB oracle compare in
+test_pipelines.py; these pin the structural invariants a user relies on
+(quota bounds, dense shard positions, idempotence) that a hash compare
+would not explain when broken.
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_balanced_sample_quota(ray_session):
+    from scraper_ray.pipelines.stats import SAMPLE_PER_LANG, q_lang_balanced_sample
+
+    df = q_lang_balanced_sample(SF).to_pandas()
+    per = df.groupby("lang")["doc_id"].count()
+    assert (per <= SAMPLE_PER_LANG).all()
+    # no doc appears twice
+    assert df["doc_id"].is_unique
+
+
+def test_global_shuffle_positions_dense_and_total(ray_session):
+    from scraper_ray.pipelines.stats import SHUFFLE_SHARDS, q_global_shuffle
+
+    df = q_global_shuffle(SF).to_pandas()
+    assert df["doc_id"].is_unique
+    assert set(df["shard"].unique()) <= set(range(SHUFFLE_SHARDS))
+    for _, g in df.groupby("shard"):
+        pos = sorted(g["pos"].tolist())
+        assert pos == list(range(len(g)))   # dense 0..n-1 per shard
+
+
+def test_length_band_keeps_interior_docs(ray_session):
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.stats import q_length_band_filter
+
+    kept = q_length_band_filter(SF).to_pandas()
+    full = read_sf_table(SF, "documents", ["doc_id", "n_chars"]).to_pandas()
+    assert 0 < len(kept) <= len(full)
+    # the median-length doc always survives a [p5, p95] band
+    med = full["n_chars"].median()
+    inner = full[full["n_chars"] == full["n_chars"].iloc[
+        (full["n_chars"] - med).abs().idxmin()]]
+    assert set(inner["doc_id"]) <= set(kept["doc_id"])
+
+
+def test_bm25_scores_positive_and_query_docs_only(ray_session):
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.stats import BM25_QUERY, q_bm25_search
+
+    scored = q_bm25_search(SF).to_pandas()
+    assert (scored["score"] > 0).all()
+    docs = read_sf_table(SF, "documents", ["doc_id", "text"]).to_pandas()
+    has_term = {
+        int(r.doc_id)
+        for r in docs.itertuples()
+        if any(q in r.text.split(" ") for q in BM25_QUERY)
+    }
+    assert set(scored["doc_id"]) == has_term
+
+
+def test_text_normalize_idempotent(ray_session):
+    import pyarrow as pa
+
+    from scraper_ray.pipelines.text import q_text_normalize
+
+    out = q_text_normalize(SF).to_pandas()
+    # normalizing an already-normal string is a no-op: no uppers, no
+    # double spaces, no edge spaces
+    for s in out["norm_text"].head(50):
+        assert s == s.lower()
+        assert "  " not in s
+        assert s == s.strip()
+
+
+def test_vocab_topk_is_sorted_and_bounded(ray_session):
+    from scraper_ray.pipelines.stats import VOCAB_K, q_vocab_topk
+
+    df = q_vocab_topk(SF).to_pandas().reset_index(drop=True)
+    assert len(df) <= VOCAB_K
+    ns = df["n"].tolist()
+    assert ns == sorted(ns, reverse=True)
+    assert df["token"].is_unique
