@@ -40,6 +40,12 @@ from .dedup import _minhash_oracle_sql, q_minhash_pairs
 logger = logging.getLogger(__name__)
 
 MAX_ROUNDS = 30
+# below this many directed edges the edge list streams to the driver and
+# an exact union-find labels it in one pass — a near-dup pair graph is
+# orders smaller than its corpus, so at bench/gate scale the iterative
+# plan's 3-barriers-per-round overhead dwarfs the actual work. Past the
+# cap the distributed min-label propagation runs unchanged.
+_INLINE_EDGE_CAP = 2_000_000
 
 
 def _one_chunk(col) -> pa.Array:
@@ -51,10 +57,47 @@ def _empty_clusters(id_type: pa.DataType) -> rd.Dataset:
                                    "cluster_id": pa.array([], id_type)}))
 
 
+def _inline_union_find(dir_edges: rd.Dataset) -> rd.Dataset:
+    """Exact single-pass union-find over a driver-bounded edge list;
+    cluster_id = min node in the component (same contract as the
+    distributed plan and the SQL oracle)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    id_dtype = None
+    for b in dir_edges.iter_batches(batch_format="pyarrow"):
+        if id_dtype is None:
+            id_dtype = b.column("u").type
+        for u, v in zip(b.column("u").to_pylist(),
+                        b.column("v").to_pylist()):
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    # roots are unioned min-first, so find() already yields the
+    # component's min node
+    nodes = sorted(parent)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, id_dtype),
+        "cluster_id": pa.array([find(n) for n in nodes], id_dtype)}))
+
+
 def connected_components(edges: rd.Dataset,
                          src: str = "doc_a", dst: str = "doc_b",
                          num_partitions: int = 8,
-                         id_type: pa.DataType = pa.int64()) -> rd.Dataset:
+                         id_type: pa.DataType = pa.int64(),
+                         inline_edge_cap: int = _INLINE_EDGE_CAP
+                         ) -> rd.Dataset:
     """(src, dst) edge list -> (doc_id, cluster_id=min reachable node).
 
     Node ids may be any orderable Arrow type (int64 driver keys, string
@@ -62,7 +105,9 @@ def connected_components(edges: rd.Dataset,
     and the oracle's ``least``/``min`` agree (lexicographic for
     VARCHAR). Nodes touched by at least one edge only; singletons are
     the caller's corpus minus this output (an anti-join, not
-    recomputation)."""
+    recomputation). Edge lists at or under *inline_edge_cap* directed
+    rows take the exact driver union-find fast path; larger graphs run
+    the distributed propagation."""
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a, b = _one_chunk(t.column(src)), _one_chunk(t.column(dst))
@@ -73,8 +118,11 @@ def connected_components(edges: rd.Dataset,
         edges.map_batches(both_dirs, batch_format="pyarrow")).materialize()
     # id_type only matters here: a non-empty edge list carries its own
     # key dtype through every downstream stage
-    if dir_edges.count() == 0:
+    n_dir = dir_edges.count()
+    if n_dir == 0:
         return _empty_clusters(id_type)
+    if n_dir <= inline_edge_cap:
+        return _inline_union_find(dir_edges)
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("u"), "lbl": t.column("u")})

@@ -48,6 +48,11 @@ BM25_K1, BM25_B = 1.2, 0.75
 SAMPLE_PER_LANG = 10
 SHUFFLE_SHARDS = 8
 LENGTH_BAND = (0.05, 0.95)
+# data-mixing weights: docs kept per source (md5 order), default for
+# sources not listed — sized so the quota binds at the gate tiers
+# (25 docs/source): src0 kept whole, src1 downsampled, the rest heavily
+SOURCE_QUOTAS = {"src0": 25, "src1": 15}
+SOURCE_QUOTA_DEFAULT = 5
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +435,42 @@ def q_global_shuffle(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# source_mix
+# ---------------------------------------------------------------------------
+
+def _quota_for(source: str) -> int:
+    return SOURCE_QUOTAS.get(source, SOURCE_QUOTA_DEFAULT)
+
+
+def q_source_mix(sf_dir: str) -> rd.Dataset:
+    """Weighted corpus mixing: keep a per-source quota of docs (md5-order
+    deterministic), up-weighting curated sources over bulk crawl — the
+    mixture step that sets a training corpus's source proportions.
+    Same bounded topology as lang_balanced_sample, but the quota varies
+    per group; the per-batch partial keeps at most quota rows per
+    (source, batch), so the shuffle never carries the full corpus."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(d).encode()).hexdigest()
+              for d in t.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "sort_key": pa.array(hs, pa.string())})
+
+    def take_quota(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sort_key", "doc_id"])
+        rank = df.groupby("source").cumcount()
+        quota = df["source"].map(_quota_for)
+        return df[rank < quota][["doc_id", "source", "sort_key"]]
+
+    return (ds.map_batches(keyed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(take_quota, batch_format="pandas")
+            .groupby("source").map_groups(take_quota, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # length_band_filter
 # ---------------------------------------------------------------------------
 
@@ -585,6 +626,17 @@ FROM documents d,
       FROM documents) t
 WHERE d.n_chars BETWEEN t.lo AND t.hi
 """,
+    "source_mix": f"""
+SELECT doc_id, source, sort_key FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+WHERE rn <= CASE source {' '.join(
+    f"WHEN '{s}' THEN {q}" for s, q in sorted(SOURCE_QUOTAS.items()))}
+            ELSE {SOURCE_QUOTA_DEFAULT} END
+""",
 }
 
 QUERIES = {
@@ -599,4 +651,5 @@ QUERIES = {
     "lang_balanced_sample": q_lang_balanced_sample,
     "global_shuffle": q_global_shuffle,
     "length_band_filter": q_length_band_filter,
+    "source_mix": q_source_mix,
 }

@@ -75,6 +75,17 @@ def test_text_normalize_idempotent(ray_session):
         assert s == s.strip()
 
 
+def test_source_mix_respects_quotas(ray_session):
+    from scraper_ray.pipelines.stats import (SOURCE_QUOTA_DEFAULT,
+                                             _quota_for, q_source_mix)
+
+    df = q_source_mix(SF).to_pandas()
+    assert df["doc_id"].is_unique
+    for src, g in df.groupby("source"):
+        assert len(g) <= _quota_for(src)
+    assert SOURCE_QUOTA_DEFAULT > 0   # config sanity
+
+
 def test_vocab_topk_is_sorted_and_bounded(ray_session):
     from scraper_ray.pipelines.stats import VOCAB_K, q_vocab_topk
 

@@ -31,11 +31,20 @@ def test_disjoint_components_keep_separate_labels():
 
 
 def test_long_path_needs_multiple_rounds():
-    # a 12-node path exercises >1 propagation round (diameter 11)
+    # a 12-node path exercises >1 propagation round (diameter 11);
+    # inline_edge_cap=0 forces the DISTRIBUTED min-label plan (the
+    # default would take the driver union-find fast path here)
     pairs = [(i, i + 1) for i in range(100, 112)]
-    got = _labels(connected_components(_edges(pairs)))
+    got = _labels(connected_components(_edges(pairs), inline_edge_cap=0))
     assert set(got.values()) == {100}
     assert len(got) == 13
+
+
+def test_inline_and_distributed_paths_agree():
+    pairs = [(1, 2), (2, 3), (9, 8), (7, 8), (20, 21)]
+    fast = _labels(connected_components(_edges(pairs)))
+    slow = _labels(connected_components(_edges(pairs), inline_edge_cap=0))
+    assert fast == slow == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
 
 
 def test_string_node_ids_cluster_lexicographically():
