@@ -43,6 +43,7 @@ QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.9, 0.99)
 SPLIT_EDGES = (80, 90)  # <80 train, <90 valid, else test
 TOPK_K = 3
 VOCAB_K = 20
+OOV_K = 15   # vocab size for the OOV-ratio gate (binds at gate tiers)
 BM25_QUERY = ("merge", "spark", "window")   # fixed search terms
 BM25_K1, BM25_B = 1.2, 0.75
 SAMPLE_PER_LANG = 10
@@ -264,14 +265,13 @@ def q_token_df(sf_dir: str) -> rd.Dataset:
 # vocab_topk
 # ---------------------------------------------------------------------------
 
-def q_vocab_topk(sf_dir: str) -> rd.Dataset:
-    """Global top-K vocabulary by total term frequency (the tokenizer-
-    vocabulary / wordcount shape). Three bounded stages: per-batch token
-    Counter (the only pass over text), a (token, n) groupby-sum whose
-    shuffle carries one row per distinct token per batch, and a partial
-    top-k per block so the final single-group rank sees at most
-    K * n_blocks rows — never the vocabulary. Ties at the boundary break
-    by token ascending, so the result is deterministic."""
+def _vocab_topk_ds(sf_dir: str, k: int) -> rd.Dataset:
+    """Top-*k* vocabulary by total term frequency. Three bounded stages:
+    per-batch token Counter (the only pass over text), a (token, n)
+    groupby-sum whose shuffle carries one row per distinct token per
+    batch, and a partial top-k per block so the final single-group rank
+    sees at most k * n_blocks rows — never the vocabulary. Ties at the
+    boundary break by token ascending, so the result is deterministic."""
     ds = _t(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -291,15 +291,56 @@ def q_vocab_topk(sf_dir: str) -> rd.Dataset:
                         "n": pc.cast(t.column("sum(n)"), pa.int64())})
         order = pc.sort_indices(out, sort_keys=[("n", "descending"),
                                                 ("token", "ascending")])
-        t2 = out.take(order[: min(VOCAB_K, out.num_rows)])
+        t2 = out.take(order[: min(k, out.num_rows)])
         return t2.append_column("g", pa.array([0] * t2.num_rows, pa.int8()))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["n", "token"], ascending=[False, True])
-                .head(VOCAB_K)[["token", "n"]])
+                .head(k)[["token", "n"]])
 
     return (agg.map_batches(partial_top, batch_format="pyarrow")
             .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+def q_vocab_topk(sf_dir: str) -> rd.Dataset:
+    """Global top-K vocabulary (the tokenizer-vocabulary / wordcount
+    shape); see ``_vocab_topk_ds`` for the bounded three-stage plan."""
+    return _vocab_topk_ds(sf_dir, VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# oov_ratio
+# ---------------------------------------------------------------------------
+
+def q_oov_ratio(sf_dir: str) -> rd.Dataset:
+    """Per-document out-of-vocabulary ratio against the global top-K
+    vocabulary — the coverage signal tokenizer and quality pipelines cut
+    on (docs whose tokens a fixed vocab mostly can't represent are noise
+    or the wrong language). Two stages: the bounded vocab top-k (at most
+    OOV_K rows reach the driver — the only materialization), then one
+    streaming map over documents with the vocab set broadcast in the
+    closure (tiny: OOV_K strings; at a real 100 TB vocab this becomes a
+    ``ray.put`` handle like the dims broadcast)."""
+    vocab = frozenset(
+        r["token"] for r in _vocab_topk_ds(sf_dir, OOV_K).take_all())
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_tok, n_oov = [], []
+        for txt in t.column("text").to_pylist():
+            toks = txt.split(" ")
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for tk in toks if tk not in vocab))
+        ratio = round_half_away(
+            np.asarray(n_oov) / np.asarray(n_tok, dtype=np.float64), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +640,20 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT {VOCAB_K}
 """,
+    "oov_ratio": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {OOV_K})
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+""",
     "bm25_search": _bm25_sql(),
     "lang_balanced_sample": f"""
 SELECT doc_id, lang, sort_key FROM (
@@ -647,6 +702,7 @@ QUERIES = {
     "group_topk": q_group_topk,
     "token_df": q_token_df,
     "vocab_topk": q_vocab_topk,
+    "oov_ratio": q_oov_ratio,
     "bm25_search": q_bm25_search,
     "lang_balanced_sample": q_lang_balanced_sample,
     "global_shuffle": q_global_shuffle,

@@ -94,3 +94,19 @@ def test_vocab_topk_is_sorted_and_bounded(ray_session):
     ns = df["n"].tolist()
     assert ns == sorted(ns, reverse=True)
     assert df["token"].is_unique
+
+
+def test_oov_ratio_invariants(ray_session):
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.stats import OOV_K, _vocab_topk_ds, q_oov_ratio
+
+    df = q_oov_ratio(SF).to_pandas()
+    docs = read_sf_table(SF, "documents", ["doc_id", "text"]).to_pandas()
+    assert len(df) == len(docs) and df["doc_id"].is_unique
+    assert ((0 <= df["n_oov"]) & (df["n_oov"] <= df["n_tokens"])).all()
+    assert ((0.0 <= df["oov_ratio"]) & (df["oov_ratio"] <= 1.0)).all()
+    # recompute one doc by hand against the same vocab
+    vocab = {r["token"] for r in _vocab_topk_ds(SF, OOV_K).take_all()}
+    row = df.iloc[0]
+    toks = docs.set_index("doc_id").loc[int(row.doc_id), "text"].split(" ")
+    assert int(row.n_oov) == sum(1 for t in toks if t not in vocab)
