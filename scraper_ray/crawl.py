@@ -225,8 +225,26 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                             batch_size=ccfg.batch_size, zero_copy_batch=True)
         from .sources.io import write_dataset
 
-        write_dataset(ds, os.path.join(ccfg.out_dir, f"wave={wave:05d}"),
-                      format=ccfg.sink_format)
+        wave_dir = os.path.join(ccfg.out_dir, f"wave={wave:05d}")
+        write_dataset(ds, wave_dir, format=ccfg.sink_format)
+        # per-partition lineage: each wave dir records exactly which
+        # scheduler shards produced how many of its rows and the run
+        # counters at emission, so any output partition is traceable to
+        # its frontier state without the checkpoint (north rule's
+        # "per-partition lineage + metrics"). Written atomically after
+        # the data so resume's wave-dir cleanup treats them as one unit.
+        lineage = {
+            "wave": wave,
+            "rows": n_wave,
+            "parent_wave": wave - 1 if wave > start_wave else None,
+            "shard_rows": {str(i): c for i, c
+                           in enumerate(sched.last_emit_counts()) if c},
+            "counters_at_emit": sched.counters(),
+        }
+        tmp = os.path.join(wave_dir, "._LINEAGE.tmp")
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.replace(tmp, os.path.join(wave_dir, "_LINEAGE.json"))
         stats.docs += n_wave
         stats.wave_sizes.append(n_wave)
         if ccfg.checkpoint_dir and (wave % ccfg.checkpoint_every == 0):

@@ -448,7 +448,14 @@ class SchedulerPool:
                 for a in self.actors]
         refs = [ref for g in gens for ref in g]
         counts = ray.get([a.last_emit_count.remote() for a in self.actors])
+        # per-shard contributions of the wave just emitted — the lineage
+        # record for the wave's output partition (read via last_emit_counts)
+        self._last_emit_counts = [int(c) for c in counts]
         return refs, int(sum(counts))
+
+    def last_emit_counts(self) -> list[int]:
+        """Rows each scheduler shard contributed to the latest wave."""
+        return list(getattr(self, "_last_emit_counts", []))
 
     def pending(self) -> int:
         """Pending rows incl. spilled disk runs (drives the wave loop's

@@ -74,3 +74,26 @@ def test_lance_sink_config_falls_back(tmp_path):
     pa_docs = read_docs(a).to_pandas().sort_values(key).reset_index(drop=True)
     ln_docs = read_docs(b).to_pandas().sort_values(key).reset_index(drop=True)
     assert pa_docs["url"].tolist() == ln_docs["url"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wave_lineage_records(tmp_path):
+    """Every wave dir carries a _LINEAGE.json whose shard contributions
+    sum to the wave's row count (per-partition lineage)."""
+    import json
+    import os
+
+    seeds = gen_seeds(CFG, 40)
+    out = str(tmp_path / "docs")
+    stats = crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                                     batch_size=64))
+    wave_dirs = sorted(d for d in os.listdir(out) if d.startswith("wave="))
+    assert len(wave_dirs) == len(stats.wave_sizes)
+    for d, n in zip(wave_dirs, stats.wave_sizes):
+        with open(os.path.join(out, d, "_LINEAGE.json")) as f:
+            lin = json.load(f)
+        assert lin["rows"] == n
+        assert sum(lin["shard_rows"].values()) == n
+        assert lin["wave"] == int(d.split("=")[1])
+    # lineage files must not leak into the doc read
+    assert len(read_docs(out).to_pandas()) == stats.docs
