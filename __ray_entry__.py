@@ -79,5 +79,6 @@ def oracle_sql() -> dict[str, str]:
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()
+    out["ann_recall"] = ann.ann_recall_oracle_sql()
     out["semdedup"] = ann.semdedup_oracle_sql()
     return out

@@ -480,6 +480,53 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def q_ann_recall(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                 nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """Recall@k of the IVF index against the exact brute-force top-k —
+    the index-quality check a curation pipeline runs before trusting an
+    ANN index for near-dup/search at scale. Both sides are the existing
+    bounded pipelines (k rows each), so the driver-side compare touches
+    2k rows regardless of corpus size; at a real evaluation scale the
+    same shape fans out over a query *set* with the per-query recalls
+    aggregated by one tiny groupby."""
+    exact = {r["vec_id"]
+             for r in q_ann_topk(sf_dir, k, query_vec_id).take_all()}
+    approx = {r["vec_id"]
+              for r in q_ann_ivf_topk(sf_dir, k, query_vec_id,
+                                      nprobe).take_all()}
+    hits = len(exact & approx)
+    return rd.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "nprobe": pa.array([nprobe], pa.int64()),
+        "n_hits": pa.array([hits], pa.int64()),
+        "recall": pa.array([hits / k], pa.float64()),
+    }))
+
+
+def ann_recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                          k: int = 10, nprobe: int = IVF_NPROBE) -> str:
+    """Generated like ``ivf_oracle_sql`` (whose SELECT it embeds as the
+    approx side); the exact side is the brute-force top-k over the same
+    pinned tier with the identical rounding + tie-break."""
+    ivf = ivf_oracle_sql(sf_dir, k, nprobe)
+    return f"""
+WITH approx AS ({ivf}),
+exact AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[])
+                FROM read_parquet('{sf_dir}/embeddings.parquet')
+                WHERE vec_id = 0)), 4) AS cosine
+  FROM read_parquet('{sf_dir}/embeddings.parquet')
+  ORDER BY cosine DESC, vec_id ASC LIMIT {k}),
+hits AS (SELECT count(*) AS n FROM exact JOIN approx USING (vec_id))
+SELECT CAST({k} AS BIGINT) AS k, CAST({nprobe} AS BIGINT) AS nprobe,
+       CAST(n AS BIGINT) AS n_hits,
+       n / CAST({k} AS DOUBLE) AS recall
+FROM hits
+"""
+
+
 ORACLE_SQL = {
     "ann_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -502,6 +549,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
     "embedding_norms": q_embedding_norms,
     "semdedup": q_semdedup,
 }

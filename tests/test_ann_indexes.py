@@ -78,3 +78,17 @@ def test_semdedup_drops_planted_twins_keeps_rest(tmp_path):
     # random vectors at dim 32 never reach cosine 0.9 pairwise
     others = by_id.drop(index=[7, 11])
     assert (others["keep"] == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_bounds_and_planted_hits(tmp_path):
+    """Recall@k is in [0,1], n_hits consistent, and the planted twins
+    guarantee at least self+twins overlap between exact and IVF top-5."""
+    from scraper_ray.pipelines.ann import q_ann_recall
+
+    _write_embeddings(tmp_path)
+    row = q_ann_recall(str(tmp_path), k=5).to_pandas().iloc[0]
+    assert row["k"] == 5 and 0 <= row["n_hits"] <= 5
+    assert row["recall"] == row["n_hits"] / 5
+    # query vec 0 and its planted twins sit in the probed cell on both sides
+    assert row["n_hits"] >= 3

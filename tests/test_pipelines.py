@@ -62,7 +62,7 @@ def test_all_oracle_queries_match(entrymod, con):
     # ann_ivf_topk's oracle inlines centroids derived from the gate
     # tier's embeddings, so it is tier-pinned like the crawl fixtures
     pinned_qs = {"crawl_docs", "crawl_spans", "domain_stats",
-                 "listing_detail", "listing_info", "ann_ivf_topk",
+                 "listing_detail", "listing_info", "ann_ivf_topk", "ann_recall",
                  "corpus_build", "corpus_neardedup", "semdedup"}
     failures = []
     for name, sql in oracles.items():

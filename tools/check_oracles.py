@@ -78,7 +78,7 @@ def main() -> int:
 
     pinned = "/root/testdata/" + _ORACLE_TIER
     pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
-                 "listing_info", "ann_ivf_topk", "corpus_build",
+                 "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
                  "corpus_neardedup", "semdedup"}
 
     con = duckdb.connect()
