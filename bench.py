@@ -178,22 +178,24 @@ def main() -> None:
                     "host_probe": results[hi]["host_probe"]}
 
         # this is a shared-host VM: a co-tenant burst during one leg skews
-        # the ratio, so retry (up to GRAFT_SCALE_ATTEMPTS) until the bar
-        # is met and report every attempt — best-of-N with full disclosure
+        # the ratio, so run GRAFT_SCALE_ATTEMPTS attempts and report the
+        # MEDIAN as the headline value (an unbiased location estimate —
+        # max-keyed-on-the-pass-bar would be selection-biased under
+        # noise); the best attempt is disclosed alongside, labeled.
         max_attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "3"))
-        attempts = []
-        for _ in range(max_attempts):
-            attempts.append(one_attempt())
-            if attempts[-1]["eff"] >= 0.8:
-                break
-        best = max(attempts, key=lambda a: a["eff"])
-        t_lo = best["pages_per_sec"][f"cpus{lo}"]
-        t_hi = best["pages_per_sec"][f"cpus{hi}"]
+        attempts = [one_attempt() for _ in range(max_attempts)]
+        attempts_sorted = sorted(attempts, key=lambda a: a["eff"])
+        median = attempts_sorted[len(attempts_sorted) // 2]
+        best = attempts_sorted[-1]
+        t_lo = median["pages_per_sec"][f"cpus{lo}"]
+        t_hi = median["pages_per_sec"][f"cpus{hi}"]
         print(json.dumps({
             "metric": "crawl_scaling_efficiency",
-            "value": best["eff"],
+            "value": median["eff"],
             "unit": "fraction",
-            "pages_per_sec": best["pages_per_sec"],
+            "estimator": f"median_of_{len(attempts)}",
+            "best_eff": best["eff"],
+            "pages_per_sec": median["pages_per_sec"],
             "speedup": round(t_hi / t_lo, 2),
             "cpus": [lo, hi],
             "seeds": CRAWL_SEEDS,

@@ -236,7 +236,10 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         lineage = {
             "wave": wave,
             "rows": n_wave,
-            "parent_wave": wave - 1 if wave > start_wave else None,
+            # a resumed run's first wave still has a parent on disk from
+            # the pre-resume run, so key on wave number, not start_wave —
+            # the lineage chain must survive checkpoint resumes
+            "parent_wave": wave - 1 if wave > 0 else None,
             "shard_rows": {str(i): c for i, c
                            in enumerate(sched.last_emit_counts()) if c},
             "counters_at_emit": sched.counters(),

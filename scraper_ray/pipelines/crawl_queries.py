@@ -186,6 +186,17 @@ def q_geocode_grid(sf_dir: str) -> "pa.Table":
 
 _ORACLE_TIER = "sf0.01"
 _ORACLE_ROOT = "/tmp/scraper_ray_oracle"
+
+# Queries whose oracle SQL embeds gate-tier fixtures or constants (the
+# sequential-crawl parquets, inlined IVF centroids) — correctness
+# harnesses must run these at the gate tier regardless of the sf_dir
+# under test. Single source of truth shared by tests/test_pipelines.py
+# and tools/check_oracles.py so the two lists cannot drift.
+PINNED_QUERIES = frozenset({
+    "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
+    "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
+    "corpus_neardedup", "semdedup",
+})
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
 

@@ -374,12 +374,15 @@ def candidate_pairs_over(docs: rd.Dataset,
         return pa.table({"band": pc.cast(t.column("band"), pa.int32()),
                          "bucket": pc.cast(t.column("bucket"), pa.string())})
 
+    # materialize the (small) survivor key set ONCE so the count() below
+    # and the take_all()/join consumer read pinned blocks instead of
+    # re-executing the band-rows groupby a second time
     multi = drop_empty_blocks(
         band_rows.groupby(["band", "bucket"])
         .aggregate(Count(alias_name="n_docs"))
         .filter(expr="n_docs >= 2")
         .select_columns(["band", "bucket"])
-        .map_batches(pin_keys, batch_format="pyarrow"))
+        .map_batches(pin_keys, batch_format="pyarrow")).materialize()
     n_multi = multi.count()
     if n_multi == 0:   # no bucket collides anywhere -> no pairs
         return rd.from_arrow(pa.table({"doc_a": pa.array([], id_type),
@@ -574,7 +577,13 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
             def sh(key):
                 s = shingles.get(key)
                 if s is None:
-                    s = frozenset(_shingle_hashes(texts[key]).tolist())
+                    txt = texts.get(key)
+                    # pair references a doc_id absent from docs: the
+                    # join path drops such pairs silently (inner join),
+                    # so mirror that here instead of raising KeyError
+                    if txt is None:
+                        return None
+                    s = frozenset(_shingle_hashes(txt).tolist())
                     shingles[key] = s
                 return s
 
@@ -582,6 +591,8 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
             for a, b in zip(batch.column("doc_a").to_pylist(),
                             batch.column("doc_b").to_pylist()):
                 sa, sb = sh(a), sh(b)
+                if sa is None or sb is None:
+                    continue
                 inter = len(sa & sb)
                 j = inter / max(1, len(sa) + len(sb) - inter)
                 if j >= threshold:

@@ -56,14 +56,13 @@ def test_all_oracle_queries_match(entrymod, con):
     # the crawl/listing oracles compare against sequential-crawler parquet
     # fixtures pinned to the driver's gate tier (sf0.01) — run those
     # queries at that tier; everything else stays on the fast sf0.001
-    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER
+    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER, PINNED_QUERIES
 
     pinned = "/root/testdata/" + _ORACLE_TIER
     # ann_ivf_topk's oracle inlines centroids derived from the gate
-    # tier's embeddings, so it is tier-pinned like the crawl fixtures
-    pinned_qs = {"crawl_docs", "crawl_spans", "domain_stats",
-                 "listing_detail", "listing_info", "ann_ivf_topk", "ann_recall",
-                 "corpus_build", "corpus_neardedup", "semdedup"}
+    # tier's embeddings, so it is tier-pinned like the crawl fixtures;
+    # the set is shared with tools/check_oracles.py so they can't drift
+    pinned_qs = PINNED_QUERIES
     failures = []
     for name, sql in oracles.items():
         mine = _to_pandas(qs[name](pinned if name in pinned_qs else SF))

@@ -74,12 +74,10 @@ def main() -> int:
     # these oracles embed gate-tier fixtures/constants (sequential-crawl
     # parquets, IVF centroids) — always compare them at the gate tier,
     # exactly like tests/test_pipelines.py
-    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER
+    from scraper_ray.pipelines.crawl_queries import _ORACLE_TIER, PINNED_QUERIES
 
     pinned = "/root/testdata/" + _ORACLE_TIER
-    pinned_qs = {"crawl_docs", "crawl_spans", "listing_detail",
-                 "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
-                 "corpus_neardedup", "semdedup"}
+    pinned_qs = PINNED_QUERIES
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
