@@ -13,12 +13,9 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-
-from .common import strip_schema_metadata
 
 MIN_TOKENS = 4
 
@@ -60,24 +57,22 @@ def dedup_exact_text(gated: rd.Dataset) -> rd.Dataset:
               for x in t.column("text").to_pylist()]
         return t.append_column("text_hash", pa.array(hs, pa.string()))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame({
-            "doc_id": [g["doc_id"].iloc[0]],
-            "text": [g["text"].iloc[0]],
-            "n_tokens": [int(g["n_tokens"].iloc[0])],
-            "n_dups": [len(g)],
-        })
+    # every row in a hash group carries the identical text and token
+    # count, so keep-first is a pure aggregate: Min picks the smallest
+    # doc_id (and, vacuously, "the" text / n_tokens), Count gives
+    # n_dups. Arrow block aggregation — no per-group pandas dispatch
+    # (one Python call per distinct hash at corpus scale), and the
+    # output blocks are clean Arrow, so no pandas-metadata scrub needed.
+    from ray.data.aggregate import Count, Min
 
     return (
         gated.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        # pandas->Arrow block conversion tags schemas with a pandas
-        # metadata blob, which makes hash(schema) raise and defeats
-        # Ray's schema dedup in every downstream join/shuffle
-        .map_batches(strip_schema_metadata, batch_format="pyarrow",
-                     zero_copy_batch=True)
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Min("text", alias_name="text"),
+                   Min("n_tokens", alias_name="n_tokens"),
+                   Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "text", "n_tokens", "n_dups"])
     )
 
 

@@ -108,8 +108,10 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
 
     The groupby is a hash shuffle on the 32-char digest — at 100 TB this
     is the canonical 'exact dedup' plan (hash-partition + per-group
-    first), never a driver-side set."""
-    import pandas as pd
+    first), never a driver-side set. keep-first is a Min+Count aggregate
+    (Arrow block aggregation), not a per-group pandas dispatch — one
+    Python call per distinct hash would dominate at corpus scale."""
+    from ray.data.aggregate import Count, Min
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -118,17 +120,11 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t.column("doc_id"),
                          "text_hash": pa.array(hs, pa.string())})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"text_hash": [g["text_hash"].iloc[0]],
-             "doc_id": [int(g["doc_id"].min())],
-             "n_dups": [len(g)]}
-        )
-
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_dups"))
     )
 
 

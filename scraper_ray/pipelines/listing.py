@@ -120,13 +120,12 @@ def dedupe_last_wins(ds: rd.Dataset, key: str = "source_id",
                      order_col: str = "crawl_path") -> rd.Dataset:
     """Sink dedupe, J5 semantics: for colliding keys the latest-written
     row wins (reference deletes old rows then inserts the new batch,
-    db.py:38-54). 'Latest' here = max order_col, deterministic."""
-    import pandas as pd
+    db.py:38-54). 'Latest' here = max order_col, deterministic.
+    Vectorized via keep_max_by (per-batch partial keep-max + Max
+    aggregate + semi join) — no per-key pandas dispatch."""
+    from .relational import keep_max_by
 
-    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, ascending=False).head(1)
-
-    return ds.groupby(key).map_groups(keep_last, batch_format="pandas")
+    return keep_max_by(ds, key, order_col)
 
 
 def q_listing_detail(sf_dir: str) -> rd.Dataset:

@@ -257,17 +257,15 @@ def q_corpus_assemble(sf_dir: str) -> rd.Dataset:
     gated = docs.map_batches(gate, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        # identical texts have identical token counts — keep min doc_id
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array([int(ids.min())], pa.int64()),
-            "n_tokens": pa.array([int(g.column("n_tokens")[0].as_py())],
-                                 pa.int64()),
-        })
+    # identical texts have identical token counts — keep min doc_id.
+    # A Min aggregate (Arrow block aggregation), not map_groups: one
+    # Python dispatch per distinct hash would dominate at corpus scale.
+    from ray.data.aggregate import Min
 
-    deduped = gated.groupby("text_hash").map_groups(
-        keep_first, batch_format="pyarrow")
+    deduped = (gated.groupby("text_hash")
+               .aggregate(Min("doc_id", alias_name="doc_id"),
+                          Min("n_tokens", alias_name="n_tokens"))
+               .select_columns(["doc_id", "n_tokens"]))
     return pack_assign(deduped)
 
 
