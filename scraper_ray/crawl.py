@@ -51,6 +51,16 @@ class CrawlConfig:
     seen_capacity_per_shard: int = 1 << 18   # cuckoo slots; exact set backs it
     fetch_concurrency: int | None = None   # None -> task pool (pure fetcher);
     # an int -> actor pool of that size (stateful HTTP fetcher shape)
+    # The fetch stage itself is pluggable: any FetchParse-shaped class
+    # (frontier batch -> FETCH_OUT_SCHEMA rows). None -> the synthetic
+    # FetchParse(web). A real deployment wires the live fetcher here:
+    #   CrawlConfig(..., fetcher_cls=RequestsFetcher,
+    #               fetcher_kwargs={"transport": ..., "renew": ...},
+    #               fetch_concurrency=16)
+    # (stages/http_fetch.py; per-actor session state demands actor-pool
+    # mode, i.e. an int fetch_concurrency)
+    fetcher_cls: type | None = None
+    fetcher_kwargs: dict = field(default_factory=dict)
     batch_size: int = 1024
     level_sync: str = "domain"             # 'global' when cross-domain links exist
     max_waves: int = 100_000
@@ -192,7 +202,11 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         _seed_frontier(seeds, ccfg, sched)
 
     os.makedirs(ccfg.out_dir, exist_ok=True)
-    fetch_fn = FetchParse(ccfg.web)
+    if ccfg.fetcher_cls is not None:
+        fetch_cls, fetch_kwargs = ccfg.fetcher_cls, ccfg.fetcher_kwargs
+    else:
+        fetch_cls, fetch_kwargs = FetchParse, {"web_cfg": ccfg.web}
+    fetch_fn = fetch_cls(**fetch_kwargs)
     discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
     wave = start_wave
     while wave < ccfg.max_waves:
@@ -214,8 +228,8 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                                 batch_size=ccfg.batch_size, zero_copy_batch=True)
         else:
             ds = ds.map_batches(
-                FetchParse,
-                fn_constructor_args=(ccfg.web,),
+                fetch_cls,
+                fn_constructor_kwargs=fetch_kwargs,
                 batch_format="pyarrow",
                 batch_size=ccfg.batch_size,
                 concurrency=ccfg.fetch_concurrency,
