@@ -77,17 +77,52 @@ def _emb_planes(dim: int, planes_per_band: int = _EMB_PLANES) -> np.ndarray:
         (dim, _EMB_BANDS * planes_per_band))
 
 
+# shingle hashes are a LINEAR COMBINE of per-token md5 hashes instead of
+# md5 over each materialized k-gram string: tokens are hashed once each
+# (md5, so the DuckDB oracle can recompute them — common.sql_hex64) and
+# cached per worker process (vocabulary-bounded), then the k-gram hash is
+# h[i]*C1 + h[i+1]*C2 + h[i+2]*C3 (uint64 wraparound) — one vectorized
+# numpy pass per doc. vs the old md5-per-shingle loop this removes the
+# O(n*k) gram-string building AND amortizes md5 to cache misses only.
+# Constants < 2^61 and odd: DuckDB mirrors the combine in signed 128-bit
+# HUGEINT, and 3 * (2^64 * 2^61) must stay under 2^127 before the mask.
+_SHINGLE_C = (np.random.default_rng(0xC0FFEE)
+              .integers(1, 1 << 61, size=3, dtype=np.uint64)
+              | np.uint64(1))
+_TOKEN_CACHE_CAP = 1 << 20
+_token_hash_cache: dict[str, int] = {}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _token_hash_cache
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _hash64(t)
+            if len(cache) < _TOKEN_CACHE_CAP:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Deterministic 64-bit md5 hashes of word k-shingles (md5 so the
-    DuckDB oracle can recompute them, common.sql_hex64)."""
+    """Deterministic 64-bit hashes of word k-shingles: md5 per token
+    (oracle-recomputable), linear-combined per gram (vectorized)."""
     toks = text.split(" ")
     if len(toks) < k:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        # degenerate short doc: one hash over the whole text (equal to
+        # ' '.join(toks)), exactly the oracle's ELSE branch
+        return np.array([_hash64(text)], dtype=np.uint64)
+    h = _token_hashes(toks)
+    with np.errstate(over="ignore"):
+        out = h[: -(k - 1)] * _SHINGLE_C[0]
+        for j in range(1, k):
+            out = out + h[j: len(h) - (k - 1 - j) or None] * _SHINGLE_C[j]
     return out
 
 
@@ -128,6 +163,31 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _gram_hash_ctes(source: str) -> str:
+    """The shared docs -> hs CTE prefix: tokenized docs, per-token md5
+    hashes, and the k-gram linear combine — the SQL mirror of
+    ``_shingle_hashes`` (same _SHINGLE_C constants, HUGEINT & mask for
+    the uint64 wraparound)."""
+    from .common import sql_hex64
+
+    mask = "18446744073709551615::HUGEINT"
+    c1, c2, c3 = (f"{int(c)}::HUGEINT" for c in _SHINGLE_C)
+    return f"""docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM {source}),
+th AS (
+  SELECT doc_id, text, len(toks) AS n,
+         list_transform(toks, t -> {sql_hex64('t')}) AS ht
+  FROM docs),
+hs AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN n >= 3 THEN
+             list_transform(range(1, n - 1), i ->
+               (ht[i] * {c1} + ht[i+1] * {c2} + ht[i+2] * {c3}) & {mask})
+           ELSE [{sql_hex64('text')}] END) AS h
+  FROM th)"""
+
+
 def _minhash_oracle_sql(threshold: float = 0.6,
                         source: str = "documents") -> str:
     """The full MinHash+LSH near-dup pipeline re-expressed in SQL:
@@ -136,27 +196,13 @@ def _minhash_oracle_sql(threshold: float = 0.6,
     in-bucket pairs -> exact Jaccard verify. Constants are inlined from
     the module's seeded permutation family. ``source`` is any table name
     or parenthesized subquery with (doc_id, text) columns."""
-    from .common import sql_hex64
-
     a_lst = "[" + ", ".join(f"{int(a)}::HUGEINT" for a in _PERM_A) + "]"
     b_lst = "[" + ", ".join(f"{int(b)}::HUGEINT" for b in _PERM_B) + "]"
     mask = "18446744073709551615::HUGEINT"
     band_key = " || ',' || ".join(
         f"CAST(sig[4 * b + {r}] AS VARCHAR)" for r in range(1, 5))
     return f"""
-WITH docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM {source}),
-grams AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) >= 3 THEN
-           list_transform(range(1, len(toks) - 1),
-                          i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [text] END AS gs
-  FROM docs),
-hs AS (
-  SELECT doc_id,
-         list_distinct(list_transform(gs, g -> {sql_hex64('g')})) AS h
-  FROM grams),
+WITH {_gram_hash_ctes(source)},
 sigs AS (
   SELECT doc_id, h,
          list_transform(range(1, 65), p ->
@@ -267,22 +313,8 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.6) -> str:
     """Inverted-index n-gram blocking + exact Jaccard verify in SQL:
     same gram hashes (md5-derived, sql_hex64), same df cap, so the
     candidate sets match the engine's exactly."""
-    from .common import sql_hex64
-
     return f"""
-WITH docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-grams AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) >= 3 THEN
-           list_transform(range(1, len(toks) - 1),
-                          i -> array_to_string(toks[i:i+2], ' '))
-         ELSE [text] END AS gs
-  FROM docs),
-hs AS (
-  SELECT doc_id,
-         list_distinct(list_transform(gs, g -> {sql_hex64('g')})) AS h
-  FROM grams),
+WITH {_gram_hash_ctes('documents')},
 inc AS (SELECT doc_id, CAST(unnest(h) AS VARCHAR) AS gram FROM hs),
 ok AS (SELECT gram FROM inc GROUP BY gram
        HAVING count(*) <= {_GRAM_DF_CAP}),
