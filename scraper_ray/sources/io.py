@@ -74,6 +74,25 @@ def write_dataset(ds: rd.Dataset, path: str, format: str = "parquet") -> str:
     if format == "json":
         ds.write_json(path)
         return path
+    if format == "xlsx":
+        # workbook export (reference df_to_excel, utility_commons.py:
+        # 97-112): a small driver-side result file, not a distributed
+        # sink — *path* is the .xlsx file, sheet 'Results' (append/
+        # replace semantics live in xlsx.write_excel). Guarded by the
+        # sheet row limit so big data can't be funneled through here.
+        import pyarrow as pa
+        import ray
+
+        from .xlsx import write_excel
+
+        tbl = pa.concat_tables(
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows],
+            promote_options="default")
+        if tbl.num_rows > 1_048_575:
+            raise ValueError(
+                "xlsx sheets cap at 1,048,576 rows — use parquet for "
+                f"large outputs (got {tbl.num_rows})")
+        return write_excel(tbl, path)
     raise ValueError(f"unsupported sink format: {format}")
 
 

@@ -103,3 +103,45 @@ def test_dim_broadcast_join():
     out = broadcast_join(ds, ref, "city", "area_id").to_pandas()
     assert out["area_id"].tolist()[:2] == ["33", "34"]
     assert out["area_id"].isna().tolist() == [False, False, True]
+
+
+def test_write_excel_round_trip(tmp_path):
+    """Writer (S5, reference df_to_excel): write -> read round-trips the
+    all-string contract, including XML-escaped and CJK values."""
+    import pyarrow as pa
+
+    from scraper_ray.sources.xlsx import read_excel, sheet_names, write_excel
+
+    path = str(tmp_path / "out.xlsx")
+    t = pa.table({"city": ["北京", "a<b&\"c'", ""],
+                  "code": ["010", "", "021"]})
+    write_excel(t, path, "S1")
+    assert read_excel(path, "S1").equals(t)
+
+    # multi-sheet APPEND (utility_commons.py:103-107 load_workbook path)
+    t2 = pa.table({"x": ["1"]})
+    write_excel(t2, path, "S2")
+    assert sheet_names(path) == ["S1", "S2"]
+    assert read_excel(path, "S1").equals(t)
+    assert read_excel(path, "S2").equals(t2)
+
+    # same-named sheet: last write wins
+    write_excel(pa.table({"x": ["9"]}), path, "S2")
+    assert sheet_names(path) == ["S1", "S2"]
+    assert read_excel(path, "S2").column("x").to_pylist() == ["9"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_dataset_xlsx_sink(tmp_path):
+    """write_dataset(..., format='xlsx'): dataset -> workbook -> Dataset
+    round-trip through the io seam (values stringified per contract)."""
+    import ray.data as rd
+
+    from scraper_ray.sources.io import read_table, write_dataset
+
+    path = str(tmp_path / "res.xlsx")
+    ds = rd.from_items([{"k": i, "v": f"row{i}"} for i in range(7)])
+    write_dataset(ds, path, format="xlsx")
+    back = read_table(path).to_pandas()
+    assert sorted(back["k"]) == [str(i) for i in range(7)]
+    assert sorted(back["v"]) == [f"row{i}" for i in range(7)]
