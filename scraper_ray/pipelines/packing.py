@@ -39,7 +39,20 @@ _DECON_K = 5        # eval-overlap n-gram length
 _EVAL_MOD = 17      # doc_id % 17 == 0 -> held-out eval split
 _CHUNK_LEN = 32     # tokens per context window
 _PACK_BUDGET = 512  # tokens per training bin
-_PACK_PART = 64     # docs per scan partition (small here; ~10^6 at scale)
+_PACK_PART = 64        # docs per scan partition, gate-tier floor
+_PACK_MAX_PARTS = 1 << 20   # driver offsets map bound (one int each)
+
+
+def _pack_part_for(max_id: int) -> int:
+    """Docs per scan partition, DERIVED from the id range: wide enough
+    that the driver's per-partition offsets map stays under
+    _PACK_MAX_PARTS entries (one int each — ~8 MB at the cap), floored
+    at the gate-tier width. Partitioning only shapes the internal
+    prefix-scan topology; bin_id output is identical at any width, so
+    the oracle needs no derivation mirror."""
+    import math
+
+    return max(_PACK_PART, math.ceil((max_id + 1) / _PACK_MAX_PARTS))
 
 
 def _grams(text: str, k: int) -> set[str]:
@@ -139,11 +152,17 @@ def pack_assign(counts: rd.Dataset) -> rd.Dataset:
     offsets on the driver (one small row per partition), offsets
     broadcast via ray.put, final vectorized add."""
 
+    # size the scan partitions to the id range (cheap Max over the
+    # small (doc_id, n_tokens) projection) so the driver's offsets map
+    # stays bounded at any corpus size
+    counts = counts.materialize()
+    part_w = _pack_part_for(int(counts.max("doc_id")))
+
     def keyed(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
         return pa.table({
             "doc_id": ids,
-            "part": pc.divide(ids, pa.scalar(_PACK_PART, pa.int64())),
+            "part": pc.divide(ids, pa.scalar(part_w, pa.int64())),
             "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
         })
 

@@ -47,7 +47,18 @@ OOV_K = 15   # vocab size for the OOV-ratio gate (binds at gate tiers)
 BM25_QUERY = ("merge", "spark", "window")   # fixed search terms
 BM25_K1, BM25_B = 1.2, 0.75
 SAMPLE_PER_LANG = 10
+# global_shuffle topology: shard count GROWS with the corpus so one
+# shard (the rank-within-shard group) always fits a worker — a fixed
+# count would mean 12.5 TB/group at 100 TB. Floor of 8 binds at the
+# gate tiers; the oracle SQL derives the identical count from count(*).
 SHUFFLE_SHARDS = 8
+SHUFFLE_TARGET_ROWS = 4_000_000
+
+
+def _shuffle_shards_for(n_rows: int) -> int:
+    import math
+
+    return max(SHUFFLE_SHARDS, math.ceil(n_rows / SHUFFLE_TARGET_ROWS))
 LENGTH_BAND = (0.05, 0.95)
 # data-mixing weights: docs kept per source (md5 order), default for
 # sources not listed — sized so the quota binds at the gate tiers
@@ -448,18 +459,21 @@ def q_lang_balanced_sample(sf_dir: str) -> rd.Dataset:
 
 def q_global_shuffle(sf_dir: str) -> rd.Dataset:
     """Deterministic training-order shuffle: every doc gets a shard
-    (first 64 md5 bits mod SHUFFLE_SHARDS) and a dense position within
-    its shard (rank by md5 hex, doc_id tie-break). Key-only hashing makes
-    the permutation identical across runs and cluster sizes; the only
-    shuffle is the groupby(shard), and each shard ranks independently —
-    at 100 TB shards are sized so one group fits a worker (shard count is
-    a config, not a rewrite)."""
+    (first 64 md5 bits mod the derived shard count) and a dense position
+    within its shard (rank by md5 hex, doc_id tie-break). Key-only
+    hashing makes the permutation identical across runs and cluster
+    sizes; the only shuffle is the groupby(shard), and each shard ranks
+    independently — the shard count is DERIVED from the corpus size
+    (_shuffle_shards_for: ceil(n / SHUFFLE_TARGET_ROWS), floor 8) so one
+    rank group always fits a worker at any tier. The parquet row count
+    is metadata, so the sizing pass is free."""
     ds = _t(sf_dir, "documents", ["doc_id"])
+    n_shards = _shuffle_shards_for(ds.count())
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         hs = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
-        shards = [int(h[:16], 16) % SHUFFLE_SHARDS for h in hs]
+        shards = [int(h[:16], 16) % n_shards for h in hs]
         return pa.table({"doc_id": t.column("doc_id"),
                          "shard": pa.array(shards, pa.int64()),
                          "h": pa.array(hs, pa.string())})
@@ -670,7 +684,10 @@ SELECT doc_id, shard,
             AS BIGINT) AS pos
 FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
              CAST({sql_hex64("CAST(doc_id AS VARCHAR)")}
-                  % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+                  % (SELECT greatest({SHUFFLE_SHARDS},
+                       CAST(ceil(count(*) / {SHUFFLE_TARGET_ROWS}.0)
+                            AS BIGINT)) FROM documents)
+                  AS BIGINT) AS shard
       FROM documents)
 """,
     "length_band_filter": f"""

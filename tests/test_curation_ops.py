@@ -110,3 +110,25 @@ def test_oov_ratio_invariants(ray_session):
     row = df.iloc[0]
     toks = docs.set_index("doc_id").loc[int(row.doc_id), "text"].split(" ")
     assert int(row.n_oov) == sum(1 for t in toks if t not in vocab)
+
+
+def test_topology_constants_derive_from_corpus_size():
+    """The two scan/shuffle-topology constants grow with the input (a
+    fixed count would mean terabyte groups / unbounded driver maps at
+    100 TB) and floor at the gate-tier values."""
+    from scraper_ray.pipelines.packing import (_PACK_MAX_PARTS, _PACK_PART,
+                                               _pack_part_for)
+    from scraper_ray.pipelines.stats import (SHUFFLE_SHARDS,
+                                             SHUFFLE_TARGET_ROWS,
+                                             _shuffle_shards_for)
+
+    assert _shuffle_shards_for(100) == SHUFFLE_SHARDS
+    assert _shuffle_shards_for(SHUFFLE_TARGET_ROWS * 8) == SHUFFLE_SHARDS
+    assert _shuffle_shards_for(SHUFFLE_TARGET_ROWS * 100) == 100
+    assert _shuffle_shards_for(25 * 10**9) > 6000   # 100 TB-ish corpora
+
+    assert _pack_part_for(500) == _PACK_PART
+    wide = _pack_part_for(10**12)
+    assert wide > _PACK_PART
+    # the derived width keeps the driver offsets map bounded
+    assert (10**12 + 1) / wide <= _PACK_MAX_PARTS
