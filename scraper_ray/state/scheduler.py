@@ -52,7 +52,6 @@ from __future__ import annotations
 
 import heapq
 import pickle
-from urllib.parse import urlsplit
 
 import pyarrow as pa
 import ray
@@ -65,22 +64,50 @@ WAVE_SCHEMA = FRONTIER_SCHEMA.append(pa.field("wave", pa.int32()))
 _ROW_FIELDS = list(FRONTIER_SCHEMA.names)
 
 
+# path component of a canonical URL (everything between the authority
+# and the first '?'/'#') — the vectorized mirror of urlsplit(u).path
+_URL_PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*(?P<path>[^?#]*)"
+
+
 def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table, int]:
     """Drop rows whose path is disallowed for their registered domain.
 
     The reference has no robots handling — this is a north-rule addition;
     blocked URLs are counted, never silently lost (cf. the reference's
     silent ``return None`` drops, handlers/scrapers.py:50-52).
+
+    Fully vectorized (this sits on the crawl admission hot path): paths
+    come from one ``pc.extract_regex`` pass, and each disallow prefix is
+    one ``starts_with`` kernel masked to its domain's rows — no per-URL
+    Python. Domains without disallow rules (the common case) short-
+    circuit without touching the URL column.
     """
-    if tbl.num_rows == 0:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    dis = politeness.disallow
+    if tbl.num_rows == 0 or not dis:
         return tbl, 0
-    domains = tbl.column("domain_key").to_pylist()
-    urls = tbl.column("url").to_pylist()
-    keep = [politeness.allowed(d, urlsplit(u).path) for d, u in zip(domains, urls)]
-    n_blocked = len(keep) - sum(keep)
+    doms = tbl.column("domain_key")
+    relevant = set(pc.unique(doms).to_pylist()) & set(dis)
+    if not relevant:
+        return tbl, 0
+    path_col = pc.struct_field(
+        pc.extract_regex(tbl.column("url"), _URL_PATH_RE), "path")
+    blocked = np.zeros(tbl.num_rows, dtype=bool)
+    for domain in relevant:
+        pmask = None
+        for prefix in dis[domain]:
+            sw = pc.starts_with(path_col, pattern=prefix)
+            pmask = sw if pmask is None else pc.or_kleene(pmask, sw)
+        if pmask is None:
+            continue
+        both = pc.and_kleene(pc.equal(doms, domain), pmask)
+        blocked |= np.asarray(pc.fill_null(both, False))
+    n_blocked = int(blocked.sum())
     if n_blocked == 0:
         return tbl, 0
-    return tbl.filter(pa.array(keep)), n_blocked
+    return tbl.filter(pa.array(~blocked)), n_blocked
 
 
 @ray.remote(num_cpus=0)
