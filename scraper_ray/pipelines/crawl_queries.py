@@ -138,6 +138,97 @@ def q_domain_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(pin, batch_format="pyarrow")
 
 
+_ROBOTS_WAVE_UNITS = 48
+
+
+def q_robots_rules(sf_dir: str) -> pa.Table:
+    """Distributed robots.txt discovery (north rule: "robots.txt +
+    crawl-delay"): fetch + RFC 9309-parse every domain's robots.txt via
+    the synthetic transport, fold to the effective per-domain policy the
+    scheduler enforces. One tiny fetch per registered domain — O(domains)
+    rows total, so the driver-side fold is bounded (stages/robots.py
+    scale notes). The DuckDB oracle re-parses the same robots texts from
+    scratch in SQL (group resolution via window functions), so the
+    engine's parser is checked against an independent implementation."""
+    from ..stages.robots import fetch_robots_rules
+    from ..synthweb import robots_text_for
+
+    web, _ = _cfg_for(sf_dir)
+    domains = [f"{e}.test" for e in web.entities()]
+    tbl = fetch_robots_rules(
+        domains, lambda d: robots_text_for(web, d.removesuffix(".test")))
+    doms, dis_s, units, budget = [], [], [], []
+    for row in sorted(tbl.to_pylist(), key=lambda r: r["domain"]):
+        doms.append(row["domain"])
+        dis_s.append(",".join(row["disallow"]))
+        u = max(1, round(row["crawl_delay"]))
+        units.append(u)
+        budget.append(max(1, _ROBOTS_WAVE_UNITS // u))
+        assert row["n_wildcard"] == 0   # synthetic web emits plain prefixes
+    return pa.table({
+        "domain": pa.array(doms, pa.string()),
+        "disallow": pa.array(dis_s, pa.string()),
+        "crawl_delay_units": pa.array(units, pa.int64()),
+        "budget_per_wave": pa.array(budget, pa.int64()),
+    })
+
+
+def robots_rules_oracle_sql() -> str:
+    """DuckDB re-implementation of the robots parse over the gate tier's
+    robots texts (embedded as VALUES): comment strip, governing-group
+    resolution (specific agent beats ``*``) via IGNORE NULLS window,
+    Disallow/Crawl-delay extraction — independent of functions/robots.py."""
+    from ..synthweb import robots_text_for
+
+    web, _ = _cfg_for(_ORACLE_TIER)
+    vals = ",\n  ".join(
+        "('{}.test', '{}')".format(
+            e, robots_text_for(web, e).replace("'", "''").replace("\n", "\\n"))
+        for e in web.entities())
+    return rf"""
+WITH robots(domain, txt) AS (VALUES
+  {vals}),
+split AS (
+  SELECT domain, unnest(string_split(replace(txt, '\n', chr(10)), chr(10))) AS raw,
+         generate_subscripts(string_split(replace(txt, '\n', chr(10)), chr(10)), 1) AS ln
+  FROM robots),
+lines AS (SELECT domain, ln, trim(regexp_replace(raw, '#.*$', '')) AS line FROM split),
+tagged AS (
+  SELECT domain, ln, line,
+         CASE WHEN regexp_matches(line, '(?i)^user-agent:')
+              THEN lower(trim(regexp_extract(line, '(?i)^user-agent:(.*)$', 1)))
+         END AS ua
+  FROM lines),
+grouped AS (
+  SELECT domain, ln, line,
+         last_value(ua IGNORE NULLS) OVER (
+             PARTITION BY domain ORDER BY ln
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+  FROM tagged),
+chosen AS (
+  SELECT domain,
+         CASE WHEN bool_or(agent = 'graftbot') THEN 'graftbot' ELSE '*' END AS agent
+  FROM grouped WHERE agent IS NOT NULL GROUP BY domain),
+gov AS (SELECT g.* FROM grouped g JOIN chosen c
+          ON g.domain = c.domain AND g.agent = c.agent),
+dis AS (
+  SELECT domain, string_agg(trim(regexp_extract(line, '(?i)^disallow:(.*)$', 1)),
+                            ',' ORDER BY ln) AS disallow
+  FROM gov WHERE regexp_matches(line, '(?i)^disallow:')
+       AND trim(regexp_extract(line, '(?i)^disallow:(.*)$', 1)) <> ''
+  GROUP BY domain),
+delay AS (
+  SELECT domain,
+         CAST(max(CAST(regexp_extract(line, '(?i)^crawl-delay:\s*([0-9]+)', 1)
+                       AS BIGINT)) AS BIGINT) AS d
+  FROM gov WHERE regexp_matches(line, '(?i)^crawl-delay:') GROUP BY domain)
+SELECT r.domain, coalesce(dis.disallow, '') AS disallow,
+       delay.d AS crawl_delay_units,
+       CAST(greatest(1, {_ROBOTS_WAVE_UNITS} // delay.d) AS BIGINT) AS budget_per_wave
+FROM robots r LEFT JOIN dis USING(domain) JOIN delay USING(domain)
+"""
+
+
 def q_geocode_grid(sf_dir: str) -> "pa.Table":
     """Geocode converter sweep over a fixed in-China grid + out-of-China
     points (rows-only; golden values pinned by tests/test_geocode.py)."""
@@ -195,7 +286,7 @@ _ORACLE_ROOT = "/tmp/scraper_ray_oracle"
 PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
-    "corpus_neardedup", "semdedup",
+    "corpus_neardedup", "semdedup", "robots_rules",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
@@ -329,6 +420,7 @@ FROM rg
 
 ORACLE_SQL = {
     "geocode_grid": geocode_grid_oracle_sql(),
+    "robots_rules": robots_rules_oracle_sql(),
     "crawl_docs": f"""
 SELECT doc_id, url, entity, page_type, domain_key, depth, parent_id,
        child_idx, path, n_attempts
@@ -355,4 +447,5 @@ QUERIES = {
     "crawl_spans": q_crawl_spans,
     "domain_stats": q_domain_stats,
     "geocode_grid": q_geocode_grid,
+    "robots_rules": q_robots_rules,
 }

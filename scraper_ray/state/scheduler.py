@@ -96,17 +96,20 @@ _URL_PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*(?P<path>[^?#]*)"
 
 
 def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table, int]:
-    """Drop rows whose path is disallowed for their registered domain.
+    """Drop rows whose path is robots-disallowed for their registered
+    domain (RFC 9309 §2.2.2 longest-match: the longest matching rule
+    wins; an allow prefix at least as long as the best disallow match
+    readmits the path — mirror of PolitenessConfig.allowed).
 
     The reference has no robots handling — this is a north-rule addition;
     blocked URLs are counted, never silently lost (cf. the reference's
     silent ``return None`` drops, handlers/scrapers.py:50-52).
 
     Fully vectorized (this sits on the crawl admission hot path): paths
-    come from one ``pc.extract_regex`` pass, and each disallow prefix is
-    one ``starts_with`` kernel masked to its domain's rows — no per-URL
-    Python. Domains without disallow rules (the common case) short-
-    circuit without touching the URL column.
+    come from one ``pc.extract_regex`` pass, and each rule prefix is one
+    ``starts_with`` kernel folded into a per-row match-length maximum —
+    no per-URL Python. Domains without disallow rules (the common case)
+    short-circuit without touching the URL column.
     """
     import pyarrow.compute as pc
 
@@ -119,16 +122,23 @@ def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table
         return tbl, 0
     path_col = pc.struct_field(
         pc.extract_regex(tbl.column("url"), _URL_PATH_RE), "path")
+
+    def match_len(prefixes: tuple[str, ...]) -> np.ndarray:
+        best = np.zeros(tbl.num_rows, dtype=np.int32)
+        for prefix in prefixes:
+            sw = np.asarray(pc.fill_null(
+                pc.starts_with(path_col, pattern=prefix), False))
+            np.maximum(best, np.where(sw, len(prefix), 0), out=best)
+        return best
+
     blocked = np.zeros(tbl.num_rows, dtype=bool)
     for domain in relevant:
-        pmask = None
-        for prefix in dis[domain]:
-            sw = pc.starts_with(path_col, pattern=prefix)
-            pmask = sw if pmask is None else pc.or_kleene(pmask, sw)
-        if pmask is None:
+        dlen = match_len(dis[domain])
+        if not dlen.any():
             continue
-        both = pc.and_kleene(pc.equal(doms, domain), pmask)
-        blocked |= np.asarray(pc.fill_null(both, False))
+        alen = match_len(politeness.allow.get(domain, ()))
+        dommask = np.asarray(pc.fill_null(pc.equal(doms, domain), False))
+        blocked |= dommask & (dlen > 0) & (alen < dlen)
     n_blocked = int(blocked.sum())
     if n_blocked == 0:
         return tbl, 0

@@ -239,19 +239,27 @@ def fetch_page(canonical_url: str, cfg: WebConfig) -> Page:
 
 @dataclass(frozen=True)
 class PolitenessConfig:
-    """Per-domain crawl-delay units + robots disallow prefixes.
+    """Per-domain crawl-delay units + robots allow/disallow prefixes.
 
     Replaces the reference's random sleeps (handlers/diandianzu.py:40,
     handlers/haozu.py:41) with deterministic budget units: a domain with
     ``crawl_delay_units = d`` may fetch at most ``wave_units // d`` pages
     per wave. The oracle and engine consume the same config, so ordering
     under budget is comparable.
+
+    Admission follows RFC 9309 §2.2.2 longest-match semantics over plain
+    path prefixes: the longest matching rule wins, an ``allow`` prefix at
+    least as long as the best ``disallow`` match readmits the path. With
+    no allow rules (the default configs) this reduces to the plain
+    any-disallow-prefix block. Configs are either hand-built (tests) or
+    discovered from fetched robots.txt via stages/robots.py.
     """
 
     seed: int = 42
     wave_units: int = 64
     delays: dict[str, int] = field(default_factory=dict)
     disallow: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    allow: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     def crawl_delay(self, domain: str) -> int:
         if domain in self.delays:
@@ -262,10 +270,17 @@ class PolitenessConfig:
         return max(1, self.wave_units // self.crawl_delay(domain))
 
     def allowed(self, domain: str, path: str) -> bool:
+        d = -1
         for prefix in self.disallow.get(domain, ()):
-            if path.startswith(prefix):
-                return False
-        return True
+            if len(prefix) > d and path.startswith(prefix):
+                d = len(prefix)
+        if d < 0:
+            return True
+        a = -1
+        for prefix in self.allow.get(domain, ()):
+            if len(prefix) > a and path.startswith(prefix):
+                a = len(prefix)
+        return a >= d
 
 
 def default_politeness(cfg: WebConfig, wave_units: int = 64) -> PolitenessConfig:
@@ -278,6 +293,48 @@ def default_politeness(cfg: WebConfig, wave_units: int = 64) -> PolitenessConfig
         if i % 3 == 0
     }
     return PolitenessConfig(seed=cfg.seed, wave_units=wave_units, disallow=disallow)
+
+
+def robots_url(entity: str) -> str:
+    return f"http://www.{entity}.test/robots.txt"
+
+
+def robots_text_for(cfg: WebConfig, entity: str) -> str:
+    """The synthetic web's ``/robots.txt`` for *entity* — deterministic,
+    and semantically equal to ``default_politeness``: every third entity
+    disallows ``/private/``; the governing group's ``Crawl-delay`` equals
+    ``PolitenessConfig.crawl_delay`` for the domain. Five render variants
+    exercise the RFC 9309 parser (functions/robots.py): decoy groups for
+    other agents, an agent-specific group that overrides ``*``, comments,
+    mixed-case field names, no-op ``Allow`` rules. Parsing this text with
+    ``parse_robots(agent='graftbot')`` must recover exactly the default
+    config's rules (tests/test_robots.py)."""
+    try:
+        idx = int(entity.removeprefix("ent"))
+    except ValueError:
+        idx = _h(cfg.seed, "rank", entity) % max(1, cfg.n_entities)
+    domain = f"{entity}.test"
+    delay = 1 + _h(cfg.seed, "delay", domain) % 4
+    dis_private = idx % 3 == 0
+    variant = idx % 5
+    rules = ["Disallow: /private/"] if dis_private else []
+    rules.append(f"Crawl-delay: {delay}")
+    body = "\n".join(rules)
+    if variant == 0:
+        return f"User-agent: *\n{body}\n"
+    if variant == 1:   # decoy group for another agent before ours
+        return ("User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\n"
+                f"User-agent: *\n{body}\n")
+    if variant == 2:   # agent-specific group overrides a bogus * group
+        return ("User-agent: *\nDisallow: /\nCrawl-delay: 7\n\n"
+                f"User-agent: graftbot\n{body}\n")
+    if variant == 3:   # comments, blank lines, a no-op Allow
+        return ("# synthetic robots\n\nUser-agent: *  # all crawlers\n"
+                f"Allow: /\n{body}\n# end\n")
+    # variant 4: mixed-case field names + stray whitespace
+    loud = body.replace("Disallow:", "DISALLOW:").replace(
+        "Crawl-delay:", "CRAWL-DELAY:   ")
+    return f"USER-AGENT: *\n{loud}\n"
 
 
 # ---------------------------------------------------------------------------
