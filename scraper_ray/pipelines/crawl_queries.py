@@ -286,10 +286,11 @@ _ORACLE_ROOT = "/tmp/scraper_ray_oracle"
 PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
-    "corpus_neardedup", "semdedup", "robots_rules",
+    "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
+ORACLE_EDGES_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/edges.parquet"
 
 
 def ensure_oracle_fixtures() -> None:
@@ -330,8 +331,26 @@ def ensure_oracle_fixtures() -> None:
         "media_ref": pa.array(s_cols["media_ref"], pa.string()),
         "offset": pa.array(s_cols["offset"], pa.int32()),
     })
+    # distinct internal link edges, independently derived from the
+    # sequential crawler's doc set (graph.q_link_pagerank's oracle input)
+    from ..canonicalize import canonicalize_url, doc_id_for
+    from ..synthweb import fetch_page
+
+    ids = {d["doc_id"] for d in res.docs}
+    edge_set: set[tuple[str, str]] = set()
+    for d in res.docs:
+        for raw in fetch_page(d["url"], web).child_urls:
+            cu = canonicalize_url(raw)
+            if cu is not None and (dst := doc_id_for(cu)) in ids:
+                edge_set.add((d["doc_id"], dst))
+    edges_sorted = sorted(edge_set)
+    edges_tbl = pa.table({
+        "src": pa.array([e[0] for e in edges_sorted], pa.string()),
+        "dst": pa.array([e[1] for e in edges_sorted], pa.string()),
+    })
     for tbl, path in ((docs_tbl, ORACLE_DOCS_PATH),
-                      (spans_tbl, ORACLE_SPANS_PATH)):
+                      (spans_tbl, ORACLE_SPANS_PATH),
+                      (edges_tbl, ORACLE_EDGES_PATH)):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)

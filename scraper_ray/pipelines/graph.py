@@ -198,6 +198,150 @@ def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
     return connected_components(q_minhash_pairs(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the crawl's link graph — integer-exact fixed iterations
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12      # rank mass carried as int64 (SCALE = total mass 1.0)
+PR_ITERS = 5           # fixed iteration count, unrolled in the SQL oracle
+
+
+def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
+             iters: int = PR_ITERS,
+             num_partitions: int = 8) -> rd.Dataset:
+    """Damped PageRank over (src, dst) edges in exact int64 arithmetic.
+
+    Per iteration (damping 85/100, the classic 0.85):
+
+        S(v)   = sum over in-edges (R(u) // outdeg(u))
+        R'(v)  = (15 * (SCALE // N)) // 100  +  (85 * S(v)) // 100
+
+    Every operation is integer (floor division, int64 sums), so the
+    result is **independent of addition order** — the distributed
+    groupby-sum is bit-equal to the DuckDB oracle's unrolled-CTE
+    evaluation, with no float-parity caveats (same discipline as the
+    integer-scaled money sums in relational.py). Dangling-node mass
+    evaporates rather than redistributing — mirrored in the oracle.
+
+    Engine shape: outdeg is joined onto the edge list ONCE; each
+    iteration is one hash join (ranks x edges on src) + one groupby-sum
+    over contributions + a vectorized rescale — 2 shuffles/iteration
+    over the EDGE list, the standard BSP PageRank plan. Ranks
+    materialize per round so lineage stays one round deep. At 100 TB
+    the edge list is the big side and stays block-partitioned; ranks
+    are O(nodes) rows of 2 columns.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                       "pr": pa.array([], pa.int64())}))
+    r0 = PR_SCALE // n
+    base = (15 * r0) // 100
+
+    outdeg = drop_empty_blocks(
+        edges.groupby("src").count()
+        .rename_columns({"count()": "od"}))
+    # scrub: a hash join emits zero-column empty partitions when rows <
+    # partitions; as the LEFT INPUT of the per-iteration join they would
+    # crash the key lookup (same pitfall as groupby outputs above)
+    keyed = drop_empty_blocks(
+        edges.join(outdeg, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("src",))).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("doc_id"),
+                         "r": pa.array([r0] * t.num_rows, pa.int64())})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy().astype(np.int64)
+        od = t.column("od").to_numpy().astype(np.int64)
+        return pa.table({"src": t.column("dst"),
+                         "s": pa.array(r // od, type=pa.int64())})
+
+    def zero_s(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"),
+                         "s": pa.array([0] * t.num_rows, pa.int64())})
+
+    def rescale(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy().astype(np.int64)
+        return pa.table({"src": t.column("src"),
+                         "r": pa.array(base + (85 * s) // 100, pa.int64())})
+
+    for _ in range(iters):
+        prop = keyed.join(ranks, join_type="inner",
+                          num_partitions=num_partitions, on=("src",))
+        summed = drop_empty_blocks(
+            prop.map_batches(contrib, batch_format="pyarrow")
+            .union(ranks.map_batches(zero_s, batch_format="pyarrow"))
+            .groupby("src").aggregate(Sum("s", alias_name="s")))
+        ranks = summed.map_batches(
+            rescale, batch_format="pyarrow").materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("src"), "pr": t.column("r")})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def crawl_link_edges(docs: rd.Dataset, web) -> rd.Dataset:
+    """Distinct internal (src doc_id, dst doc_id) edges of the crawled
+    web: each crawled page's child links, canonicalized, kept only when
+    the target was itself crawled (semi join against the doc table —
+    never a driver set). The crawl stores first-discovery parents only
+    (a forest); this recovers the FULL link graph, so in-degree > 1 is
+    real and PageRank is non-trivial."""
+    from ..canonicalize import canonicalize_url, doc_id_for
+    from ..synthweb import fetch_page
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for did, url in zip(t.column("doc_id").to_pylist(),
+                            t.column("url").to_pylist()):
+            for raw in fetch_page(url, web).child_urls:
+                cu = canonicalize_url(raw)
+                if cu is not None:
+                    srcs.append(did)
+                    dsts.append(doc_id_for(cu))
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    ids = docs.select_columns(["doc_id"])
+    raw_edges = drop_empty_blocks(
+        docs.select_columns(["doc_id", "url"])
+        .map_batches(to_edges, batch_format="pyarrow"))
+    internal = raw_edges.join(ids, join_type="left_semi", num_partitions=8,
+                              on=("dst",), right_on=("doc_id",))
+    # distinct (src, dst): parallel edges collapse (mirrored by the
+    # fixture writer's set + the oracle's DISTINCT read)
+    return drop_empty_blocks(
+        internal.groupby(["src", "dst"]).count()
+        .drop_columns(["count()"]))
+
+
+def q_link_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the distributed crawl's internal link graph.
+
+    The crawl-prioritization signal a frontier scheduler feeds on:
+    re-derive every crawled page's out-links, keep edges whose target
+    was crawled, run integer-exact PageRank. The DuckDB oracle runs the
+    same fixed iterations as unrolled CTEs over the *sequential oracle
+    crawler's* independently-derived edge list, so graph construction
+    and the distributed iteration are both checked end-to-end."""
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    edges = crawl_link_edges(docs, web)
+    return pagerank(docs.select_columns(["doc_id"]), edges)
+
+
 def _clusters_oracle_sql() -> str:
     pairs = _minhash_oracle_sql()
     return f"""
@@ -216,6 +360,40 @@ FROM reach GROUP BY node
 """
 
 
-ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql()}
+def _pagerank_oracle_sql() -> str:
+    """The same integer-exact iterations as ``pagerank``, unrolled as
+    CTEs over the sequential oracle crawler's docs + edge fixtures —
+    int64 floor division and sums only, so DuckDB's evaluation order
+    cannot diverge from the distributed groupby-sum."""
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
 
-QUERIES = {"neardup_clusters": q_neardup_clusters}
+    parts = [f"""
+WITH nodes AS (SELECT doc_id FROM read_parquet('{ORACLE_DOCS_PATH}')),
+edges AS (SELECT DISTINCT src, dst FROM read_parquet('{ORACLE_EDGES_PATH}')),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)"""]
+    base = f"(15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS doc_id, sum(r{i-1}.r // o.od) AS s
+  FROM edges e
+  JOIN r{i-1} ON e.src = r{i-1}.doc_id
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.doc_id,
+         {base} + (85 * coalesce(c{i}.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN c{i} USING (doc_id))""")
+    parts.append(f"""
+SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r{PR_ITERS}
+""")
+    return "".join(parts)
+
+
+ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
+              "link_pagerank": _pagerank_oracle_sql()}
+
+QUERIES = {"neardup_clusters": q_neardup_clusters,
+           "link_pagerank": q_link_pagerank}

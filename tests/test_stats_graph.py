@@ -62,3 +62,59 @@ def test_empty_edge_list_yields_empty_clusters():
     ds = connected_components(_edges([]))
     assert ds.count() == 0
     assert set(ds.schema().names) == {"doc_id", "cluster_id"}
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank (graph.pagerank)
+# ---------------------------------------------------------------------------
+
+def _pr_reference(nodes, edges, iters):
+    """Sequential mirror of the integer PageRank formula."""
+    from scraper_ray.pipelines.graph import PR_SCALE
+
+    n = len(nodes)
+    r0 = PR_SCALE // n
+    base = (15 * r0) // 100
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: r0 for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    from scraper_ray.pipelines.graph import pagerank
+
+    nodes = ["a", "b", "c", "d", "e"]   # e is dangling & unlinked
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    out = pagerank(nds, eds, iters=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["pr"]))
+    assert got == _pr_reference(nodes, edges, 4)
+    # c has the highest in-degree -> highest rank; unlinked e the lowest
+    assert got["c"] == max(got.values())
+    assert got["e"] == min(got.values())
+
+
+def test_pagerank_mass_is_conserved_modulo_floor_loss(ray_session):
+    """Total rank never exceeds SCALE; floor division + dangling nodes
+    only ever LOSE mass (deterministically)."""
+    from scraper_ray.pipelines.graph import PR_SCALE, pagerank
+
+    nodes = [f"n{i}" for i in range(7)]
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(6)]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    out = pagerank(nds, eds, iters=3).to_pandas()
+    assert len(out) == 7
+    assert 0 < out["pr"].sum() <= PR_SCALE
