@@ -40,11 +40,15 @@ _FIELD_RE = re.compile(r"^([a-zA-Z\-]+)\s*:\s*(.*)$")
 
 @dataclass(frozen=True)
 class RobotsRules:
-    """Effective rules for one (domain, agent) after group resolution."""
+    """Effective rules for one (domain, agent) after group resolution.
+
+    ``sitemaps`` (sitemaps.org extension) is collected file-wide — the
+    Sitemap field is independent of user-agent groups."""
 
     disallow: tuple[str, ...] = ()
     allow: tuple[str, ...] = ()
     crawl_delay: float | None = None
+    sitemaps: tuple[str, ...] = ()
 
     def allowed(self, path: str) -> bool:
         """RFC 9309 §2.2.2 longest-match; ties resolve to allow."""
@@ -101,6 +105,7 @@ def parse_robots(text: str, agent: str = DEFAULT_AGENT) -> RobotsRules:
     cur_dis: list[str] = []
     cur_allow: list[str] = []
     cur_delay: float | None = None
+    sitemaps: list[str] = []
     in_rules = False   # rule line seen since the last User-agent line
 
     def flush() -> None:
@@ -135,7 +140,9 @@ def parse_robots(text: str, agent: str = DEFAULT_AGENT) -> RobotsRules:
                     cur_delay = float(val)
                 except ValueError:
                     pass
-        # anything else (Sitemap, Host, ...): ignored
+        elif fld == "sitemap" and val:
+            sitemaps.append(val)   # cross-group, file-wide
+        # anything else (Host, ...): ignored
     flush()
 
     # group resolution: exact token match > longest prefix token > '*'
@@ -162,4 +169,4 @@ def parse_robots(text: str, agent: str = DEFAULT_AGENT) -> RobotsRules:
         allow.extend(g_allow)
         if g_delay is not None:
             delay = g_delay if delay is None else min(delay, g_delay)
-    return RobotsRules(tuple(dis), tuple(allow), delay)
+    return RobotsRules(tuple(dis), tuple(allow), delay, tuple(sitemaps))

@@ -229,6 +229,72 @@ FROM robots r LEFT JOIN dis USING(domain) JOIN delay USING(domain)
 """
 
 
+def q_sitemap_seeds(sf_dir: str) -> rd.Dataset:
+    """Seed discovery via the sitemaps.org protocol: per domain, fetch
+    robots.txt -> Sitemap lines -> sitemap XML (two-level sitemapindex
+    fan-out for every fourth entity) -> distinct page URLs. One parallel
+    map over domains (stages/sitemap.py); the DuckDB oracle re-walks the
+    same robots + XML documents with regex extraction — an independent
+    implementation of the whole discovery chain."""
+    from ..stages.sitemap import discover_sitemap_seeds
+    from ..synthweb import serve_meta
+
+    web, _ = _cfg_for(sf_dir)
+    domains = [f"{e}.test" for e in web.entities()]
+    return discover_sitemap_seeds(domains, lambda u: serve_meta(web, u))
+
+
+def sitemap_seeds_oracle_sql() -> str:
+    """DuckDB re-implementation of sitemap seed discovery over the gate
+    tier's embedded robots + sitemap documents."""
+    from ..synthweb import robots_text_for, sitemap_xml_for
+
+    web, _ = _cfg_for(_ORACLE_TIER)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "\\n")
+
+    robots_vals = ",\n  ".join(
+        f"('{e}.test', '{esc(robots_text_for(web, e))}')"
+        for e in web.entities())
+    smap_rows = []
+    for e in web.entities():
+        for u in (f"http://www.{e}.test/sitemap.xml",
+                  f"http://www.{e}.test/sitemap-pages.xml",
+                  f"http://www.{e}.test/sitemap-items.xml"):
+            xml = sitemap_xml_for(web, u)
+            if xml is not None:
+                smap_rows.append(f"('{u}', '{esc(xml)}')")
+    smap_vals = ",\n  ".join(smap_rows)
+    return rf"""
+WITH robots(domain, txt) AS (VALUES
+  {robots_vals}),
+smaps(url, xml) AS (VALUES
+  {smap_vals}),
+rl AS (
+  SELECT domain,
+         trim(regexp_replace(unnest(string_split(replace(txt, '\n', chr(10)),
+                                                 chr(10))), '#.*$', '')) AS line
+  FROM robots),
+sm0 AS (
+  SELECT domain, trim(regexp_extract(line, '(?i)^sitemap:(.*)$', 1)) AS surl
+  FROM rl WHERE regexp_matches(line, '(?i)^sitemap:')),
+lvl0 AS (SELECT sm0.domain, s.xml FROM sm0 JOIN smaps s ON s.url = sm0.surl),
+kids AS (
+  SELECT domain, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc
+  FROM lvl0 WHERE xml LIKE '%<sitemapindex%'),
+lvl1 AS (SELECT kids.domain, s.xml FROM kids JOIN smaps s ON s.url = kids.loc),
+leaves AS (
+  SELECT domain, xml FROM lvl0 WHERE xml NOT LIKE '%<sitemapindex%'
+  UNION ALL
+  SELECT domain, xml FROM lvl1)
+SELECT DISTINCT domain, url FROM (
+  SELECT domain,
+         unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url
+  FROM leaves)
+"""
+
+
 def q_geocode_grid(sf_dir: str) -> "pa.Table":
     """Geocode converter sweep over a fixed in-China grid + out-of-China
     points (rows-only; golden values pinned by tests/test_geocode.py)."""
@@ -287,6 +353,7 @@ PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
+    "sitemap_seeds",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
@@ -440,6 +507,7 @@ FROM rg
 ORACLE_SQL = {
     "geocode_grid": geocode_grid_oracle_sql(),
     "robots_rules": robots_rules_oracle_sql(),
+    "sitemap_seeds": sitemap_seeds_oracle_sql(),
     "crawl_docs": f"""
 SELECT doc_id, url, entity, page_type, domain_key, depth, parent_id,
        child_idx, path, n_attempts
@@ -467,4 +535,5 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "geocode_grid": q_geocode_grid,
     "robots_rules": q_robots_rules,
+    "sitemap_seeds": q_sitemap_seeds,
 }

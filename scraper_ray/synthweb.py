@@ -320,21 +320,84 @@ def robots_text_for(cfg: WebConfig, entity: str) -> str:
     rules = ["Disallow: /private/"] if dis_private else []
     rules.append(f"Crawl-delay: {delay}")
     body = "\n".join(rules)
+    # Sitemap is cross-group (sitemaps.org); appended after the groups
+    smap = f"\nSitemap: http://www.{entity}.test/sitemap.xml\n"
     if variant == 0:
-        return f"User-agent: *\n{body}\n"
+        return f"User-agent: *\n{body}\n" + smap
     if variant == 1:   # decoy group for another agent before ours
         return ("User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\n"
-                f"User-agent: *\n{body}\n")
+                f"User-agent: *\n{body}\n") + smap
     if variant == 2:   # agent-specific group overrides a bogus * group
         return ("User-agent: *\nDisallow: /\nCrawl-delay: 7\n\n"
-                f"User-agent: graftbot\n{body}\n")
+                f"User-agent: graftbot\n{body}\n") + smap
     if variant == 3:   # comments, blank lines, a no-op Allow
         return ("# synthetic robots\n\nUser-agent: *  # all crawlers\n"
-                f"Allow: /\n{body}\n# end\n")
+                f"Allow: /\n{body}\n# end\n") + smap
     # variant 4: mixed-case field names + stray whitespace
     loud = body.replace("Disallow:", "DISALLOW:").replace(
         "Crawl-delay:", "CRAWL-DELAY:   ")
-    return f"USER-AGENT: *\n{loud}\n"
+    return f"USER-AGENT: *\n{loud}\n" + smap
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org protocol) — seed discovery for the crawl
+# ---------------------------------------------------------------------------
+
+_SMAP_PAGES = "http://www.{e}.test/sitemap-pages.xml"
+_SMAP_ITEMS = "http://www.{e}.test/sitemap-items.xml"
+
+
+def _urlset_xml(urls: list[str]) -> str:
+    body = "\n".join(
+        f"  <url><loc>{u}</loc><changefreq>daily</changefreq></url>"
+        for u in urls)
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f"{body}\n</urlset>\n")
+
+
+def sitemap_xml_for(cfg: WebConfig, url: str) -> str | None:
+    """The synthetic web's sitemap documents. Every fourth entity splits
+    its sitemap into a **sitemap index** with two child urlsets (pages /
+    items) — exercising the two-level protocol; others serve one flat
+    urlset. Contents: every list page plus page 1's item URLs."""
+    m = re.match(r"^http://www\.([a-z0-9-]+)\.test/"
+                 r"(sitemap|sitemap-pages|sitemap-items)\.xml$", url)
+    if not m:
+        return None
+    entity, kind = m.group(1), m.group(2)
+    try:
+        idx = int(entity.removeprefix("ent"))
+    except ValueError:
+        return None
+    pages = [cfg.list_url(entity, p)
+             for p in range(1, cfg.max_pages(entity) + 1)]
+    items = sorted({cfg.item_url(entity, i)
+                    for i in _item_ids_for_page(cfg, entity, 1)})
+    if kind == "sitemap":
+        if idx % 4 == 0:   # two-level: index -> child urlsets
+            locs = [_SMAP_PAGES.format(e=entity), _SMAP_ITEMS.format(e=entity)]
+            body = "\n".join(f"  <sitemap><loc>{u}</loc></sitemap>"
+                             for u in locs)
+            return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                    '<sitemapindex '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                    f"{body}\n</sitemapindex>\n")
+        return _urlset_xml(pages + items)
+    if idx % 4 != 0:
+        return None   # child maps exist only for index entities
+    return _urlset_xml(pages if kind == "sitemap-pages" else items)
+
+
+def serve_meta(cfg: WebConfig, url: str) -> str | None:
+    """Synthetic transport for crawl metadata documents: robots.txt and
+    sitemap XML by URL (None = 404). The injectable-transport seam of
+    stages/robots.py and stages/sitemap.py points here in-sandbox and at
+    a RequestsFetcher-backed callable in a real deployment."""
+    m = re.match(r"^http://www\.([a-z0-9-]+)\.test/robots\.txt$", url)
+    if m:
+        return robots_text_for(cfg, m.group(1))
+    return sitemap_xml_for(cfg, url)
 
 
 # ---------------------------------------------------------------------------

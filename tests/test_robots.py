@@ -228,3 +228,85 @@ def test_crawl_with_allow_override_matches_oracle(ray_session, tmp_path):
     assert readmitted
     # while /private/ elsewhere under disallowed domains stayed blocked
     assert not any("ent0003.test/private/" in u for u in docs["url"])
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingestion (stages/sitemap.py)
+# ---------------------------------------------------------------------------
+
+def test_robots_sitemap_lines_collected_cross_group():
+    txt = ("User-agent: otherbot\nDisallow: /\n\n"
+           "Sitemap: http://www.a.test/sitemap.xml\n"
+           "User-agent: *\nDisallow: /x/\n"
+           "Sitemap: http://www.a.test/sitemap2.xml\n")
+    r = parse_robots(txt, "graftbot")
+    assert r.sitemaps == ("http://www.a.test/sitemap.xml",
+                          "http://www.a.test/sitemap2.xml")
+    assert r.disallow == ("/x/",)
+
+
+def test_parse_sitemap_kinds():
+    from scraper_ray.stages.sitemap import parse_sitemap
+
+    kind, locs = parse_sitemap(
+        '<?xml version="1.0"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        '<url><loc> http://a.test/p1/ </loc></url>'
+        '<url><loc>http://a.test/p2/</loc><priority>0.5</priority></url>'
+        '</urlset>')
+    assert kind == "urlset"
+    assert locs == ["http://a.test/p1/", "http://a.test/p2/"]
+    kind, locs = parse_sitemap(
+        '<sitemapindex><sitemap><loc>http://a.test/s1.xml</loc></sitemap>'
+        '</sitemapindex>')
+    assert kind == "sitemapindex" and locs == ["http://a.test/s1.xml"]
+    assert parse_sitemap("<html>nope</html>") == ("invalid", [])
+    assert parse_sitemap("not xml <<<") == ("invalid", [])
+
+
+def test_discovered_seeds_match_synthetic_universe(ray_session):
+    """Discovered seed set == the web's own definition of its sitemaps,
+    for both flat-urlset and two-level-index entities."""
+    from scraper_ray.stages.sitemap import discover_sitemap_seeds
+    from scraper_ray.synthweb import serve_meta
+
+    web = WebConfig(seed=41, n_entities=9, items_per_page=5, max_pages_cap=6)
+    domains = [f"{e}.test" for e in web.entities()]
+    out = discover_sitemap_seeds(
+        domains, lambda u: serve_meta(web, u)).to_pandas()
+    from scraper_ray.synthweb import _item_ids_for_page
+
+    for i, ent in enumerate(web.entities()):
+        got = set(out[out["domain"] == f"{ent}.test"]["url"])
+        want = {web.list_url(ent, p)
+                for p in range(1, web.max_pages(ent) + 1)}
+        want |= {web.item_url(ent, x)
+                 for x in _item_ids_for_page(web, ent, 1)}
+        assert got == want, (ent, i)
+    # both protocol shapes actually occurred
+    assert any(i % 4 == 0 for i in range(9))
+
+
+def test_crawl_from_sitemap_seeds_matches_oracle(ray_session, tmp_path):
+    """Compose: sitemap discovery -> crawl; engine == sequential oracle
+    on the discovered seed list."""
+    from scraper_ray.crawl import CrawlConfig, crawl, read_docs
+    from scraper_ray.oracle import crawl_oracle
+    from scraper_ray.schema import order_key_columns
+    from scraper_ray.stages.sitemap import discover_sitemap_seeds
+    from scraper_ray.synthweb import serve_meta
+
+    web = WebConfig(seed=43, n_entities=5, items_per_page=4, max_pages_cap=4)
+    pol = default_politeness(web, wave_units=16)
+    domains = [f"{e}.test" for e in web.entities()]
+    seeds_df = discover_sitemap_seeds(
+        domains, lambda u: serve_meta(web, u)).to_pandas()
+    seeds = sorted(seeds_df["url"])
+    out = str(tmp_path / "sm")
+    crawl(seeds, CrawlConfig(web=web, politeness=pol, out_dir=out,
+                             batch_size=64))
+    docs = read_docs(out).to_pandas()
+    oracle = crawl_oracle(seeds, web, pol)
+    assert set(docs["url"]) == oracle.seen
+    es = docs.sort_values(order_key_columns()).reset_index(drop=True)
+    assert es["url"].tolist() == [d["url"] for d in oracle.docs]
