@@ -163,6 +163,82 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+_SPAN_K = 32       # window width (chars) — ExactSubstr-style span unit
+_SPAN_STRIDE = 16  # sampling stride; any duplicated run >= K+S-1 chars
+                   # is guaranteed to contribute at least one shared window
+
+
+def q_dup_spans(sf_dir: str) -> rd.Dataset:
+    """Span-level exact-substring duplication audit (the signal behind
+    suffix-array ExactSubstr dedup, Lee et al. 2021, via strided k-char
+    window sampling): per doc, how many 32-char windows also occur in at
+    least one OTHER document.
+
+    Plan: flat-map docs -> (doc_id, window) rows; distinct (window, doc)
+    then count docs per window (two groupby shuffles); join the
+    per-window doc count back onto the window stream; per-doc Sum
+    aggregate. Everything is a hash exchange on the window value — no
+    driver sets, no all-pairs. Gate tiers shuffle the raw 32-char
+    windows so the DuckDB oracle can recompute them with substr(); a
+    100 TB deployment hashes windows to u64 first (4x less exchange
+    volume) and keeps the identical topology."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        wins: list[str] = []
+        for did, tx in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+            n = len(tx)
+            if n < _SPAN_K:
+                continue
+            for i in range((n - _SPAN_K) // _SPAN_STRIDE + 1):
+                off = i * _SPAN_STRIDE
+                ids.append(did)
+                wins.append(tx[off:off + _SPAN_K])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "win": pa.array(wins, pa.string())})
+
+    from .common import drop_empty_blocks
+
+    w = ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    ndocs = drop_empty_blocks(
+        w.groupby(["win", "doc_id"]).count().drop_columns(["count()"])
+        .groupby("win").count().rename_columns({"count()": "ndocs"}))
+    joined = w.join(ndocs, join_type="inner", num_partitions=8, on=("win",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        nd = t.column("ndocs").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "one": pa.array(np.ones(len(nd), np.int64)),
+            "dup": pa.array((nd >= 2).astype(np.int64)),
+        })
+
+    return (joined.map_batches(flag, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("one", alias_name="n_windows"),
+                       Sum("dup", alias_name="n_dup_windows")))
+
+
+_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, substr(text, 1 + s.i * {_SPAN_STRIDE}, {_SPAN_K}) AS win
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+        0, (length(text) - {_SPAN_K}) // {_SPAN_STRIDE})) AS i) s
+  WHERE length(text) >= {_SPAN_K}),
+nd AS (SELECT win, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY win)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows
+FROM w JOIN nd USING (win) GROUP BY doc_id
+"""
+
+
 def _gram_hash_ctes(source: str) -> str:
     """The shared docs -> hs CTE prefix: tokenized docs, per-token md5
     hashes, and the k-gram linear combine — the SQL mirror of
@@ -341,6 +417,7 @@ ORACLE_SQL = {
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
+    "dup_spans": _DUP_SPANS_SQL,
     "simhash": _simhash_oracle_sql(),
     "minhash_pairs": _minhash_oracle_sql(),
     "embedding_neardup": _embedding_neardup_oracle_sql(),
@@ -1002,6 +1079,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dup_spans": q_dup_spans,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
