@@ -174,15 +174,20 @@ def q_dup_spans(sf_dir: str) -> rd.Dataset:
     window sampling): per doc, how many 32-char windows also occur in at
     least one OTHER document.
 
-    Plan: flat-map docs -> (doc_id, window) rows; distinct (window, doc)
-    then count docs per window (two groupby shuffles); join the
-    per-window doc count back onto the window stream; per-doc Sum
-    aggregate. Everything is a hash exchange on the window value — no
-    driver sets, no all-pairs. Gate tiers shuffle the raw 32-char
-    windows so the DuckDB oracle can recompute them with substr(); a
-    100 TB deployment hashes windows to u64 first (4x less exchange
-    volume) and keeps the identical topology."""
+    Plan: flat-map docs -> DISTINCT per-doc (doc_id, window) rows (the
+    dedup is local — a doc's windows are all generated in its own
+    batch, so no distinct shuffle is ever needed); count docs per
+    window (ONE groupby shuffle); the multi-doc window set is tiny in
+    any non-degenerate corpus, so under ``_MULTI_BROADCAST_CAP`` it is
+    ray.put once and the per-doc flags are a stateless map — above the
+    cap a distributed hash join runs instead (same discipline as the
+    minhash verify). Gate tiers shuffle the raw 32-char windows so the
+    DuckDB oracle can recompute them with substr(); a 100 TB deployment
+    hashes windows to u64 first (4x less exchange volume) with the
+    identical topology."""
     from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
@@ -194,38 +199,58 @@ def q_dup_spans(sf_dir: str) -> rd.Dataset:
             n = len(tx)
             if n < _SPAN_K:
                 continue
+            seen: set[str] = set()
             for i in range((n - _SPAN_K) // _SPAN_STRIDE + 1):
                 off = i * _SPAN_STRIDE
-                ids.append(did)
-                wins.append(tx[off:off + _SPAN_K])
+                seen.add(tx[off:off + _SPAN_K])
+            ids.extend([did] * len(seen))
+            wins.extend(sorted(seen))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "win": pa.array(wins, pa.string())})
 
-    from .common import drop_empty_blocks
+    w = ds.map_batches(windows, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("ndocs"), 2))
 
-    w = ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
-    ndocs = drop_empty_blocks(
-        w.groupby(["win", "doc_id"]).count().drop_columns(["count()"])
-        .groupby("win").count().rename_columns({"count()": "ndocs"}))
-    joined = w.join(ndocs, join_type="inner", num_partitions=8, on=("win",))
+    dup_wins = drop_empty_blocks(
+        w.groupby("win").count().rename_columns({"count()": "ndocs"})
+        .map_batches(only_dups, batch_format="pyarrow")).materialize()
 
-    def flag(t: pa.Table) -> pa.Table:
-        nd = t.column("ndocs").to_numpy()
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "one": pa.array(np.ones(len(nd), np.int64)),
-            "dup": pa.array((nd >= 2).astype(np.int64)),
-        })
+    if dup_wins.count() <= _MULTI_BROADCAST_CAP:
+        dup_ref = ray.put({r["win"] for r in dup_wins.take_all()})
 
-    return (joined.map_batches(flag, batch_format="pyarrow")
-            .groupby("doc_id")
+        def flag_bcast(t: pa.Table) -> pa.Table:
+            dset = ray.get(dup_ref)
+            dup = [w_ in dset for w_ in t.column("win").to_pylist()]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "dup": pa.array(np.asarray(dup, dtype=np.int64)),
+            })
+
+        flagged = w.map_batches(flag_bcast, batch_format="pyarrow")
+    else:
+        joined = w.join(dup_wins, join_type="left_outer", num_partitions=32,
+                        on=("win",))
+
+        def flag_join(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "dup": pc.cast(pc.is_valid(t.column("ndocs")), pa.int64()),
+            })
+
+        flagged = joined.map_batches(flag_join, batch_format="pyarrow")
+
+    return (flagged.groupby("doc_id")
             .aggregate(Sum("one", alias_name="n_windows"),
                        Sum("dup", alias_name="n_dup_windows")))
 
 
 _DUP_SPANS_SQL = f"""
 WITH w AS (
-  SELECT doc_id, substr(text, 1 + s.i * {_SPAN_STRIDE}, {_SPAN_K}) AS win
+  SELECT DISTINCT doc_id, substr(text, 1 + s.i * {_SPAN_STRIDE}, {_SPAN_K}) AS win
   FROM documents, LATERAL (
     SELECT unnest(generate_series(
         0, (length(text) - {_SPAN_K}) // {_SPAN_STRIDE})) AS i) s

@@ -96,9 +96,12 @@ def test_pagerank_matches_sequential_reference(ray_session):
     eds = rd.from_arrow(pa.table({
         "src": pa.array([e[0] for e in edges], pa.string()),
         "dst": pa.array([e[1] for e in edges], pa.string())}))
-    out = pagerank(nds, eds, iters=4).to_pandas()
-    got = dict(zip(out["doc_id"], out["pr"]))
-    assert got == _pr_reference(nodes, edges, 4)
+    want = _pr_reference(nodes, edges, 4)
+    # both plans: inline numpy fast path AND the distributed iterations
+    for cap in (2_000_000, 0):
+        out = pagerank(nds, eds, iters=4, inline_edge_cap=cap).to_pandas()
+        got = dict(zip(out["doc_id"], out["pr"]))
+        assert got == want, cap
     # c has the highest in-degree -> highest rank; unlinked e the lowest
     assert got["c"] == max(got.values())
     assert got["e"] == min(got.values())
