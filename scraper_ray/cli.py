@@ -35,18 +35,44 @@ def _init_ray(num_cpus: int | None) -> None:
 
 def cmd_crawl(args: argparse.Namespace) -> None:
     from .crawl import CrawlConfig, crawl
-    from .synthweb import WebConfig, default_politeness, gen_seeds_dataset
+    from .synthweb import (
+        WebConfig,
+        default_politeness,
+        gen_seeds_dataset,
+        serve_meta,
+    )
 
     web = WebConfig(seed=args.seed, n_entities=args.entities,
                     items_per_page=args.items_per_page,
                     max_pages_cap=args.max_pages,
                     work_per_page=args.work_per_page)
-    pol = default_politeness(web, wave_units=args.wave_units)
+    if args.discover_robots:
+        # fetch + parse each domain's robots.txt into the politeness
+        # config instead of the hand-built default (stages/robots.py)
+        from .stages.robots import discover_politeness
+
+        pol = discover_politeness(web, wave_units=args.wave_units)
+    else:
+        pol = default_politeness(web, wave_units=args.wave_units)
     ccfg = CrawlConfig(web=web, politeness=pol, out_dir=args.out,
                        checkpoint_dir=args.checkpoint,
                        n_seen_shards=args.shards, n_sched_shards=args.shards,
                        batch_size=args.batch_size, level_sync=args.level_sync)
-    seeds = None if args.resume else gen_seeds_dataset(web, args.seeds)
+    if args.resume:
+        seeds = None
+    elif args.sitemap_seeds:
+        # seed discovery via robots Sitemap lines + sitemap XML
+        # (stages/sitemap.py); sorted so seed_idx (= crawl tiebreak
+        # order) is deterministic. One URL per sitemap entry — a
+        # bounded list, unlike the 10^6 synthetic seed generator
+        from .stages.sitemap import discover_sitemap_seeds
+
+        domains = [f"{e}.test" for e in web.entities()]
+        found = discover_sitemap_seeds(
+            domains, lambda u: serve_meta(web, u)).to_pandas()
+        seeds = sorted(found["url"])
+    else:
+        seeds = gen_seeds_dataset(web, args.seeds)
     stats = crawl(seeds, ccfg, resume=args.resume)
     print(json.dumps({
         "docs": stats.docs, "waves": stats.waves,
@@ -98,6 +124,10 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--batch-size", type=int, default=2048)
     c.add_argument("--level-sync", choices=["domain", "global"], default="domain")
     c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--discover-robots", action="store_true",
+                   help="build politeness from fetched robots.txt")
+    c.add_argument("--sitemap-seeds", action="store_true",
+                   help="seed from sitemaps discovered via robots.txt")
     c.set_defaults(fn=cmd_crawl)
 
     q = sub.add_parser("query")
