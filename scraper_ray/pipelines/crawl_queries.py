@@ -35,20 +35,29 @@ def _cfg_for(sf_dir: str) -> tuple[WebConfig, int]:
     )
 
 
-_CRAWL_CACHE: dict[str, str] = {}
+_CRAWL_CACHE: dict[tuple[str, int], str] = {}
 
 
-def _run_crawl(sf_dir: str) -> rd.Dataset:
-    """Run (or reuse this process's) crawl for the sf tier."""
+def _run_crawl(sf_dir: str, rev: int = 0) -> rd.Dataset:
+    """Run (or reuse this process's) crawl for the sf tier.
+
+    ``rev`` crawls revision *rev* of the synthetic web (same seed list,
+    same politeness — only page content / URL churn differ), the
+    recrawl scenario q_recrawl_diff compares."""
+    from dataclasses import replace
+
     tier = os.path.basename(os.path.normpath(sf_dir))
-    if tier not in _CRAWL_CACHE:
+    if (tier, rev) not in _CRAWL_CACHE:
         web, n_seeds = _cfg_for(sf_dir)
         pol = default_politeness(web, wave_units=48)
+        seeds = gen_seeds(web, n_seeds)
+        if rev:
+            web = replace(web, rev=rev)
         out = tempfile.mkdtemp(prefix="crawl_docs_")
         ccfg = CrawlConfig(web=web, politeness=pol, out_dir=out, batch_size=1024)
-        crawl(gen_seeds(web, n_seeds), ccfg)
-        _CRAWL_CACHE[tier] = out
-    return read_docs(_CRAWL_CACHE[tier])
+        crawl(seeds, ccfg)
+        _CRAWL_CACHE[(tier, rev)] = out
+    return read_docs(_CRAWL_CACHE[(tier, rev)])
 
 
 def q_crawl_docs(sf_dir: str) -> rd.Dataset:
@@ -85,6 +94,62 @@ def q_crawl_spans(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _content_sigs(docs: rd.Dataset, sig_col: str) -> rd.Dataset:
+    """(url, {sig_col}) — md5 over the doc's span sequence in offset
+    order, the content fingerprint the recrawl diff compares. Pure
+    per-row map; the md5 serialization (kind|text|media_ref joined by
+    newline) is mirrored verbatim by the DuckDB oracle's
+    ``string_agg(... ORDER BY offset)``."""
+    import hashlib
+
+    def sig(t: pa.Table) -> pa.Table:
+        sigs = []
+        for spans in t.column("spans").to_pylist():
+            body = "\n".join(f"{s['kind']}|{s['text']}|{s['media_ref']}"
+                             for s in sorted(spans, key=lambda s: s["offset"]))
+            sigs.append(hashlib.md5(body.encode()).hexdigest())
+        return pa.table({"url": t.column("url"),
+                         sig_col: pa.array(sigs, pa.string())})
+
+    return docs.select_columns(["url", "spans"]).map_batches(
+        sig, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_recrawl_diff(sf_dir: str) -> rd.Dataset:
+    """Incremental recrawl with change detection: crawl the web at
+    revision 0 and revision 1 (same seed list, same politeness budget),
+    fingerprint every doc's span content, and FULL OUTER join the two
+    URL sets — each URL is classified ``added`` (rev 1 only),
+    ``removed`` (rev 0 only), ``changed`` (both revs, fingerprints
+    differ) or ``unchanged``. This is the delta feed an incremental
+    crawler ships downstream instead of re-emitting the whole corpus.
+    Scale shape: two streaming crawls + one hash-partitioned outer join
+    on url; fingerprints are computed per batch, never collected. The
+    DuckDB oracle recomputes both fingerprint sets from the sequential
+    oracle crawler's rev-0 and rev-1 span parquets."""
+    import pyarrow.compute as pc
+
+    from .common import drop_empty_blocks
+
+    s0 = _content_sigs(_run_crawl(sf_dir, rev=0), "sig0")
+    s1 = (_content_sigs(_run_crawl(sf_dir, rev=1), "sig1")
+          .rename_columns({"url": "url1"}))
+    joined = drop_empty_blocks(
+        s0.join(s1, join_type="full_outer", num_partitions=4,
+                on=("url",), right_on=("url1",)))
+
+    def classify(t: pa.Table) -> pa.Table:
+        a, b = t.column("sig0"), t.column("sig1")
+        status = pc.if_else(
+            pc.is_null(a), pa.scalar("added"),
+            pc.if_else(pc.is_null(b), pa.scalar("removed"),
+                       pc.if_else(pc.equal(a, b), pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return pa.table({"url": t.column("url"), "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
 
 
 def q_domain_stats(sf_dir: str) -> rd.Dataset:
@@ -353,27 +418,18 @@ PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
-    "sitemap_seeds",
+    "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
+    "warc_cdx", "warc_readback",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
 ORACLE_EDGES_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/edges.parquet"
+ORACLE_SPANS_REV1_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans_rev1.parquet"
+ORACLE_DOCS_REV1_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs_rev1.parquet"
+ORACLE_ANCHORS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/anchors.parquet"
 
 
-def ensure_oracle_fixtures() -> None:
-    """Run the sequential oracle crawler for the driver-gate tier and
-    write its docs + exploded spans as parquet (atomic rename)."""
-    import pyarrow.parquet as pq
-
-    from ..oracle import crawl_oracle
-    from ..synthweb import default_politeness, gen_seeds
-
-    out_dir = os.path.dirname(ORACLE_DOCS_PATH)
-    os.makedirs(out_dir, exist_ok=True)
-    web, n_seeds = _cfg_for(_ORACLE_TIER)
-    pol = default_politeness(web, wave_units=48)
-    res = crawl_oracle(gen_seeds(web, n_seeds), web, pol)
-
+def _docs_spans_tables(res) -> tuple[pa.Table, pa.Table]:
     doc_cols = ["doc_id", "url", "entity", "page_type", "domain_key",
                 "depth", "parent_id", "child_idx", "path", "n_attempts"]
     docs_tbl = pa.table({
@@ -398,26 +454,84 @@ def ensure_oracle_fixtures() -> None:
         "media_ref": pa.array(s_cols["media_ref"], pa.string()),
         "offset": pa.array(s_cols["offset"], pa.int32()),
     })
-    # distinct internal link edges, independently derived from the
-    # sequential crawler's doc set (graph.q_link_pagerank's oracle input)
+    return docs_tbl, spans_tbl
+
+
+def anchor_text_for_slot(spans: list, slot: int) -> str:
+    """The anchor text of child link *slot* on a list page: the item
+    span at the same DOM slot, or the literal next-page label for the
+    trailing pagination link. Shared by the engine stage and the
+    sequential fixture writer so both derive the same anchors from a
+    page's (children, spans) contract."""
+    if slot < len(spans):
+        s = spans[slot]
+        kind = s["kind"] if isinstance(s, dict) else s.kind
+        text = s["text"] if isinstance(s, dict) else s.text
+        if kind == "text":
+            return text
+    return "next page"
+
+
+def ensure_oracle_fixtures() -> None:
+    """Run the sequential oracle crawler for the driver-gate tier and
+    write its docs + exploded spans as parquet (atomic rename), for
+    revision 0 and revision 1 of the web (the recrawl-diff oracle
+    inputs), plus the rev-0 link-edge and anchor-text fixtures."""
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+
+    from ..oracle import crawl_oracle
+    from ..synthweb import default_politeness, gen_seeds
+
+    out_dir = os.path.dirname(ORACLE_DOCS_PATH)
+    os.makedirs(out_dir, exist_ok=True)
+    web, n_seeds = _cfg_for(_ORACLE_TIER)
+    pol = default_politeness(web, wave_units=48)
+    seeds = gen_seeds(web, n_seeds)
+    res = crawl_oracle(seeds, web, pol)
+    docs_tbl, spans_tbl = _docs_spans_tables(res)
+    # revision 1: same seeds + politeness, mutated content/URL set
+    res1 = crawl_oracle(seeds, replace(web, rev=1), pol)
+    docs1_tbl, spans1_tbl = _docs_spans_tables(res1)
+
+    # distinct internal link edges + per-link anchor text, independently
+    # derived from the sequential crawler's doc set (oracle inputs for
+    # graph.q_link_pagerank / q_link_degree / q_anchor_text)
     from ..canonicalize import canonicalize_url, doc_id_for
     from ..synthweb import fetch_page
 
     ids = {d["doc_id"] for d in res.docs}
     edge_set: set[tuple[str, str]] = set()
+    a_src: list[str] = []
+    a_dst: list[str] = []
+    a_txt: list[str] = []
     for d in res.docs:
-        for raw in fetch_page(d["url"], web).child_urls:
+        page = fetch_page(d["url"], web)
+        for slot, raw in enumerate(page.child_urls):
             cu = canonicalize_url(raw)
-            if cu is not None and (dst := doc_id_for(cu)) in ids:
-                edge_set.add((d["doc_id"], dst))
+            if cu is None or (dst := doc_id_for(cu)) not in ids:
+                continue
+            edge_set.add((d["doc_id"], dst))
+            a_src.append(d["doc_id"])
+            a_dst.append(dst)
+            a_txt.append(anchor_text_for_slot(page.spans, slot))
     edges_sorted = sorted(edge_set)
     edges_tbl = pa.table({
         "src": pa.array([e[0] for e in edges_sorted], pa.string()),
         "dst": pa.array([e[1] for e in edges_sorted], pa.string()),
     })
+    anchors_tbl = pa.table({
+        "src": pa.array(a_src, pa.string()),
+        "dst": pa.array(a_dst, pa.string()),
+        "anchor": pa.array(a_txt, pa.string()),
+    })
     for tbl, path in ((docs_tbl, ORACLE_DOCS_PATH),
                       (spans_tbl, ORACLE_SPANS_PATH),
-                      (edges_tbl, ORACLE_EDGES_PATH)):
+                      (edges_tbl, ORACLE_EDGES_PATH),
+                      (docs1_tbl, ORACLE_DOCS_REV1_PATH),
+                      (spans1_tbl, ORACLE_SPANS_REV1_PATH),
+                      (anchors_tbl, ORACLE_ANCHORS_PATH)):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
@@ -527,12 +641,37 @@ SELECT domain_key,
 FROM read_parquet('{ORACLE_DOCS_PATH}')
 GROUP BY domain_key
 """,
+    # same fingerprint serialization as _content_sigs: kind|text|media_ref
+    # rows joined by newline in span-offset order, md5-hashed per doc
+    "recrawl_diff": f"""
+WITH sig0 AS (
+  SELECT d.url,
+         md5(string_agg(s.kind || '|' || s.text || '|' || s.media_ref,
+                        chr(10) ORDER BY s."offset")) AS sig
+  FROM read_parquet('{ORACLE_DOCS_PATH}') d
+  JOIN read_parquet('{ORACLE_SPANS_PATH}') s USING (doc_id)
+  GROUP BY d.url),
+sig1 AS (
+  SELECT d.url,
+         md5(string_agg(s.kind || '|' || s.text || '|' || s.media_ref,
+                        chr(10) ORDER BY s."offset")) AS sig
+  FROM read_parquet('{ORACLE_DOCS_REV1_PATH}') d
+  JOIN read_parquet('{ORACLE_SPANS_REV1_PATH}') s USING (doc_id)
+  GROUP BY d.url)
+SELECT coalesce(sig0.url, sig1.url) AS url,
+       CASE WHEN sig0.url IS NULL THEN 'added'
+            WHEN sig1.url IS NULL THEN 'removed'
+            WHEN sig0.sig = sig1.sig THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM sig0 FULL OUTER JOIN sig1 ON sig0.url = sig1.url
+""",
 }
 
 QUERIES = {
     "crawl_docs": q_crawl_docs,
     "crawl_spans": q_crawl_spans,
     "domain_stats": q_domain_stats,
+    "recrawl_diff": q_recrawl_diff,
     "geocode_grid": q_geocode_grid,
     "robots_rules": q_robots_rules,
     "sitemap_seeds": q_sitemap_seeds,

@@ -428,8 +428,145 @@ SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r{PR_ITERS}
     return "".join(parts)
 
 
+def crawl_anchor_edges(docs: rd.Dataset, web) -> rd.Dataset:
+    """(src doc_id, dst doc_id, anchor) rows of the crawled web's link
+    graph — one row PER LINK OCCURRENCE (parallel links kept: a page
+    linking the same item from two DOM slots contributes two rows, each
+    with its own anchor text). Anchor text is the item span at the
+    link's DOM slot (``anchor_text_for_slot``); targets not themselves
+    crawled are dropped with a semi join, never a driver set."""
+    from ..canonicalize import canonicalize_url, doc_id_for
+    from ..pipelines.crawl_queries import anchor_text_for_slot
+    from ..synthweb import fetch_page
+
+    def to_anchor_rows(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        txts: list[str] = []
+        for did, url in zip(t.column("doc_id").to_pylist(),
+                            t.column("url").to_pylist()):
+            page = fetch_page(url, web)
+            for slot, raw in enumerate(page.child_urls):
+                cu = canonicalize_url(raw)
+                if cu is None:
+                    continue
+                srcs.append(did)
+                dsts.append(doc_id_for(cu))
+                txts.append(anchor_text_for_slot(page.spans, slot))
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string()),
+                         "anchor": pa.array(txts, pa.string())})
+
+    ids = docs.select_columns(["doc_id"])
+    raw_rows = drop_empty_blocks(
+        docs.select_columns(["doc_id", "url"])
+        .map_batches(to_anchor_rows, batch_format="pyarrow"))
+    return drop_empty_blocks(
+        raw_rows.join(ids, join_type="left_semi", num_partitions=8,
+                      on=("dst",), right_on=("doc_id",)))
+
+
+def q_anchor_text(sf_dir: str) -> rd.Dataset:
+    """Anchor-text index over the crawl's link graph: for every crawled
+    page, the inbound-link count and the lexicographic min/max anchor
+    text pointing at it — the classic IR signal (anchor text describes
+    the TARGET) a search/curation pipeline extracts from a crawl.
+    Scale shape: anchors are emitted per batch from the fetch contract,
+    then one hash-partitioned groupby(dst) with min/max/count — O(links)
+    exchange, O(crawled pages) output, nothing on the driver. The
+    DuckDB oracle aggregates the sequential crawler's independently
+    derived (src, dst, anchor) fixture."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    anchors = crawl_anchor_edges(docs, web)
+    agg = anchors.groupby("dst").aggregate(
+        Count(alias_name="n_inlinks"),
+        Min("anchor", alias_name="min_anchor"),
+        Max("anchor", alias_name="max_anchor"))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": t.column("dst"),
+            "n_inlinks": pc.cast(t.column("n_inlinks"), pa.int64()),
+            "min_anchor": t.column("min_anchor"),
+            "max_anchor": t.column("max_anchor"),
+        })
+
+    return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
+
+
+def q_link_degree(sf_dir: str) -> rd.Dataset:
+    """In-degree distribution of the crawl's internal link graph
+    (distinct edges): (in_degree, n_nodes) including the zero-in-degree
+    bucket — the connectivity audit read before tuning a frontier
+    prioritizer. Scale shape: distinct-edge groupby, a left join of the
+    doc table against per-target counts, then a groupby over the degree
+    value — output is O(distinct degrees), so the result is tiny at any
+    corpus size."""
+    from ray.data.aggregate import Count
+
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    edges = crawl_link_edges(docs, web)
+    indeg = edges.groupby("dst").aggregate(Count(alias_name="in_degree"))
+    joined = drop_empty_blocks(
+        docs.select_columns(["doc_id"])
+        .join(drop_empty_blocks(indeg), join_type="left_outer",
+              num_partitions=8, on=("doc_id",), right_on=("dst",)))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"in_degree": pc.cast(
+            pc.coalesce(t.column("in_degree"), pa.scalar(0)), pa.int64())})
+
+    hist = (joined.map_batches(fill, batch_format="pyarrow")
+            .groupby("in_degree").aggregate(Count(alias_name="n_nodes")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"in_degree": pc.cast(t.column("in_degree"), pa.int64()),
+                         "n_nodes": pc.cast(t.column("n_nodes"), pa.int64())})
+
+    return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
+
+
+def _anchor_text_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_ANCHORS_PATH
+
+    return f"""
+SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+       min(anchor) AS min_anchor, max(anchor) AS max_anchor
+FROM read_parquet('{ORACLE_ANCHORS_PATH}')
+GROUP BY dst
+"""
+
+
+def _link_degree_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    return f"""
+WITH ind AS (
+  SELECT d.doc_id, CAST(count(e.src) AS BIGINT) AS in_degree
+  FROM read_parquet('{ORACLE_DOCS_PATH}') d
+  LEFT JOIN (SELECT DISTINCT src, dst
+             FROM read_parquet('{ORACLE_EDGES_PATH}')) e
+    ON e.dst = d.doc_id
+  GROUP BY d.doc_id)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY in_degree
+"""
+
+
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
-              "link_pagerank": _pagerank_oracle_sql()}
+              "link_pagerank": _pagerank_oracle_sql(),
+              "anchor_text": _anchor_text_oracle_sql(),
+              "link_degree": _link_degree_oracle_sql()}
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
-           "link_pagerank": q_link_pagerank}
+           "link_pagerank": q_link_pagerank,
+           "anchor_text": q_anchor_text,
+           "link_degree": q_link_degree}

@@ -109,6 +109,58 @@ def q_quantiles(sf_dir: str) -> rd.Dataset:
             .groupby("g").map_groups(finish, batch_format="pandas"))
 
 
+def q_group_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-group exact discrete quantiles: median/p90/... of lineitem
+    quantity WITHIN each returnflag — the grouped percentile view a
+    curation dashboard reads (e.g. token-length quantiles per source).
+    Same two-phase value-histogram plan as q_quantiles but keyed:
+    per-batch Arrow (group, value) counts, one groupby-sum shuffle of
+    O(groups x distinct values) partial rows, then the cumulative rank
+    pick per group. The shuffle and the finish are bounded by the VALUE
+    DOMAIN (quantity has <100 distinct values) times the group count —
+    never by row count — so the plan is unchanged at 100 TB."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = (pa.table({"flag": t.column("l_returnflag"),
+                       "value": t.column("l_quantity")})
+             .group_by(["flag", "value"]).aggregate([("value", "count")]))
+        return pa.table({"l_returnflag": g.column("flag"),
+                         "value": g.column("value"),
+                         "n": pc.cast(g.column("value_count"), pa.int64())})
+
+    hist = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["l_returnflag", "value"]).sum("n"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value").reset_index(drop=True)
+        cum = g["sum(n)"].cumsum()
+        n = int(cum.iloc[-1])
+        out_q, out_v = [], []
+        for q in QUANTILE_LEVELS:
+            rank = max(1, math.ceil(q * n))
+            idx = int((cum >= rank).idxmax())
+            out_q.append(q)
+            out_v.append(float(g["value"].iloc[idx]))
+        return pd.DataFrame({"l_returnflag": g["l_returnflag"].iloc[0],
+                             "q": out_q, "value": out_v})
+
+    # one dispatch per returnflag (3 groups) over a value-domain-bounded
+    # histogram — per-group pandas is fine at this cardinality
+    return hist.groupby("l_returnflag").map_groups(
+        finish, batch_format="pandas")
+
+
+def _group_quantiles_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q, "
+        f"quantile_disc(l_quantity, {q}) AS value "
+        "FROM lineitem GROUP BY l_returnflag"
+        for q in QUANTILE_LEVELS)
+    return branches
+
+
 # ---------------------------------------------------------------------------
 # price_histogram
 # ---------------------------------------------------------------------------
@@ -610,6 +662,7 @@ FROM (SELECT doc_id, {bucket} AS b FROM documents)
 
 ORACLE_SQL = {
     "quantiles": _quantiles_sql(),
+    "group_quantiles": _group_quantiles_sql(),
     "price_histogram": f"""
 SELECT b AS bucket, b * {HIST_WIDTH_CENTS / 100.0} AS lo,
        CAST(count(*) AS BIGINT) AS n
@@ -713,6 +766,7 @@ WHERE rn <= CASE source {' '.join(
 
 QUERIES = {
     "quantiles": q_quantiles,
+    "group_quantiles": q_group_quantiles,
     "price_histogram": q_price_histogram,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,

@@ -60,6 +60,13 @@ class WebConfig:
     work_per_page: int = 0           # simulated fetch+parse CPU (hash rounds)
     fail_rate: float = 0.0           # transient fetch-failure probability
     private_link_rate: float = 0.0   # fraction of item links under /private/
+    # recrawl simulation: rev > 0 deterministically mutates the web —
+    # ~change_rate of detail pages get new span content, and some
+    # entities grow/shrink a list page (new + removed URLs). rev=0 is
+    # byte-identical to the pre-rev web (every rev branch is a no-op),
+    # so all existing fixtures/oracles are unaffected.
+    rev: int = 0
+    change_rate: float = 0.25        # fraction of detail items changed/rev
 
     def entity_name(self, i: int) -> str:
         return f"ent{i:04d}"
@@ -77,6 +84,15 @@ class WebConfig:
         if rank == 0 and self.skew_entity_share > 0:
             base = max(base, int(self.max_pages_cap * self.n_entities
                                  * self.skew_entity_share))
+        if self.rev:
+            # recrawl URL churn: ~20% of entities grow a page, ~15%
+            # shrink one (deterministic per (entity, rev)) — yields
+            # 'added' and 'removed' rows in the recrawl diff
+            jig = _h(self.seed, "maxpages", entity, self.rev) % 100
+            if jig < 20:
+                base += 1
+            elif jig < 35 and base > 1:
+                base -= 1
         return base
 
     def list_url(self, entity: str, page: int) -> str:
@@ -212,6 +228,12 @@ def fetch_page(canonical_url: str, cfg: WebConfig) -> Page:
     if m:
         entity, item_id = m.group(1), int(m.group(2))
         hv = _h(cfg.seed, "detail", entity, item_id)
+        if cfg.rev and (_h(cfg.seed, "changed", entity, item_id) % 1000
+                        < cfg.change_rate * 1000):
+            # this item's content was edited between revisions: reseed
+            # the span-layout hash so text, span count and media ref all
+            # move — a 'changed' row in the recrawl diff
+            hv = _h(cfg.seed, "detail", entity, item_id, "rev", cfg.rev)
         n_text = cfg.text_spans_lo + hv % (cfg.text_spans_hi - cfg.text_spans_lo + 1)
         media_pos = (hv >> 17) % (n_text + 1)
         spans: list[Span] = []
