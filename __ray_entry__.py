@@ -27,6 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from scraper_ray.pipelines import (
         ann,
+        archive,
         corpus,
         crawl_queries,
         dedup,
@@ -45,7 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
                 crawl_queries, listing, temporal, corpus, stats, graph,
-                window, packing):
+                window, packing, archive):
         out.update(mod.QUERIES)
     return out
 
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from scraper_ray.pipelines import (
         ann,
+        archive,
         corpus,
         crawl_queries,
         dedup,
@@ -75,7 +77,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
                 listing, enrichment, media, corpus, stats, graph, window,
-                packing):
+                packing, archive):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()
