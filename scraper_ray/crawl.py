@@ -85,19 +85,38 @@ class CrawlStats:
 
 
 def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
-                   sched: SchedulerPool) -> int:
+                   sched: SchedulerPool,
+                   seen: ShardedSeen | None = None) -> int:
     """Admit the seed list: canonicalize -> keep-min dedup -> robots ->
     offer. Seed child_idx (and first path hop) is the global seed-list
     position, so aliased duplicate seeds collapse to the first occurrence
     exactly like the oracle. Seeds are NOT pre-marked in the seen set —
-    the seen set records emissions only; scheduler keep-min dedups."""
+    the seen set records emissions only; scheduler keep-min dedups.
+    *seen* is passed ONLY on pre-seeded (incremental) runs: then seeds
+    already marked as crawled must be dropped at admission (one batched
+    probe per seed batch), mirroring DiscoverOffer's child probe —
+    otherwise the emission-freshness invariant would trip."""
+
+    def drop_seen(tbl: pa.Table) -> tuple[pa.Table, int]:
+        if seen is None or tbl.num_rows == 0:
+            return tbl, 0
+        already = seen.contains(tbl.column("url_sha1").to_pylist())
+        if not already.any():
+            return tbl, 0
+        return tbl.filter(pa.array(~already)), int(already.sum())
+
     if isinstance(seeds, list):
         tbl = frontier_table(seeds, depth=0, parent_ids="")
         tbl, n_blocked = robots_filter(tbl, ccfg.politeness)
+        tbl, n_skipped = drop_seen(tbl)
+        counters = {}
+        if n_blocked:
+            counters["n_robots_blocked"] = n_blocked
+        if n_skipped:
+            counters["n_seen_dropped"] = n_skipped
         # seed-stage robots blocks count like any other stage's — the
         # 'blocked URLs are never silently lost' contract covers admission
-        return sched.offer(
-            tbl, {"n_robots_blocked": n_blocked} if n_blocked else None)
+        return sched.offer(tbl, counters or None)
     assert "seed_idx" in seeds.schema().names, "seed Dataset needs a seed_idx column"
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -113,12 +132,47 @@ def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
 
     def offer(batch: pa.Table) -> pa.Table:
         batch, n_blocked = robots_filter(batch, ccfg.politeness)
-        return pa.table({"n_offered": [sched.offer(
-            batch, {"n_robots_blocked": n_blocked} if n_blocked else None)]})
+        batch, n_skipped = drop_seen(batch)
+        counters = {}
+        if n_blocked:
+            counters["n_robots_blocked"] = n_blocked
+        if n_skipped:
+            counters["n_seen_dropped"] = n_skipped
+        return pa.table({"n_offered": [sched.offer(batch, counters or None)]})
 
     stats = front.map_batches(offer, batch_format="pyarrow",
                               batch_size=8192).to_pandas()
     return int(stats["n_offered"].sum())
+
+
+def _preseed_seen(skip_urls: list[str] | rd.Dataset,
+                  seen: ShardedSeen) -> int:
+    """Incremental-crawl preseed: mark *skip_urls* (raw or canonical) in
+    the seen set so the scheduler never emits them — the engine then
+    fetches only URLs OUTSIDE the previous crawl. A Dataset is marked
+    inside map_batches (batched add_if_new RPCs from the tasks, the
+    DiscoverOffer pattern), so a billion-URL skip list never funnels
+    through the driver; a list is chunk-batched driver-side."""
+    from .canonicalize import canonicalize_url, sha1_url
+
+    def digests(urls: list[str]) -> list[bytes]:
+        return [sha1_url(cu) for u in urls
+                if (cu := canonicalize_url(u)) is not None]
+
+    if isinstance(skip_urls, list):
+        digs = digests(skip_urls)
+        total = 0
+        for off in range(0, len(digs), 65536):
+            total += int(seen.add_if_new(digs[off:off + 65536]).sum())
+        return total
+
+    def mark(batch: pa.Table) -> pa.Table:
+        digs = digests(batch.column("url").to_pylist())
+        return pa.table({"n": [int(seen.add_if_new(digs).sum())]})
+
+    marked = skip_urls.select_columns(["url"]).map_batches(
+        mark, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return int(marked["n"].sum())
 
 
 def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
@@ -156,13 +210,21 @@ def latest_checkpoint(checkpoint_dir: str) -> int | None:
 
 
 def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
-          resume: bool = False) -> CrawlStats:
+          resume: bool = False,
+          skip_urls: list[str] | rd.Dataset | None = None) -> CrawlStats:
     """Run the crawl to frontier exhaustion; returns run counters.
 
     ``resume=True`` restores seen + scheduler state from the latest
     checkpoint, deletes any incomplete wave output dirs, and continues —
     the final output is identical to an uninterrupted run
     (tests/test_resume.py).
+
+    ``skip_urls`` runs an INCREMENTAL crawl: the given URLs (typically a
+    previous crawl's content-page URL column) are pre-marked in the seen
+    set, so they are never fetched again — the run crawls only pages
+    outside the previous crawl, discovering them through the pages it
+    does fetch. Equivalent to the sequential oracle with ``pre_seen``
+    (tests/test_incremental.py pins the conformance).
     """
     seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
@@ -199,7 +261,15 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                 if name.startswith("wave=") and int(name.split("=")[1]) > last:
                     shutil.rmtree(os.path.join(ccfg.out_dir, name))
     else:
-        _seed_frontier(seeds, ccfg, sched)
+        if skip_urls is not None:
+            n_preseeded = _preseed_seen(skip_urls, seen)
+            if n_preseeded:
+                # ride the counter plumbing so it survives checkpoints
+                # and lands in stats.counters like every other metric
+                sched.offer(frontier_table([], depth=0, parent_ids=""),
+                            {"n_preseeded": n_preseeded})
+        _seed_frontier(seeds, ccfg, sched,
+                       seen=seen if skip_urls is not None else None)
 
     os.makedirs(ccfg.out_dir, exist_ok=True)
     if ccfg.fetcher_cls is not None:

@@ -78,9 +78,17 @@ def crawl_oracle(
     cfg: WebConfig,
     politeness: PolitenessConfig | None = None,
     max_docs: int | None = None,
+    pre_seen: set[str] | None = None,
 ) -> OracleResult:
-    """Crawl the synthetic web sequentially; ground truth for conformance."""
+    """Crawl the synthetic web sequentially; ground truth for conformance.
+
+    ``pre_seen`` (canonical URLs) seeds the seen set before admission —
+    the sequential ground truth for the engine's incremental crawl
+    (``crawl(..., skip_urls=...)``): pre-seen URLs are never fetched,
+    and everything else reachable through the fetched pages is."""
     res = OracleResult()
+    if pre_seen:
+        res.seen.update(pre_seen)
     heap: list = []
     for seed_idx, raw in enumerate(seeds):
         _admit(raw, 0, "", seed_idx, "", res, politeness, heap)

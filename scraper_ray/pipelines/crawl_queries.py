@@ -152,6 +152,62 @@ def q_recrawl_diff(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(classify, batch_format="pyarrow")
 
 
+_INCR_CACHE: dict[str, str] = {}
+
+
+def _run_incremental_crawl(sf_dir: str) -> rd.Dataset:
+    """Crawl revision 1 with revision 0's detail-page URLs pre-marked in
+    the seen set (``crawl(..., skip_urls=...)``): list/hub pages are
+    re-fetched (they carry the links), already-crawled detail pages are
+    never touched, and only NEW detail pages are fetched. The skip list
+    is passed as a Dataset, so the preseed is batched RPCs from tasks —
+    a previous 10^9-doc crawl's URL column never lands on the driver."""
+    import pyarrow.compute as pc
+    from dataclasses import replace
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in _INCR_CACHE:
+        web, n_seeds = _cfg_for(sf_dir)
+        pol = default_politeness(web, wave_units=48)
+        seeds = gen_seeds(web, n_seeds)
+
+        def detail_urls(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("page_type"), pa.scalar("detail"))
+            return pa.table({"url": t.column("url").filter(mask)})
+
+        skip = _run_crawl(sf_dir, rev=0).select_columns(
+            ["url", "page_type"]).map_batches(
+            detail_urls, batch_format="pyarrow", zero_copy_batch=True)
+        out = tempfile.mkdtemp(prefix="crawl_incr_")
+        ccfg = CrawlConfig(web=replace(web, rev=1), politeness=pol,
+                           out_dir=out, batch_size=1024)
+        crawl(seeds, ccfg, skip_urls=skip)
+        _INCR_CACHE[tier] = out
+    return read_docs(_INCR_CACHE[tier])
+
+
+def q_incremental_crawl(sf_dir: str) -> rd.Dataset:
+    """Incremental crawl output: (url, page_type, depth) of every page
+    the rev-1 skip-crawl actually fetched — the crawl-budget saver that
+    re-fetches hubs but not already-archived content pages. The DuckDB
+    oracle is the sequential oracle crawler run with the same pre-seen
+    set (fixture parquet), so this checks preseed admission, seed-stage
+    seen-dropping and discovery through re-fetched hubs end to end."""
+    import pyarrow.compute as pc
+
+    docs = _run_incremental_crawl(sf_dir)
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "page_type": t.column("page_type"),
+            "depth": pc.cast(t.column("depth"), pa.int64()),
+        })
+
+    return docs.select_columns(["url", "page_type", "depth"]).map_batches(
+        pin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_domain_stats(sf_dir: str) -> rd.Dataset:
     """Per-domain crawl rollup: doc count, detail-page count, deepest
     level reached and total fetch attempts — the frontier-audit view a
@@ -419,7 +475,7 @@ PINNED_QUERIES = frozenset({
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
-    "warc_cdx", "warc_readback",
+    "warc_cdx", "warc_readback", "incremental_crawl",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
@@ -427,6 +483,7 @@ ORACLE_EDGES_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/edges.parquet"
 ORACLE_SPANS_REV1_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans_rev1.parquet"
 ORACLE_DOCS_REV1_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs_rev1.parquet"
 ORACLE_ANCHORS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/anchors.parquet"
+ORACLE_INCR_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs_incr.parquet"
 
 
 def _docs_spans_tables(res) -> tuple[pa.Table, pa.Table]:
@@ -494,6 +551,16 @@ def ensure_oracle_fixtures() -> None:
     # revision 1: same seeds + politeness, mutated content/URL set
     res1 = crawl_oracle(seeds, replace(web, rev=1), pol)
     docs1_tbl, spans1_tbl = _docs_spans_tables(res1)
+    # incremental-crawl ground truth: rev-1 sequential crawl with rev-0's
+    # detail-page URLs pre-seen (q_incremental_crawl's oracle input)
+    pre = {d["url"] for d in res.docs if d["page_type"] == "detail"}
+    res_inc = crawl_oracle(seeds, replace(web, rev=1), pol, pre_seen=pre)
+    incr_tbl = pa.table({
+        "url": pa.array([d["url"] for d in res_inc.docs], pa.string()),
+        "page_type": pa.array([d["page_type"] for d in res_inc.docs],
+                              pa.string()),
+        "depth": pa.array([d["depth"] for d in res_inc.docs], pa.int64()),
+    })
 
     # distinct internal link edges + per-link anchor text, independently
     # derived from the sequential crawler's doc set (oracle inputs for
@@ -531,7 +598,8 @@ def ensure_oracle_fixtures() -> None:
                       (edges_tbl, ORACLE_EDGES_PATH),
                       (docs1_tbl, ORACLE_DOCS_REV1_PATH),
                       (spans1_tbl, ORACLE_SPANS_REV1_PATH),
-                      (anchors_tbl, ORACLE_ANCHORS_PATH)):
+                      (anchors_tbl, ORACLE_ANCHORS_PATH),
+                      (incr_tbl, ORACLE_INCR_DOCS_PATH)):
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
@@ -665,6 +733,11 @@ SELECT coalesce(sig0.url, sig1.url) AS url,
             ELSE 'changed' END AS status
 FROM sig0 FULL OUTER JOIN sig1 ON sig0.url = sig1.url
 """,
+    # sequential oracle crawler re-run with rev-0 detail URLs pre-seen
+    "incremental_crawl": f"""
+SELECT url, page_type, depth
+FROM read_parquet('{ORACLE_INCR_DOCS_PATH}')
+""",
 }
 
 QUERIES = {
@@ -672,6 +745,7 @@ QUERIES = {
     "crawl_spans": q_crawl_spans,
     "domain_stats": q_domain_stats,
     "recrawl_diff": q_recrawl_diff,
+    "incremental_crawl": q_incremental_crawl,
     "geocode_grid": q_geocode_grid,
     "robots_rules": q_robots_rules,
     "sitemap_seeds": q_sitemap_seeds,
