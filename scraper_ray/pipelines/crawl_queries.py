@@ -208,6 +208,84 @@ def q_incremental_crawl(sf_dir: str) -> rd.Dataset:
         pin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_revisit_priority(sf_dir: str) -> rd.Dataset:
+    """Per-domain revisit scheduling signal from the rev-0 -> rev-1
+    recrawl diff: counts by status plus the Poisson change-rate
+    estimate lambda = -ln(1 - changed/(changed+unchanged)) (Cho &
+    Garcia-Molina's frequency estimator — domains whose content churns
+    fastest get recrawled first). The crawl-policy feedback loop:
+    recrawl_diff produces the deltas, this ranks where the next crawl's
+    budget goes. Scale shape: the diff is joined to the (url -> domain)
+    map from the two doc tables (hash join on url), then one combiner
+    groupby per domain — the output is O(domains). The DuckDB oracle
+    recomputes the diff from the sequential crawler's rev-0/rev-1
+    fixtures and aggregates identically."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .common import drop_empty_blocks
+
+    diff = q_recrawl_diff(sf_dir)
+    dom0 = _run_crawl(sf_dir, rev=0).select_columns(["url", "domain_key"])
+    dom1 = _run_crawl(sf_dir, rev=1).select_columns(["url", "domain_key"])
+    # url -> domain over BOTH revisions (added urls exist only in rev 1,
+    # removed only in rev 0); urls are unique per rev and map to the
+    # same domain in both, so a vectorized keep-any (Max) dedup is
+    # exact — never a per-group pandas dispatch
+    from ray.data.aggregate import Max
+
+    doms = (dom0.union(dom1).groupby("url")
+            .aggregate(Max("domain_key", alias_name="domain_key")))
+    joined = drop_empty_blocks(
+        diff.join(doms, join_type="inner", num_partitions=4, on=("url",)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        status = t.column("status")
+        flat = pa.table({
+            "domain_key": t.column("domain_key"),
+            "n_added": pc.cast(pc.equal(status, "added"), pa.int64()),
+            "n_removed": pc.cast(pc.equal(status, "removed"), pa.int64()),
+            "n_changed": pc.cast(pc.equal(status, "changed"), pa.int64()),
+            "n_unchanged": pc.cast(pc.equal(status, "unchanged"),
+                                   pa.int64()),
+        })
+        g = flat.group_by("domain_key").aggregate(
+            [("n_added", "sum"), ("n_removed", "sum"),
+             ("n_changed", "sum"), ("n_unchanged", "sum")])
+        return g.rename_columns(["domain_key", "n_added", "n_removed",
+                                 "n_changed", "n_unchanged"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("domain_key")
+           .sum(["n_added", "n_removed", "n_changed", "n_unchanged"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ch = pc.cast(t.column("sum(n_changed)"), pa.int64())
+        un = pc.cast(t.column("sum(n_unchanged)"), pa.int64())
+        ratio = pc.divide(pc.cast(ch, pa.float64()),
+                          pc.cast(pc.add(ch, un), pa.float64()))
+        # -ln(1-r); r == 1 (everything changed) caps at ln(n+1): the
+        # estimator's standard saturation guard, mirrored in the SQL
+        n = pc.add(ch, un)
+        capped = pc.if_else(
+            pc.equal(ch, n),
+            pa.array([math.log(v + 1.0) for v in n.to_pylist()],
+                     pa.float64()),
+            pc.multiply(pc.ln(pc.subtract(pa.scalar(1.0), ratio)),
+                        pa.scalar(-1.0)))
+        return pa.table({
+            "domain_key": t.column("domain_key"),
+            "n_added": pc.cast(t.column("sum(n_added)"), pa.int64()),
+            "n_removed": pc.cast(t.column("sum(n_removed)"), pa.int64()),
+            "n_changed": ch,
+            "n_unchanged": un,
+            "change_rate": capped,
+        })
+
+    return drop_empty_blocks(agg).map_batches(finish, batch_format="pyarrow")
+
+
 def q_domain_stats(sf_dir: str) -> rd.Dataset:
     """Per-domain crawl rollup: doc count, detail-page count, deepest
     level reached and total fetch attempts — the frontier-audit view a
@@ -476,6 +554,7 @@ PINNED_QUERIES = frozenset({
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
     "warc_cdx", "warc_readback", "incremental_crawl",
+    "revisit_priority",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"
@@ -738,6 +817,46 @@ FROM sig0 FULL OUTER JOIN sig1 ON sig0.url = sig1.url
 SELECT url, page_type, depth
 FROM read_parquet('{ORACLE_INCR_DOCS_PATH}')
 """,
+    # recrawl diff recomputed from the rev-0/rev-1 fixtures, joined to
+    # the (url -> domain) map and aggregated per domain with the same
+    # saturating Poisson change-rate estimator as the engine
+    "revisit_priority": f"""
+WITH sig0 AS (
+  SELECT d.url, d.domain_key,
+         md5(string_agg(s.kind || '|' || s.text || '|' || s.media_ref,
+                        chr(10) ORDER BY s."offset")) AS sig
+  FROM read_parquet('{ORACLE_DOCS_PATH}') d
+  JOIN read_parquet('{ORACLE_SPANS_PATH}') s USING (doc_id)
+  GROUP BY d.url, d.domain_key),
+sig1 AS (
+  SELECT d.url, d.domain_key,
+         md5(string_agg(s.kind || '|' || s.text || '|' || s.media_ref,
+                        chr(10) ORDER BY s."offset")) AS sig
+  FROM read_parquet('{ORACLE_DOCS_REV1_PATH}') d
+  JOIN read_parquet('{ORACLE_SPANS_REV1_PATH}') s USING (doc_id)
+  GROUP BY d.url, d.domain_key),
+diff AS (
+  SELECT coalesce(sig0.domain_key, sig1.domain_key) AS domain_key,
+         CASE WHEN sig0.url IS NULL THEN 'added'
+              WHEN sig1.url IS NULL THEN 'removed'
+              WHEN sig0.sig = sig1.sig THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM sig0 FULL OUTER JOIN sig1 ON sig0.url = sig1.url),
+agg AS (
+  SELECT domain_key,
+         CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM diff GROUP BY domain_key)
+SELECT domain_key, n_added, n_removed, n_changed, n_unchanged,
+       CASE WHEN n_changed = n_changed + n_unchanged
+            THEN ln(CAST(n_changed + n_unchanged AS DOUBLE) + 1.0)
+            ELSE -ln(1.0 - CAST(n_changed AS DOUBLE)
+                           / CAST(n_changed + n_unchanged AS DOUBLE))
+       END AS change_rate
+FROM agg
+""",
 }
 
 QUERIES = {
@@ -746,6 +865,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "recrawl_diff": q_recrawl_diff,
     "incremental_crawl": q_incremental_crawl,
+    "revisit_priority": q_revisit_priority,
     "geocode_grid": q_geocode_grid,
     "robots_rules": q_robots_rules,
     "sitemap_seeds": q_sitemap_seeds,
