@@ -554,7 +554,7 @@ PINNED_QUERIES = frozenset({
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
     "warc_cdx", "warc_readback", "incremental_crawl",
-    "revisit_priority",
+    "revisit_priority", "link_components", "host_graph",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"

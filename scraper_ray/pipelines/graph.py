@@ -534,6 +534,122 @@ def q_link_degree(sf_dir: str) -> rd.Dataset:
     return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
 
 
+def q_link_components(sf_dir: str) -> rd.Dataset:
+    """Component-size histogram of the crawl's internal link graph
+    (undirected): (component_size, n_components), singletons included —
+    the structural audit that tells a crawl operator whether the corpus
+    is one connected web or islands (isolated islands usually mean
+    broken seed coverage). Scale shape: the connected_components
+    dual plan (exact driver union-find under the edge cap, distributed
+    min-label propagation past it), singletons recovered with a LEFT
+    join of the doc table (never recomputed), then two tiny groupbys —
+    output is O(distinct sizes)."""
+    from ray.data.aggregate import Count
+
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    edges = crawl_link_edges(docs, web)
+    comp = connected_components(edges, src="src", dst="dst",
+                                id_type=pa.string())
+    joined = drop_empty_blocks(
+        docs.select_columns(["doc_id"])
+        .join(drop_empty_blocks(comp).rename_columns({"doc_id": "node"}),
+              join_type="left_outer", num_partitions=8,
+              on=("doc_id",), right_on=("node",)))
+
+    def fill(t: pa.Table) -> pa.Table:
+        # a doc untouched by any edge is its own singleton component
+        return pa.table({"cluster_id": pc.coalesce(
+            t.column("cluster_id"), t.column("doc_id"))})
+
+    sizes = (joined.map_batches(fill, batch_format="pyarrow")
+             .groupby("cluster_id").aggregate(Count(alias_name="sz")))
+    hist = (drop_empty_blocks(sizes).groupby("sz")
+            .aggregate(Count(alias_name="n_components")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "component_size": pc.cast(t.column("sz"), pa.int64()),
+            "n_components": pc.cast(t.column("n_components"), pa.int64()),
+        })
+
+    return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
+
+
+def q_host_graph(sf_dir: str) -> rd.Dataset:
+    """Domain-level link graph: (src_domain, dst_domain, n_links) from
+    the distinct doc-level edges — the host graph crawl studies analyze
+    (and the input a frontier partitioner would use to co-locate
+    domains that cite each other). Scale shape: two hash joins that
+    move only the edge list (doc_id -> domain maps are projected to two
+    columns), then the combiner groupby; output is O(domain pairs)."""
+    from ray.data.aggregate import Count
+
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    edges = crawl_link_edges(docs, web)
+    doms = docs.select_columns(["doc_id", "domain_key"])
+    e1 = drop_empty_blocks(edges.join(
+        doms.rename_columns({"doc_id": "sdoc", "domain_key": "src_domain"}),
+        join_type="inner", num_partitions=8, on=("src",), right_on=("sdoc",)))
+    e2 = drop_empty_blocks(e1.join(
+        doms.rename_columns({"doc_id": "ddoc", "domain_key": "dst_domain"}),
+        join_type="inner", num_partitions=8, on=("dst",), right_on=("ddoc",)))
+    agg = (e2.groupby(["src_domain", "dst_domain"])
+           .aggregate(Count(alias_name="n_links")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_domain": t.column("src_domain"),
+            "dst_domain": t.column("dst_domain"),
+            "n_links": pc.cast(t.column("n_links"), pa.int64()),
+        })
+
+    return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
+
+
+def _link_components_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    return f"""
+WITH RECURSIVE dedges AS (
+  SELECT src AS u, dst AS v FROM read_parquet('{ORACLE_EDGES_PATH}')
+  UNION
+  SELECT dst AS u, src AS v FROM read_parquet('{ORACLE_EDGES_PATH}')),
+reach(node, r) AS (
+  SELECT u, v FROM dedges
+  UNION
+  SELECT reach.node, dedges.v FROM reach JOIN dedges ON reach.r = dedges.u),
+lbl AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+alllbl AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM read_parquet('{ORACLE_DOCS_PATH}') d
+  LEFT JOIN lbl l ON l.node = d.doc_id),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM alllbl GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+"""
+
+
+def _host_graph_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    return f"""
+SELECT ds.domain_key AS src_domain, dd.domain_key AS dst_domain,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM read_parquet('{ORACLE_EDGES_PATH}') e
+JOIN read_parquet('{ORACLE_DOCS_PATH}') ds ON ds.doc_id = e.src
+JOIN read_parquet('{ORACLE_DOCS_PATH}') dd ON dd.doc_id = e.dst
+GROUP BY ds.domain_key, dd.domain_key
+"""
+
+
 def _anchor_text_oracle_sql() -> str:
     from .crawl_queries import ORACLE_ANCHORS_PATH
 
@@ -564,9 +680,13 @@ FROM ind GROUP BY in_degree
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "link_pagerank": _pagerank_oracle_sql(),
               "anchor_text": _anchor_text_oracle_sql(),
-              "link_degree": _link_degree_oracle_sql()}
+              "link_degree": _link_degree_oracle_sql(),
+              "link_components": _link_components_oracle_sql(),
+              "host_graph": _host_graph_oracle_sql()}
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_pagerank": q_link_pagerank,
            "anchor_text": q_anchor_text,
-           "link_degree": q_link_degree}
+           "link_degree": q_link_degree,
+           "link_components": q_link_components,
+           "host_graph": q_host_graph}

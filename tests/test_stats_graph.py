@@ -121,3 +121,30 @@ def test_pagerank_mass_is_conserved_modulo_floor_loss(ray_session):
     out = pagerank(nds, eds, iters=3).to_pandas()
     assert len(out) == 7
     assert 0 < out["pr"].sum() <= PR_SCALE
+
+
+def test_link_components_mass_conservation(ray_session):
+    """Component sizes sum to the doc count (singletons included), and
+    no component is larger than the corpus."""
+    from scraper_ray.pipelines.crawl_queries import _run_crawl
+    from scraper_ray.pipelines.graph import q_link_components
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_link_components(sf).to_pandas()
+    n_docs = _run_crawl(sf).count()
+    assert int((hist["component_size"] * hist["n_components"]).sum()) == n_docs
+    assert hist["component_size"].max() <= n_docs
+    assert (hist["n_components"] > 0).all()
+
+
+def test_host_graph_edge_mass(ray_session):
+    """Host-graph link counts sum to the distinct doc-edge count."""
+    from scraper_ray.pipelines.crawl_queries import _cfg_for, _run_crawl
+    from scraper_ray.pipelines.graph import crawl_link_edges, q_host_graph
+
+    sf = "/root/testdata/sf0.001"
+    web, _ = _cfg_for(sf)
+    docs = _run_crawl(sf)
+    hg = q_host_graph(sf).to_pandas()
+    assert int(hg["n_links"].sum()) == crawl_link_edges(docs, web).count()
+    assert hg.set_index(["src_domain", "dst_domain"]).index.is_unique
