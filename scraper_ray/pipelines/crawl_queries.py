@@ -553,6 +553,7 @@ PINNED_QUERIES = frozenset({
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
+    "link_hits",
     "warc_cdx", "warc_readback", "incremental_crawl",
     "revisit_priority", "link_components", "host_graph",
 })

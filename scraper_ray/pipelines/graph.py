@@ -325,6 +325,197 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
     return ranks.map_batches(rename, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) over the crawl's link graph — integer-exact
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**9     # score carried as int64; max score rescaled to ~SCALE
+HITS_ITERS = 3         # fixed iteration count, unrolled in the SQL oracle
+
+
+def hits(nodes: rd.Dataset, edges: rd.Dataset,
+         iters: int = HITS_ITERS,
+         num_partitions: int | None = None,
+         inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+    """Kleinberg HITS over (src, dst) edges in exact int64 arithmetic.
+
+    Per iteration:
+
+        a_raw(v) = sum over in-edges  (u,v) of h(u)
+        a(v)     = a_raw(v) // max(1, max_v(a_raw) // SCALE)
+        h_raw(u) = sum over out-edges (u,v) of a(v)
+        h(u)     = h_raw(u) // max(1, max_u(h_raw) // SCALE)
+
+    The classic L2 normalization is replaced by an integer
+    rescale-by-max (divide by ``max // SCALE``) so every operation is
+    int64 floor division and sums — **independent of addition order**
+    and bit-equal to the DuckDB oracle's unrolled CTEs (the same
+    discipline as ``pagerank``). The divisor-form rescale (rather than
+    ``(SCALE * a_raw) // max``) keeps every intermediate <= ~2*SCALE so
+    the per-node sums overflow int64 only past ~4e9 in-degree.
+
+    Engine shape mirrors ``pagerank``: each half-iteration is one hash
+    join (scores x edges) + one groupby-sum over contributions + one
+    scalar ``max`` aggregate + a vectorized rescale — 2 shuffles per
+    half over the EDGE list, scores are O(nodes) rows. Graphs at or
+    under ``inline_edge_cap`` directed rows take the exact driver numpy
+    fast path (same formula, bit-identical output)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                       "hub": pa.array([], pa.int64()),
+                                       "auth": pa.array([], pa.int64())}))
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= inline_edge_cap and n <= inline_edge_cap:
+        node_ids = sorted(r["doc_id"]
+                          for r in nodes.take_all(limit=inline_edge_cap + 1))
+        idx = {d: i for i, d in enumerate(node_ids)}
+        src_i = np.empty(n_edges, np.int64)
+        dst_i = np.empty(n_edges, np.int64)
+        k = 0
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for u, v in zip(b.column("src").to_pylist(),
+                            b.column("dst").to_pylist()):
+                src_i[k], dst_i[k] = idx[u], idx[v]
+                k += 1
+        h = np.full(n, HITS_SCALE, np.int64)
+        a = np.zeros(n, np.int64)
+        for _ in range(iters):
+            a_raw = np.zeros(n, np.int64)
+            np.add.at(a_raw, dst_i, h[src_i])
+            a = a_raw // max(1, int(a_raw.max(initial=0)) // HITS_SCALE)
+            h_raw = np.zeros(n, np.int64)
+            np.add.at(h_raw, src_i, a[dst_i])
+            h = h_raw // max(1, int(h_raw.max(initial=0)) // HITS_SCALE)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(node_ids, pa.string()),
+            "hub": pa.array(h, pa.int64()),
+            "auth": pa.array(a, pa.int64())}))
+
+    if num_partitions is None:
+        num_partitions = int(min(64, max(2, n_edges // 65536 + 2)))
+
+    node_col = drop_empty_blocks(
+        nodes.select_columns(["doc_id"])).materialize()
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "x": pa.array([HITS_SCALE] * t.num_rows,
+                                       pa.int64())})
+
+    def zero_scores(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "x": pa.array([0] * t.num_rows, pa.int64())})
+
+    def _propagate(scores: rd.Dataset, key: str, out: str) -> rd.Dataset:
+        """sum over edges of the *key*-side score, grouped by the *out*
+        side, zero-filled over all nodes, rescaled by max//SCALE."""
+        prop = drop_empty_blocks(edges.join(
+            scores, join_type="inner", num_partitions=num_partitions,
+            on=(key,), right_on=("doc_id",)))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column(out), "x": t.column("x")})
+
+        summed = drop_empty_blocks(
+            prop.map_batches(contrib, batch_format="pyarrow")
+            .union(node_col.map_batches(zero_scores, batch_format="pyarrow"))
+            .groupby("doc_id").aggregate(Sum("x", alias_name="x"))
+        ).materialize()
+        mx = summed.max("x") or 0
+        q = max(1, int(mx) // HITS_SCALE)
+
+        def rescale(t: pa.Table) -> pa.Table:
+            import numpy as np
+            x = t.column("x").to_numpy().astype(np.int64)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "x": pa.array(x // q, pa.int64())})
+
+        return summed.map_batches(
+            rescale, batch_format="pyarrow").materialize()
+
+    hub = node_col.map_batches(
+        init_scores, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _propagate(hub, key="src", out="dst")
+        hub = _propagate(auth, key="dst", out="src")
+
+    joined = drop_empty_blocks(hub.rename_columns({"x": "hub"})).join(
+        drop_empty_blocks(auth.rename_columns({"x": "auth"})),
+        join_type="inner", num_partitions=num_partitions, on=("doc_id",))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "hub": pc.cast(t.column("hub"), pa.int64()),
+                         "auth": pc.cast(t.column("auth"), pa.int64())})
+
+    return drop_empty_blocks(joined).map_batches(pin, batch_format="pyarrow")
+
+
+def q_link_hits(sf_dir: str) -> rd.Dataset:
+    """HITS hubs & authorities over the distributed crawl's internal
+    link graph — the complementary centrality to ``link_pagerank``
+    (list/hub pages vs linked-to item/authority pages; on a crawl graph
+    the two roles are structurally distinct, so this is the signal that
+    separates index pages from content pages). The DuckDB oracle runs
+    the same fixed integer iterations as unrolled CTEs over the
+    sequential oracle crawler's independently-derived edge list."""
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    web, _ = _cfg_for(sf_dir)
+    docs = _run_crawl(sf_dir)
+    edges = crawl_link_edges(docs, web)
+    return hits(docs.select_columns(["doc_id"]), edges)
+
+
+def _hits_oracle_sql() -> str:
+    """The same integer-exact iterations as ``hits``, unrolled as CTEs
+    over the sequential oracle crawler's docs + edge fixtures."""
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    parts = [f"""
+WITH nodes AS (SELECT doc_id FROM read_parquet('{ORACLE_DOCS_PATH}')),
+edges AS (SELECT DISTINCT src, dst FROM read_parquet('{ORACLE_EDGES_PATH}')),
+h0 AS (SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS x FROM nodes)"""]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(f""",
+ag{i} AS (
+  SELECT e.dst AS doc_id, sum(h{i-1}.x) AS s
+  FROM edges e JOIN h{i-1} ON e.src = h{i-1}.doc_id
+  GROUP BY e.dst),
+ar{i} AS (
+  SELECT n.doc_id, coalesce(ag{i}.s, 0) AS s
+  FROM nodes n LEFT JOIN ag{i} USING (doc_id)),
+a{i} AS (
+  SELECT doc_id,
+         CAST(s // greatest(1, (SELECT max(s) FROM ar{i}) // {HITS_SCALE})
+              AS BIGINT) AS x
+  FROM ar{i}),
+hg{i} AS (
+  SELECT e.src AS doc_id, sum(a{i}.x) AS s
+  FROM edges e JOIN a{i} ON e.dst = a{i}.doc_id
+  GROUP BY e.src),
+hr{i} AS (
+  SELECT n.doc_id, coalesce(hg{i}.s, 0) AS s
+  FROM nodes n LEFT JOIN hg{i} USING (doc_id)),
+h{i} AS (
+  SELECT doc_id,
+         CAST(s // greatest(1, (SELECT max(s) FROM hr{i}) // {HITS_SCALE})
+              AS BIGINT) AS x
+  FROM hr{i})""")
+    parts.append(f"""
+SELECT h{HITS_ITERS}.doc_id, h{HITS_ITERS}.x AS hub, a{HITS_ITERS}.x AS auth
+FROM h{HITS_ITERS} JOIN a{HITS_ITERS} USING (doc_id)
+""")
+    return "".join(parts)
+
+
 def crawl_link_edges(docs: rd.Dataset, web) -> rd.Dataset:
     """Distinct internal (src doc_id, dst doc_id) edges of the crawled
     web: each crawled page's child links, canonicalized, kept only when
@@ -679,6 +870,7 @@ FROM ind GROUP BY in_degree
 
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "link_pagerank": _pagerank_oracle_sql(),
+              "link_hits": _hits_oracle_sql(),
               "anchor_text": _anchor_text_oracle_sql(),
               "link_degree": _link_degree_oracle_sql(),
               "link_components": _link_components_oracle_sql(),
@@ -686,6 +878,7 @@ ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_pagerank": q_link_pagerank,
+           "link_hits": q_link_hits,
            "anchor_text": q_anchor_text,
            "link_degree": q_link_degree,
            "link_components": q_link_components,

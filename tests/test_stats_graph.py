@@ -148,3 +148,69 @@ def test_host_graph_edge_mass(ray_session):
     hg = q_host_graph(sf).to_pandas()
     assert int(hg["n_links"].sum()) == crawl_link_edges(docs, web).count()
     assert hg.set_index(["src_domain", "dst_domain"]).index.is_unique
+
+
+# ---------------------------------------------------------------------------
+# integer-exact HITS (graph.hits)
+# ---------------------------------------------------------------------------
+
+def _hits_reference(nodes, edges, iters):
+    """Sequential mirror of the integer HITS formula."""
+    from scraper_ray.pipelines.graph import HITS_SCALE
+
+    h = {v: HITS_SCALE for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            a_raw[v] += h[u]
+        qa = max(1, max(a_raw.values(), default=0) // HITS_SCALE)
+        a = {v: a_raw[v] // qa for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            h_raw[u] += a[v]
+        qh = max(1, max(h_raw.values(), default=0) // HITS_SCALE)
+        h = {v: h_raw[v] // qh for v in nodes}
+    return h, a
+
+
+def test_hits_matches_sequential_reference(ray_session):
+    from scraper_ray.pipelines.graph import hits
+
+    nodes = ["a", "b", "c", "d", "e"]   # a is the hub; c the authority
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("d", "c")]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    want_h, want_a = _hits_reference(nodes, edges, 3)
+    # both plans: inline numpy fast path AND the distributed iterations
+    for cap in (2_000_000, 0):
+        out = hits(nds, eds, iters=3, inline_edge_cap=cap).to_pandas()
+        got_h = dict(zip(out["doc_id"], out["hub"]))
+        got_a = dict(zip(out["doc_id"], out["auth"]))
+        assert got_h == want_h, cap
+        assert got_a == want_a, cap
+    # the fan-out page is the best hub; the most-linked page the best
+    # authority; the isolated node scores zero on both
+    assert got_h["a"] == max(got_h.values())
+    assert got_a["c"] == max(got_a.values())
+    assert got_h["e"] == 0 and got_a["e"] == 0
+
+
+def test_hits_scores_bounded_by_scale(ray_session):
+    """Rescale-by-max keeps every score in [0, ~2*SCALE] and the max
+    score lands in [SCALE, 2*SCALE) whenever the graph has edges."""
+    from scraper_ray.pipelines.graph import HITS_SCALE, hits
+
+    nodes = [f"n{i}" for i in range(9)]
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 9}") for i in range(8)]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    out = hits(nds, eds, iters=3).to_pandas()
+    assert len(out) == 9
+    for col in ("hub", "auth"):
+        assert (out[col] >= 0).all()
+        assert HITS_SCALE <= out[col].max() < 2 * HITS_SCALE
