@@ -337,6 +337,156 @@ def q_domain_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(pin, batch_format="pyarrow")
 
 
+def q_url_patterns(sf_dir: str) -> rd.Dataset:
+    """URL-template mining over the crawl: collapse every digit run in
+    the URL to ``N`` and aggregate per (domain, template) — the classic
+    spider-trap / duplicate-content detector (a template with many URLs
+    but few distinct entities is pagination or a calendar trap; crawl
+    operators blocklist such templates before the next run). Scale
+    shape: the regex runs vectorized per batch
+    (``pc.replace_substring_regex``), each batch pre-aggregates to one
+    partial row per (domain, template, entity), the first shuffle is on
+    those partials, and the distinct-entity count is a second groupby
+    over one row per (domain, template, entity) — both exchanges are
+    O(templates), never O(pages). The DuckDB oracle recomputes the
+    template with the same regex over the sequential crawler's docs."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    docs = _run_crawl(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "domain_key": t.column("domain_key"),
+            "url_pattern": pc.replace_substring_regex(
+                t.column("url"), r"[0-9]+", "N"),
+            "entity": t.column("entity"),
+            "n_urls": pa.array([1] * t.num_rows, pa.int64()),
+            "depth": pc.cast(t.column("depth"), pa.int64()),
+        })
+        g = flat.group_by(["domain_key", "url_pattern", "entity"]).aggregate(
+            [("n_urls", "sum"), ("depth", "max")])
+        return g.rename_columns(
+            ["domain_key", "url_pattern", "entity", "n_urls", "depth"])
+
+    per_entity = (docs.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .groupby(["domain_key", "url_pattern", "entity"])
+                  .aggregate(Sum("n_urls", alias_name="n_urls"),
+                             Max("depth", alias_name="depth")))
+
+    def one_entity(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain_key": t.column("domain_key"),
+            "url_pattern": t.column("url_pattern"),
+            "n_urls": pc.cast(t.column("n_urls"), pa.int64()),
+            "n_entities": pa.array([1] * t.num_rows, pa.int64()),
+            "depth": pc.cast(t.column("depth"), pa.int64()),
+        })
+
+    agg = (per_entity.map_batches(one_entity, batch_format="pyarrow")
+           .groupby(["domain_key", "url_pattern"])
+           .aggregate(Sum("n_urls", alias_name="n_urls"),
+                      Sum("n_entities", alias_name="n_entities"),
+                      Max("depth", alias_name="max_depth")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain_key": t.column("domain_key"),
+            "url_pattern": t.column("url_pattern"),
+            "n_urls": pc.cast(t.column("n_urls"), pa.int64()),
+            "n_entities": pc.cast(t.column("n_entities"), pa.int64()),
+            "max_depth": pc.cast(t.column("max_depth"), pa.int64()),
+        })
+
+    from .common import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
+
+
+_MIRROR_FANOUT_CAP = 64  # content sigs shared by more domains than this
+                         # are dropped (loudly) — a sig on k domains emits
+                         # C(k,2) pairs, so the cap bounds the pair blowup
+                         # exactly like the LSH bucket caps in dedup.py
+
+
+def q_mirror_domains(sf_dir: str) -> rd.Dataset:
+    """Cross-domain mirror detection (Broder-style): fingerprint every
+    page's span content (the same md5 serialization the recrawl diff
+    uses), keep fingerprints seen on 2..{cap} distinct domains, and
+    count shared fingerprints per unordered domain pair — domains that
+    share many full-page fingerprints are mirrors or boilerplate farms,
+    the dedup signal that runs BEFORE any text-level near-dup at crawl
+    scale. Scale shape: distinct (sig, domain) via one groupby; the
+    multi-domain sig set is tiny (mirrors are rare) and rides a second
+    groupby; the pair fan-out is a sig-keyed self-join bounded by
+    ``_MIRROR_FANOUT_CAP`` (dropped sigs are logged, same discipline as
+    the capped LSH buckets); the final count is one groupby over pair
+    rows. No stage materializes pages on the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    docs = _run_crawl(sf_dir)
+
+    def sig(t: pa.Table) -> pa.Table:
+        import hashlib
+        sigs = []
+        for spans in t.column("spans").to_pylist():
+            body = "\n".join(f"{s['kind']}|{s['text']}|{s['media_ref']}"
+                             for s in sorted(spans, key=lambda s: s["offset"]))
+            sigs.append(hashlib.md5(body.encode()).hexdigest())
+        return pa.table({"sig": pa.array(sigs, pa.string()),
+                         "domain_key": t.column("domain_key")})
+
+    # distinct (sig, domain): a page duplicated inside one domain counts once
+    sd = (docs.select_columns(["spans", "domain_key"])
+          .map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby(["sig", "domain_key"]).count()
+          .drop_columns(["count()"])).materialize()
+
+    fan = sd.groupby("sig").count().rename_columns({"count()": "n_domains"})
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        n = t.column("n_domains")
+        over = pc.sum(pc.cast(pc.greater(n, _MIRROR_FANOUT_CAP),
+                              pa.int64())).as_py() or 0
+        if over:
+            print(f"[mirror_domains] dropped {over} sigs over the "
+                  f"{_MIRROR_FANOUT_CAP}-domain fan-out cap")
+        mask = pc.and_(pc.greater_equal(n, 2),
+                       pc.less_equal(n, _MIRROR_FANOUT_CAP))
+        return t.filter(mask).select(["sig"])
+
+    multi = drop_empty_blocks(
+        fan.map_batches(keep_multi, batch_format="pyarrow")).materialize()
+
+    pairs_left = drop_empty_blocks(sd.join(
+        multi, join_type="inner", num_partitions=8, on=("sig",)))
+    right = pairs_left.rename_columns({"domain_key": "domain_b"})
+    both = pairs_left.rename_columns({"domain_key": "domain_a"}).join(
+        right, join_type="inner", num_partitions=8, on=("sig",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        m = pc.less(t.column("domain_a"), t.column("domain_b"))
+        f = t.filter(m)
+        return pa.table({"domain_a": f.column("domain_a"),
+                         "domain_b": f.column("domain_b"),
+                         "one": pa.array([1] * f.num_rows, pa.int64())})
+
+    agg = (drop_empty_blocks(both.map_batches(ordered, batch_format="pyarrow"))
+           .groupby(["domain_a", "domain_b"])
+           .aggregate(Sum("one", alias_name="n_shared")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"domain_a": t.column("domain_a"),
+                         "domain_b": t.column("domain_b"),
+                         "n_shared": pc.cast(t.column("n_shared"),
+                                             pa.int64())})
+
+    return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
+
+
 _ROBOTS_WAVE_UNITS = 48
 
 
@@ -553,7 +703,7 @@ PINNED_QUERIES = frozenset({
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
-    "link_hits",
+    "link_hits", "url_patterns", "mirror_domains",
     "warc_cdx", "warc_readback", "incremental_crawl",
     "revisit_priority", "link_components", "host_graph",
 })
@@ -779,6 +929,34 @@ FROM read_parquet('{ORACLE_DOCS_PATH}')
 SELECT doc_id, kind, text, media_ref, "offset"
 FROM read_parquet('{ORACLE_SPANS_PATH}')
 """,
+    "url_patterns": f"""
+SELECT domain_key, regexp_replace(url, '[0-9]+', 'N', 'g') AS url_pattern,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
+       CAST(max(depth) AS BIGINT) AS max_depth
+FROM read_parquet('{ORACLE_DOCS_PATH}')
+GROUP BY domain_key, url_pattern
+""",
+    # same md5 span serialization as recrawl_diff; the BETWEEN clause
+    # mirrors the engine's _MIRROR_FANOUT_CAP pair-blowup bound
+    "mirror_domains": f"""
+WITH ds AS (
+  SELECT d.doc_id, d.domain_key,
+         md5(string_agg(s.kind || '|' || s.text || '|' || s.media_ref,
+                        chr(10) ORDER BY s."offset")) AS sig
+  FROM read_parquet('{ORACLE_DOCS_PATH}') d
+  JOIN read_parquet('{ORACLE_SPANS_PATH}') s USING (doc_id)
+  GROUP BY d.doc_id, d.domain_key),
+sd AS (SELECT DISTINCT sig, domain_key FROM ds),
+multi AS (SELECT sig FROM sd GROUP BY sig
+          HAVING count(*) BETWEEN 2 AND {_MIRROR_FANOUT_CAP})
+SELECT a.domain_key AS domain_a, b.domain_key AS domain_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sd a
+JOIN sd b ON a.sig = b.sig AND a.domain_key < b.domain_key
+JOIN multi m ON m.sig = a.sig
+GROUP BY a.domain_key, b.domain_key
+""",
     "domain_stats": f"""
 SELECT domain_key,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -864,6 +1042,8 @@ QUERIES = {
     "crawl_docs": q_crawl_docs,
     "crawl_spans": q_crawl_spans,
     "domain_stats": q_domain_stats,
+    "url_patterns": q_url_patterns,
+    "mirror_domains": q_mirror_domains,
     "recrawl_diff": q_recrawl_diff,
     "incremental_crawl": q_incremental_crawl,
     "revisit_priority": q_revisit_priority,

@@ -214,3 +214,39 @@ def test_hits_scores_bounded_by_scale(ray_session):
     for col in ("hub", "auth"):
         assert (out[col] >= 0).all()
         assert HITS_SCALE <= out[col].max() < 2 * HITS_SCALE
+
+
+# ---------------------------------------------------------------------------
+# URL-template mining and cross-domain mirror detection
+# ---------------------------------------------------------------------------
+
+def test_url_patterns_mass_and_trap_signal(ray_session):
+    """Template row counts sum to the doc count; the digit-collapsed
+    template is digit-free; and the synthetic web's item template shows
+    the trap signature (many URLs, fewer entities)."""
+    from scraper_ray.pipelines.crawl_queries import _run_crawl, q_url_patterns
+
+    sf = "/root/testdata/sf0.001"
+    pats = q_url_patterns(sf).to_pandas()
+    assert int(pats["n_urls"].sum()) == _run_crawl(sf).count()
+    assert not pats["url_pattern"].str.contains(r"[0-9]").any()
+    assert (pats["n_entities"] <= pats["n_urls"]).all()
+    item = pats[pats["url_pattern"].str.contains("/item/")]
+    assert (item["n_urls"] > item["n_entities"]).any()
+
+
+def test_mirror_domains_pairs_are_ordered_and_grounded(ray_session):
+    """Every reported pair is ordered (a < b), shares >= 1 fingerprint,
+    and each shared count is bounded by the smaller domain's page count."""
+    from scraper_ray.pipelines.crawl_queries import (_run_crawl,
+                                                     q_mirror_domains)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_mirror_domains(sf).to_pandas()
+    assert len(pairs) > 0          # the synthetic web has shared pages
+    assert (pairs["domain_a"] < pairs["domain_b"]).all()
+    assert (pairs["n_shared"] >= 1).all()
+    per_dom = _run_crawl(sf).to_pandas().groupby("domain_key").size()
+    cap = pairs.apply(lambda r: min(per_dom[r["domain_a"]],
+                                    per_dom[r["domain_b"]]), axis=1)
+    assert (pairs["n_shared"] <= cap).all()
