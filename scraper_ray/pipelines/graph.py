@@ -202,6 +202,27 @@ def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
 # PageRank over the crawl's link graph — integer-exact fixed iterations
 # ---------------------------------------------------------------------------
 
+def _edge_indices(edges: rd.Dataset, node_ids: list):
+    """(src, dst) edge columns mapped to positions in the sorted
+    ``node_ids`` list — the driver-side indexing step of the inline
+    graph fast paths, vectorized via ``pc.index_in`` (one C-kernel
+    lookup per batch instead of a Python dict probe per edge)."""
+    import numpy as np
+
+    value_set = pa.array(node_ids)
+    src_parts, dst_parts = [], []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        src_parts.append(pc.index_in(b.column("src"), value_set=value_set)
+                         .to_numpy(zero_copy_only=False))
+        dst_parts.append(pc.index_in(b.column("dst"), value_set=value_set)
+                         .to_numpy(zero_copy_only=False))
+    if not src_parts:
+        z = np.empty(0, np.int64)
+        return z, z
+    return (np.concatenate(src_parts).astype(np.int64),
+            np.concatenate(dst_parts).astype(np.int64))
+
+
 PR_SCALE = 10**12      # rank mass carried as int64 (SCALE = total mass 1.0)
 PR_ITERS = 5           # fixed iteration count, unrolled in the SQL oracle
 
@@ -251,15 +272,7 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
     if n_edges <= inline_edge_cap and n <= inline_edge_cap:
         node_ids = sorted(r["doc_id"]
                           for r in nodes.take_all(limit=inline_edge_cap + 1))
-        idx = {d: i for i, d in enumerate(node_ids)}
-        src_i = np.empty(n_edges, np.int64)
-        dst_i = np.empty(n_edges, np.int64)
-        k = 0
-        for b in edges.iter_batches(batch_format="pyarrow"):
-            for u, v in zip(b.column("src").to_pylist(),
-                            b.column("dst").to_pylist()):
-                src_i[k], dst_i[k] = idx[u], idx[v]
-                k += 1
+        src_i, dst_i = _edge_indices(edges, node_ids)
         od = np.bincount(src_i, minlength=n).astype(np.int64)
         r = np.full(n, r0, np.int64)
         for _ in range(iters):
@@ -374,15 +387,7 @@ def hits(nodes: rd.Dataset, edges: rd.Dataset,
     if n_edges <= inline_edge_cap and n <= inline_edge_cap:
         node_ids = sorted(r["doc_id"]
                           for r in nodes.take_all(limit=inline_edge_cap + 1))
-        idx = {d: i for i, d in enumerate(node_ids)}
-        src_i = np.empty(n_edges, np.int64)
-        dst_i = np.empty(n_edges, np.int64)
-        k = 0
-        for b in edges.iter_batches(batch_format="pyarrow"):
-            for u, v in zip(b.column("src").to_pylist(),
-                            b.column("dst").to_pylist()):
-                src_i[k], dst_i[k] = idx[u], idx[v]
-                k += 1
+        src_i, dst_i = _edge_indices(edges, node_ids)
         h = np.full(n, HITS_SCALE, np.int64)
         a = np.zeros(n, np.int64)
         for _ in range(iters):
