@@ -111,7 +111,7 @@ QUERY_NAMES = [
     "quantiles", "price_histogram", "token_df", "group_topk",
     "neardup_clusters", "decontaminate", "chunk_tokens", "pack_bins",
     "vocab_topk", "bm25_search", "global_shuffle", "text_normalize",
-    "oov_ratio", "dup_spans", "link_pagerank", "link_hits",
+    "oov_ratio", "dup_spans", "boilerplate", "link_pagerank", "link_hits",
     "url_patterns", "mirror_domains",
 ]
 

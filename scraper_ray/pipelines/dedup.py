@@ -263,6 +263,116 @@ SELECT doc_id,
 FROM w JOIN nd USING (win) GROUP BY doc_id
 """
 
+_BOILER_N = 3        # token n-gram width
+_BOILER_MIN_DOCS = 2  # grams on >= this many docs of one source are boiler
+
+
+def q_boilerplate(sf_dir: str) -> rd.Dataset:
+    """Per-source boilerplate audit (the CCNet/RefinedWeb-style signal
+    that precedes quality filtering): for every doc, how many of its
+    distinct token 3-grams also occur in at least one OTHER document of
+    the SAME source — repeated template text (headers, footers, legal
+    blurbs) scores high, original prose scores low, and a downstream
+    gate drops or strips by the ratio. Differs from ``q_dup_spans``
+    (global char-window duplication) by conditioning on the source
+    column: a phrase common across sources is NOT boilerplate here.
+
+    Plan: flat-map -> locally-DISTINCT (doc, source, gram) rows; one
+    groupby on (source, gram) counts carrier docs; the multi-doc gram
+    set is broadcast under ``_MULTI_BROADCAST_CAP`` (distributed hash
+    join past it); one final groupby on doc_id sums the flags. The
+    exchanges carry gram rows pre-deduped per doc — O(tokens), with the
+    same topology at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        srcs: list[str] = []
+        gs: list[str] = []
+        for did, tx, src in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist(),
+                                t.column("source").to_pylist()):
+            toks = tx.split(" ")
+            if len(toks) < _BOILER_N:
+                continue
+            seen = {" ".join(toks[i:i + _BOILER_N])
+                    for i in range(len(toks) - _BOILER_N + 1)}
+            ids.extend([did] * len(seen))
+            srcs.extend([src] * len(seen))
+            gs.extend(sorted(seen))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "source": pa.array(srcs, pa.string()),
+                         "gram": pa.array(gs, pa.string())})
+
+    g = ds.map_batches(grams, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+
+    def only_boiler(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("ndocs"),
+                                         _BOILER_MIN_DOCS))
+
+    boiler = drop_empty_blocks(
+        g.groupby(["source", "gram"]).count()
+        .rename_columns({"count()": "ndocs"})
+        .map_batches(only_boiler, batch_format="pyarrow")).materialize()
+
+    if boiler.count() <= _MULTI_BROADCAST_CAP:
+        bref = ray.put({(r["source"], r["gram"])
+                        for r in boiler.take_all()})
+
+        def flag_bcast(t: pa.Table) -> pa.Table:
+            bset = ray.get(bref)
+            dup = [(s, gr) in bset
+                   for s, gr in zip(t.column("source").to_pylist(),
+                                    t.column("gram").to_pylist())]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "boiler": pa.array(np.asarray(dup, dtype=np.int64)),
+            })
+
+        flagged = g.map_batches(flag_bcast, batch_format="pyarrow")
+    else:
+        joined = g.join(boiler.select_columns(["source", "gram", "ndocs"]),
+                        join_type="left_outer", num_partitions=32,
+                        on=("source", "gram"))
+
+        def flag_join(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "boiler": pc.cast(pc.is_valid(t.column("ndocs")), pa.int64()),
+            })
+
+        flagged = joined.map_batches(flag_join, batch_format="pyarrow")
+
+    return (flagged.groupby("doc_id")
+            .aggregate(Sum("one", alias_name="n_grams"),
+                       Sum("boiler", alias_name="n_boiler_grams")))
+
+
+_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ts) - {_BOILER_N - 1})) AS i) s
+  WHERE len(ts) >= {_BOILER_N}),
+freq AS (SELECT source, gram, count(*) AS ndocs FROM g GROUP BY source, gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler_grams
+FROM g JOIN freq f ON f.source = g.source AND f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
 
 def _gram_hash_ctes(source: str) -> str:
     """The shared docs -> hs CTE prefix: tokenized docs, per-token md5
@@ -443,6 +553,7 @@ SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
     "dup_spans": _DUP_SPANS_SQL,
+    "boilerplate": _BOILERPLATE_SQL,
     "simhash": _simhash_oracle_sql(),
     "minhash_pairs": _minhash_oracle_sql(),
     "embedding_neardup": _embedding_neardup_oracle_sql(),
@@ -1105,6 +1216,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dup_spans": q_dup_spans,
+    "boilerplate": q_boilerplate,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,

@@ -132,3 +132,37 @@ def test_topology_constants_derive_from_corpus_size():
     assert wide > _PACK_PART
     # the derived width keeps the driver offsets map bounded
     assert (10**12 + 1) / wide <= _PACK_MAX_PARTS
+
+
+def test_boilerplate_flags_per_source_repeats_only(ray_session, tmp_path):
+    """A footer phrase repeated across srcA docs is boilerplate for
+    them; the SAME phrase on a single srcB doc is not (per-source
+    conditioning); fully original docs score zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import q_boilerplate
+
+    footer = "all rights reserved footer"          # 4 tokens -> 2 grams
+    rows = {
+        1: ("alpha beta gamma delta " + footer, "srcA"),
+        2: ("epsilon zeta eta theta " + footer, "srcA"),
+        3: ("iota kappa lmb mu nu xi", "srcA"),     # original -> 0
+        4: ("omic pi rho sigma " + footer, "srcB"),  # lone carrier -> 0
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(rows), pa.int64()),
+        "text": pa.array([t for t, _ in rows.values()], pa.string()),
+        "source": pa.array([s for _, s in rows.values()], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = q_boilerplate(str(tmp_path)).to_pandas().set_index("doc_id")
+    # doc 1: 8 tokens -> 6 grams; the 2 grams inside the footer repeat
+    # on doc 2 (bridging grams mix unique prefixes, so only the footer's
+    # own 3-grams repeat)
+    assert out.loc[1, "n_boiler_grams"] == 2
+    assert out.loc[2, "n_boiler_grams"] == 2
+    assert out.loc[3, "n_boiler_grams"] == 0
+    assert out.loc[4, "n_boiler_grams"] == 0
+    assert (out["n_boiler_grams"] <= out["n_grams"]).all()
+    assert out.loc[1, "n_grams"] == 6
