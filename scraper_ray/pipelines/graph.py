@@ -471,11 +471,10 @@ def q_link_hits(sf_dir: str) -> rd.Dataset:
     separates index pages from content pages). The DuckDB oracle runs
     the same fixed integer iterations as unrolled CTEs over the
     sequential oracle crawler's independently-derived edge list."""
-    from .crawl_queries import _cfg_for, _run_crawl
+    from .crawl_queries import _run_crawl
 
-    web, _ = _cfg_for(sf_dir)
     docs = _run_crawl(sf_dir)
-    edges = crawl_link_edges(docs, web)
+    edges = _cached_link_edges(sf_dir)
     return hits(docs.select_columns(["doc_id"]), edges)
 
 
@@ -557,6 +556,29 @@ def crawl_link_edges(docs: rd.Dataset, web) -> rd.Dataset:
         .drop_columns(["count()"]))
 
 
+_EDGE_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _cached_link_edges(sf_dir: str) -> rd.Dataset:
+    """The tier's link-edge list, derived once per process and shared by
+    every graph query (pagerank, HITS, degree, components, host graph).
+    The edge list is a pure function of the cached crawl output, but its
+    derivation re-fetches every page to recover out-links — without the
+    cache each graph query repaid the full fetch CPU. Keyed by tier like
+    ``_run_crawl``'s cache; materialized so downstream joins reuse the
+    object-store blocks."""
+    import os
+
+    from .crawl_queries import _cfg_for, _run_crawl
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in _EDGE_CACHE:
+        web, _ = _cfg_for(sf_dir)
+        _EDGE_CACHE[tier] = crawl_link_edges(
+            _run_crawl(sf_dir), web).materialize()
+    return _EDGE_CACHE[tier]
+
+
 def q_link_pagerank(sf_dir: str) -> rd.Dataset:
     """PageRank over the distributed crawl's internal link graph.
 
@@ -566,11 +588,10 @@ def q_link_pagerank(sf_dir: str) -> rd.Dataset:
     same fixed iterations as unrolled CTEs over the *sequential oracle
     crawler's* independently-derived edge list, so graph construction
     and the distributed iteration are both checked end-to-end."""
-    from .crawl_queries import _cfg_for, _run_crawl
+    from .crawl_queries import _run_crawl
 
-    web, _ = _cfg_for(sf_dir)
     docs = _run_crawl(sf_dir)
-    edges = crawl_link_edges(docs, web)
+    edges = _cached_link_edges(sf_dir)
     return pagerank(docs.select_columns(["doc_id"]), edges)
 
 
@@ -705,11 +726,10 @@ def q_link_degree(sf_dir: str) -> rd.Dataset:
     corpus size."""
     from ray.data.aggregate import Count
 
-    from .crawl_queries import _cfg_for, _run_crawl
+    from .crawl_queries import _run_crawl
 
-    web, _ = _cfg_for(sf_dir)
     docs = _run_crawl(sf_dir)
-    edges = crawl_link_edges(docs, web)
+    edges = _cached_link_edges(sf_dir)
     indeg = edges.groupby("dst").aggregate(Count(alias_name="in_degree"))
     joined = drop_empty_blocks(
         docs.select_columns(["doc_id"])
@@ -742,11 +762,10 @@ def q_link_components(sf_dir: str) -> rd.Dataset:
     output is O(distinct sizes)."""
     from ray.data.aggregate import Count
 
-    from .crawl_queries import _cfg_for, _run_crawl
+    from .crawl_queries import _run_crawl
 
-    web, _ = _cfg_for(sf_dir)
     docs = _run_crawl(sf_dir)
-    edges = crawl_link_edges(docs, web)
+    edges = _cached_link_edges(sf_dir)
     comp = connected_components(edges, src="src", dst="dst",
                                 id_type=pa.string())
     joined = drop_empty_blocks(
@@ -783,11 +802,10 @@ def q_host_graph(sf_dir: str) -> rd.Dataset:
     columns), then the combiner groupby; output is O(domain pairs)."""
     from ray.data.aggregate import Count
 
-    from .crawl_queries import _cfg_for, _run_crawl
+    from .crawl_queries import _run_crawl
 
-    web, _ = _cfg_for(sf_dir)
     docs = _run_crawl(sf_dir)
-    edges = crawl_link_edges(docs, web)
+    edges = _cached_link_edges(sf_dir)
     doms = docs.select_columns(["doc_id", "domain_key"])
     e1 = drop_empty_blocks(edges.join(
         doms.rename_columns({"doc_id": "sdoc", "domain_key": "src_domain"}),
