@@ -325,6 +325,130 @@ def q_token_df(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# top_terms (per-doc tf-idf keyword extraction)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 5
+# vocab sizes under this broadcast the (token -> idf) map via ray.put;
+# past it the fallback is a distributed (doc, token, tf) x df join plus
+# a doc-keyed repartition so each block holds whole docs for the top-k
+_TOP_TERMS_BROADCAST_CAP = 4_000_000
+
+
+def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
+                broadcast_cap: int = _TOP_TERMS_BROADCAST_CAP) -> rd.Dataset:
+    """Per-document top-*k* tf-idf keywords — the keyword-extraction /
+    doc-tagging stage of a curation pipeline (and the raw material for
+    cluster labeling). idf uses exactly ``q_token_df``'s convention
+    (round(ln(N/df), 6)) so the two views agree term for term.
+
+    Scale shape: the corpus-wide df pass is the token_df partial
+    (batch-disjoint dicts, one (token, df) shuffle). Under the cap the
+    idf map rides ``ray.put`` and scoring + top-k is ONE streaming map
+    over docs (tf, score and rank are row-local). Past the cap: flat-map
+    (doc, token, tf) rows, hash-join them with the df table, repartition
+    by doc_id (whole docs per block) and take the per-batch vectorized
+    top-k — no per-group Python dispatch on either path. Ties break by
+    token ascending; both paths and the SQL oracle share the order."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    from .common import drop_empty_blocks
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for tok in set(txt.split(" ")):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "df": pa.array(list(counts.values()), pa.int64())})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("token").sum("df")).materialize()
+
+    def _topk_rows(did, toks, idf_of):
+        tf: dict[str, int] = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        scored = sorted(
+            ((-round_half_away(n * idf_of(tok), 6), tok, n)
+             for tok, n in tf.items()))
+        return [(did, tok, -neg, r + 1)
+                for r, (neg, tok, _) in enumerate(scored[:k])]
+
+    if df_tbl.count() <= broadcast_cap:
+        idf_map = {r["token"]: round_half_away(
+            math.log(n_docs / r["sum(df)"]), 6)
+            for r in df_tbl.take_all()}
+        idf_ref = ray.put(idf_map)
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            idf = ray.get(idf_ref)
+            rows = []
+            for did, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+                rows.extend(_topk_rows(did, txt.split(" "), idf.__getitem__))
+            return pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "token": pa.array([r[1] for r in rows], pa.string()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+                "rank": pa.array([r[3] for r in rows], pa.int64())})
+
+        return ds.map_batches(score_bcast, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # distributed fallback: explode tf rows, join idf, co-locate by doc
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            tf: dict[str, int] = {}
+            for tok in txt.split(" "):
+                tf[tok] = tf.get(tok, 0) + 1
+            ids.extend([did] * len(tf))
+            toks.extend(tf.keys())
+            tfs.extend(tf.values())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tfr = drop_empty_blocks(ds.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True))
+    joined = drop_empty_blocks(tfr.join(
+        df_tbl, join_type="inner", num_partitions=16, on=("token",)))
+    joined.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    by_doc = drop_empty_blocks(joined.repartition(16, keys=["doc_id"]))
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        idf = round_half_away(
+            np.log(n_docs / t.column("sum(df)").to_numpy()
+                   .astype(np.float64)), 6)
+        score = round_half_away(
+            t.column("tf").to_numpy().astype(np.float64) * idf, 6)
+        pdf = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(),
+            "token": t.column("token").to_pylist(),
+            "score": score})
+        pdf = pdf.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        pdf["rank"] = pdf.groupby("doc_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+            "token": pa.array(pdf["token"].tolist(), pa.string()),
+            "score": pa.array(pdf["score"].to_numpy(), pa.float64()),
+            "rank": pa.array(pdf["rank"].to_numpy(), pa.int64())})
+
+    return drop_empty_blocks(by_doc).map_batches(
+        topk_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # vocab_topk
 # ---------------------------------------------------------------------------
 
@@ -691,6 +815,24 @@ FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
       FROM orders)
 WHERE rn <= {TOPK_K}
 """,
+    "top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+sc AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * round(ln((SELECT count(*) FROM documents)
+                                / CAST(df.df AS DOUBLE)), 6), 6) AS score
+  FROM tf JOIN df USING (token)),
+rk AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM sc)
+SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {TOP_TERMS_K}
+""",
     "token_df": """
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -772,6 +914,7 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "group_topk": q_group_topk,
     "token_df": q_token_df,
+    "top_terms": q_top_terms,
     "vocab_topk": q_vocab_topk,
     "oov_ratio": q_oov_ratio,
     "bm25_search": q_bm25_search,

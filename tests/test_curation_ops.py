@@ -166,3 +166,19 @@ def test_boilerplate_flags_per_source_repeats_only(ray_session, tmp_path):
     assert out.loc[4, "n_boiler_grams"] == 0
     assert (out["n_boiler_grams"] <= out["n_grams"]).all()
     assert out.loc[1, "n_grams"] == 6
+
+
+def test_top_terms_paths_agree_and_ranks_dense(ray_session):
+    """The broadcast and distributed-join plans return identical rows;
+    ranks are dense 1..k per doc and scores non-increasing."""
+    from scraper_ray.pipelines.stats import TOP_TERMS_K, q_top_terms
+
+    a = (q_top_terms(SF).to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    b = (q_top_terms(SF, broadcast_cap=0).to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    assert a.values.tolist() == b.values.tolist()
+    for _, g in a.groupby("doc_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert len(g) <= TOP_TERMS_K
+        assert (g["score"].diff().dropna() <= 0).all()
