@@ -163,6 +163,53 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dedup_rate(sf_dir: str) -> rd.Dataset:
+    """Per-(source, lang) exact-duplication report: how much of each
+    slice of the corpus is redundant — the curation dashboard number
+    that decides which sources get dropped or down-weighted before a
+    training run.
+
+    Two-level aggregate, both Arrow block aggregations (no per-group
+    Python dispatch): (source, lang, md5(text)) -> count collapses
+    duplicates on one hash shuffle, then (source, lang) sums counts and
+    counts distinct hashes. At 100 TB the first groupby is the same
+    canonical exact-dedup shuffle as q_dedup_exact; the second input is
+    already tiny (one row per distinct text per slice)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .common import drop_empty_blocks
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t.column("text").to_pylist()]
+        return pa.table({"source": t.column("source"),
+                         "lang": t.column("lang"),
+                         "text_hash": pa.array(hs, pa.string())})
+
+    per_text = (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang", "text_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+    rep = per_text.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_distinct"), Sum("n", alias_name="n_docs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        docs = pc.cast(t.column("n_docs"), pa.float64())
+        dis = pc.cast(t.column("n_distinct"), pa.float64())
+        return pa.table({
+            "source": t.column("source"),
+            "lang": t.column("lang"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "n_distinct": pc.cast(t.column("n_distinct"), pa.int64()),
+            "dup_rate": pc.divide(pc.subtract(docs, dis), docs),
+        })
+
+    return drop_empty_blocks(rep).map_batches(finish, batch_format="pyarrow")
+
+
 _SPAN_K = 32       # window width (chars) — ExactSubstr-style span unit
 _SPAN_STRIDE = 16  # sampling stride; any duplicated run >= K+S-1 chars
                    # is guaranteed to contribute at least one shared window
@@ -551,6 +598,14 @@ ORACLE_SQL = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+    "dedup_rate": """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source, lang
 """,
     "dup_spans": _DUP_SPANS_SQL,
     "boilerplate": _BOILERPLATE_SQL,
@@ -1215,6 +1270,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_rate": q_dedup_rate,
     "dup_spans": q_dup_spans,
     "boilerplate": q_boilerplate,
     "minhash_pairs": q_minhash_pairs,

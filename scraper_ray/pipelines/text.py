@@ -12,6 +12,7 @@ per worker process, mirroring the actor-pool init pattern.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -84,6 +85,66 @@ def q_quality_filter(sf_dir: str) -> rd.Dataset:
         return t.filter(keep).select(["doc_id", "n_tokens"])
 
     return stats.map_batches(f, batch_format="pyarrow")
+
+
+_NUM_RE = re.compile(r"[0-9]+")
+
+_GOPHER_MIN_TOK, _GOPHER_MAX_TOK = 10, 5000
+_GOPHER_MIN_LEN, _GOPHER_MAX_LEN = 2.0, 12.0
+_GOPHER_MAX_NUM, _GOPHER_MAX_DUP = 0.3, 0.6
+
+
+def q_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1):
+    per-doc mean token length, numeric-token fraction, and
+    duplicate-token fraction, plus the combined keep flag. Pure map, no
+    shuffle. Mean token length is fully vectorized (on single-spaced
+    text, sum of token lengths = n_chars - (n_tokens - 1)); the
+    numeric/distinct token counts run one bounded Python pass per doc
+    with a module-compiled regex (same pattern as q_doc_stats)."""
+    import numpy as np
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        nc = np.asarray(pc.cast(pc.utf8_length(text), pa.float64()))
+        nt = np.asarray(pc.cast(
+            pc.add(pc.count_substring(text, " "), 1), pa.float64()))
+        mean_len = (nc - (nt - 1.0)) / nt
+        n_num = np.empty(len(nt))
+        n_dis = np.empty(len(nt))
+        for i, x in enumerate(text.to_pylist()):
+            toks = x.split(" ")
+            n_num[i] = sum(1 for w in toks if _NUM_RE.fullmatch(w))
+            n_dis[i] = len(set(toks))
+        numeric_frac = n_num / nt
+        dup_frac = (nt - n_dis) / nt
+        keep = ((nt >= _GOPHER_MIN_TOK) & (nt <= _GOPHER_MAX_TOK)
+                & (mean_len >= _GOPHER_MIN_LEN) & (mean_len <= _GOPHER_MAX_LEN)
+                & (numeric_frac < _GOPHER_MAX_NUM) & (dup_frac < _GOPHER_MAX_DUP))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(nt.astype(np.int64), pa.int64()),
+            "mean_tok_len": pa.array(mean_len, pa.float64()),
+            "numeric_frac": pa.array(numeric_frac, pa.float64()),
+            "dup_tok_frac": pa.array(dup_frac, pa.float64()),
+            "keep_flag": pa.array(keep.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion matrix: (labeled lang, predicted lang) ->
+    count, the corpus-curation report that says where the lang-ID
+    heuristic misroutes documents. One tiny groupby over the lang_id
+    map output (at most |langs|^2 result rows at any corpus size)."""
+    from ray.data.aggregate import Count
+
+    pred = q_lang_id(sf_dir).select_columns(["lang", "lang_pred"])
+    return pred.groupby(["lang", "lang_pred"]).aggregate(
+        Count(alias_name="n"))
 
 
 def q_lang_id(sf_dir: str) -> rd.Dataset:
@@ -342,13 +403,46 @@ SELECT doc_id,
        CAST(least(len(toks), 64) AS BIGINT) AS n_tokens
 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 """,
+    "gopher_rules": """
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_tok_len, numeric_frac, dup_tok_frac,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 5000
+                  AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                  AND numeric_frac < 0.3 AND dup_tok_frac < 0.6
+             THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM (
+  SELECT doc_id,
+         n_tokens,
+         (CAST(n_chars AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+             / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+         CAST(n_num AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS numeric_frac,
+         (CAST(n_tokens AS DOUBLE) - CAST(n_distinct AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE) AS dup_tok_frac
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> regexp_matches(x, '^[0-9]+$'))) AS n_num,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents))
+""",
 }
+
+ORACLE_SQL["lang_confusion"] = f"""
+WITH pred AS ({ORACLE_SQL["lang_id"]})
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+"""
 
 QUERIES = {
     "token_count": q_token_count,
     "doc_stats": q_doc_stats,
     "quality_filter": q_quality_filter,
+    "gopher_rules": q_gopher_rules,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
     "stopword_strip": q_stopword_strip,
