@@ -408,6 +408,33 @@ def q_embedding_norms(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization (the storage-compression
+    step a 100 TB embedding corpus takes before indexing): scale =
+    max|x| / 127, q_i = sign(x_i) * floor(|x_i|/scale + 0.5). Pure map,
+    zero-copy decode, one vectorized numpy pass per batch. Outputs are
+    hash-exact: the per-vector scale (double, same IEEE ops as the SQL
+    oracle) plus two integer summaries of the quantized codes (|q| sum
+    and zero-code count) — integers shuffle-order-independently, so no
+    float-accumulation wobble."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        embs = embs_to_numpy(t.column("embedding"))
+        a = np.abs(embs)
+        scale = a.max(axis=1) / 127.0
+        q = np.floor(a / scale[:, None] + 0.5)   # |q_i|, half away from zero
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "scale": pa.array(scale, pa.float64()),
+            "sum_abs_q": pa.array(q.sum(axis=1).astype(np.int64), pa.int64()),
+            "n_zero": pa.array((q == 0).sum(axis=1).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
@@ -543,6 +570,19 @@ SELECT vec_id,
 FROM embeddings
 """,
     "ann_lsh_topk": _ann_lsh_oracle_sql(),
+    "embedding_quantize": """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) / 127.0 AS scale
+  FROM embeddings)
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(emb,
+            x -> floor(abs(x) / scale + 0.5))) AS BIGINT) AS sum_abs_q,
+       CAST(len(list_filter(emb,
+            x -> floor(abs(x) / scale + 0.5) = 0)) AS BIGINT) AS n_zero
+FROM s
+""",
 }
 
 QUERIES = {
@@ -551,5 +591,6 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall": q_ann_recall,
     "embedding_norms": q_embedding_norms,
+    "embedding_quantize": q_embedding_quantize,
     "semdedup": q_semdedup,
 }

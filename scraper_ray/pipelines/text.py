@@ -135,6 +135,36 @@ def q_gopher_rules(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# BPE-style pre-tokenizer (the GPT-2 pattern family, simplified to the
+# RE2-compatible subset — no lookahead — so pyarrow's RE2 and DuckDB's
+# RE2 scan identically): runs of letters / digits / punctuation, each
+# optionally preceded by one space, else runs of spaces.
+_BPE_PAT = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def q_regex_tokens(sf_dir: str) -> rd.Dataset:
+    """Token counting under a BPE-ish pre-tokenizer regex vs whitespace
+    — the 'how many tokens will the tokenizer actually see' estimate a
+    training-budget plan needs. Fully vectorized: one RE2
+    ``count_substring_regex`` pass (non-overlapping scan == findall
+    count), no Python per doc."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_ws = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
+        n_bpe = pc.cast(pc.count_substring_regex(text, _BPE_PAT), pa.int64())
+        chars = pc.cast(pc.utf8_length(text), pa.float64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": n_bpe,
+            "chars_per_bpe": pc.divide(chars, pc.cast(n_bpe, pa.float64())),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     """Language-ID confusion matrix: (labeled lang, predicted lang) ->
     count, the corpus-curation report that says where the lang-ID
@@ -430,6 +460,17 @@ FROM (
 """,
 }
 
+ORACLE_SQL["regex_tokens"] = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+           / CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+           AS chars_per_bpe
+FROM documents
+"""
+
 ORACLE_SQL["lang_confusion"] = f"""
 WITH pred AS ({ORACLE_SQL["lang_id"]})
 SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
@@ -438,6 +479,7 @@ FROM pred GROUP BY lang, lang_pred
 
 QUERIES = {
     "token_count": q_token_count,
+    "regex_tokens": q_regex_tokens,
     "doc_stats": q_doc_stats,
     "quality_filter": q_quality_filter,
     "gopher_rules": q_gopher_rules,
