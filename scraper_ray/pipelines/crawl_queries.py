@@ -96,6 +96,40 @@ def q_crawl_spans(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_span_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc composition of the interleaved text+media payload
+    (input_hint contract): span counts by kind, text volume, distinct
+    media assets — the multimodal 'what is this page made of' rollup a
+    curation pass filters on (e.g. drop image-farm pages with no text).
+    Pure map over the docs' spans column; no shuffle (spans of a doc
+    arrive together by construction)."""
+    docs = _run_crawl(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        n_sp, n_tx, n_md, chars, nref = [], [], [], [], []
+        for spans in t.column("spans").to_pylist():
+            tx = sum(1 for s in spans if s["kind"] == "text")
+            n_sp.append(len(spans))
+            n_tx.append(tx)
+            n_md.append(len(spans) - tx)
+            chars.append(sum(len(s["text"]) for s in spans
+                             if s["kind"] == "text"))
+            nref.append(len({s["media_ref"] for s in spans
+                             if s["kind"] == "media"}))
+        return pa.table({
+            "doc_id": ids,
+            "n_spans": pa.array(n_sp, pa.int64()),
+            "n_text": pa.array(n_tx, pa.int64()),
+            "n_media": pa.array(n_md, pa.int64()),
+            "text_chars": pa.array(chars, pa.int64()),
+            "n_media_refs": pa.array(nref, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "spans"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _content_sigs(docs: rd.Dataset, sig_col: str) -> rd.Dataset:
     """(url, {sig_col}) — md5 over the doc's span sequence in offset
     order, the content fingerprint the recrawl diff compares. Pure
@@ -699,7 +733,8 @@ _ORACLE_ROOT = "/tmp/scraper_ray_oracle"
 # under test. Single source of truth shared by tests/test_pipelines.py
 # and tools/check_oracles.py so the two lists cannot drift.
 PINNED_QUERIES = frozenset({
-    "crawl_docs", "crawl_spans", "domain_stats", "listing_detail",
+    "crawl_docs", "crawl_spans", "span_stats", "domain_stats",
+    "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "semdedup", "robots_rules", "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
@@ -929,6 +964,20 @@ FROM read_parquet('{ORACLE_DOCS_PATH}')
 SELECT doc_id, kind, text, media_ref, "offset"
 FROM read_parquet('{ORACLE_SPANS_PATH}')
 """,
+    "span_stats": f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_text,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media,
+       CAST(sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END)
+           AS BIGINT) AS text_chars,
+       CAST(count(DISTINCT CASE WHEN kind = 'media' THEN media_ref END)
+           AS BIGINT) AS n_media_refs
+FROM read_parquet('{ORACLE_SPANS_PATH}')
+GROUP BY doc_id
+""",
     "url_patterns": f"""
 SELECT domain_key, regexp_replace(url, '[0-9]+', 'N', 'g') AS url_pattern,
        CAST(count(*) AS BIGINT) AS n_urls,
@@ -1041,6 +1090,7 @@ FROM agg
 QUERIES = {
     "crawl_docs": q_crawl_docs,
     "crawl_spans": q_crawl_spans,
+    "span_stats": q_span_stats,
     "domain_stats": q_domain_stats,
     "url_patterns": q_url_patterns,
     "mirror_domains": q_mirror_domains,
