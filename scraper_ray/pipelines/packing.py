@@ -288,7 +288,127 @@ def q_corpus_assemble(sf_dir: str) -> rd.Dataset:
     return pack_assign(deduped)
 
 
+_SELECT_BUDGET = 10_000       # token budget for the selection demo
+_BAND_TARGET_ROWS = 1 << 18   # target scan rows per score band
+
+
+def budget_select(scored: rd.Dataset, budget: int) -> rd.Dataset:
+    """Select documents under a total token *budget* in quality order
+    (score DESC, doc_id ASC) — the data-constrained 'take the best N
+    tokens' corpus-selection step.
+
+    A global quality-ordered prefix sum, distributed as a two-phase
+    scan over SCORE BANDS (band = (max_score - score) // band_w, so
+    band-ascending order IS score-descending order and equal scores
+    never straddle bands): local prefix sums inside each band (sorted
+    (score DESC, doc_id) within), band totals -> cumulative offsets on
+    the driver (one int per band), broadcast, vectorized add + filter.
+    No global sort shuffle: rows move once, into their band.
+
+    Scale shape: band count derives from corpus size (driver state =
+    one int per band); one band must fit a worker's heap for the local
+    scan — the same constraint family as global_shuffle's shards. A
+    degenerate score distribution (every doc the same score) caps at
+    band_w = 1, where the within-band doc_id tie-break still gives a
+    deterministic selection."""
+    scored = scored.materialize()
+    n_docs = scored.count()
+    if n_docs == 0:
+        return scored
+    max_score = int(scored.max("score"))
+    n_bands = max(8, min(4096, n_docs // _BAND_TARGET_ROWS + 8))
+    band_w = max(1, (max_score + n_bands) // n_bands)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        sc = pc.cast(t.column("score"), pa.int64())
+        band = pc.divide(
+            pc.subtract(pa.scalar(max_score, pa.int64()), sc),
+            pa.scalar(band_w, pa.int64()))
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "score": sc,
+            "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+            "band": band,
+        })
+
+    keyed_ds = scored.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("score", "descending"),
+                                              ("doc_id", "ascending")])
+        g = g.take(order)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "local_prefix", pa.array(np.cumsum(n) - n, pa.int64()))
+
+    scanned = keyed_ds.groupby("band").map_groups(
+        local_scan, batch_format="pyarrow")
+
+    totals = keyed_ds.groupby("band").sum("n_tokens").take_all()
+    totals.sort(key=lambda r: r["band"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in totals:
+        offsets[int(r["band"])] = acc
+        acc += int(r["sum(n_tokens)"])
+    off_ref = ray.put(offsets)
+
+    def select(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        bands = t.column("band").to_numpy(zero_copy_only=False)
+        base = np.asarray([off[int(b)] for b in bands], dtype=np.int64)
+        prefix = base + t.column("local_prefix").to_numpy(
+            zero_copy_only=False)
+        keep = prefix < budget
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "score": t.column("score"),
+            "n_tokens": t.column("n_tokens"),
+            "prefix_tokens": pa.array(prefix[keep], pa.int64()),
+        })
+
+    return scanned.map_batches(select, batch_format="pyarrow")
+
+
+def q_budget_select(sf_dir: str) -> rd.Dataset:
+    """Token-budget corpus selection: score = distinct-token count (an
+    integer quality proxy — exact at any parallelism), keep the
+    best-scored docs until the token budget is spent (the doc crossing
+    the boundary is included)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def counted(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.add(pc.count_substring(t.column("text"), " "), 1),
+                        pa.int64())
+        dis = [len(set(x.split(" "))) for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "score": pa.array(dis, pa.int64()),
+            "n_tokens": n_tok,
+        })
+
+    return budget_select(
+        docs.map_batches(counted, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        _SELECT_BUDGET)
+
+
 ORACLE_SQL = {
+    "budget_select": f"""
+WITH s AS (SELECT doc_id,
+                  CAST(len(list_distinct(string_split(text, ' ')))
+                       AS BIGINT) AS score,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+w AS (SELECT *,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS prefix_tokens
+      FROM s)
+SELECT doc_id, score, n_tokens, CAST(prefix_tokens AS BIGINT) AS prefix_tokens
+FROM w WHERE prefix_tokens < {_SELECT_BUDGET}
+""",
     "decontaminate": f"""
 WITH g AS (
   SELECT doc_id,
@@ -371,5 +491,6 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "chunk_tokens": q_chunk_tokens,
     "pack_bins": q_pack_bins,
+    "budget_select": q_budget_select,
     "corpus_assemble": q_corpus_assemble,
 }
