@@ -182,3 +182,29 @@ def test_top_terms_paths_agree_and_ranks_dense(ray_session):
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         assert len(g) <= TOP_TERMS_K
         assert (g["score"].diff().dropna() <= 0).all()
+
+
+def test_budget_select_prefix_and_degenerate_scores(ray_session):
+    """budget_select: selection is the quality-ordered prefix (every
+    kept doc outranks every dropped one under (score DESC, doc_id)),
+    the budget binds exactly at the boundary doc, and the degenerate
+    all-equal-score corpus (band_w floor of 1) still selects the
+    deterministic doc_id prefix."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scraper_ray.pipelines.packing import _SELECT_BUDGET, budget_select, q_budget_select
+
+    df = q_budget_select(SF).to_pandas().sort_values("prefix_tokens")
+    assert (df["prefix_tokens"] < _SELECT_BUDGET).all()
+    # prefix sums are consistent: each prefix = previous prefix + tokens
+    assert (df["prefix_tokens"].to_numpy()[1:]
+            == (df["prefix_tokens"] + df["n_tokens"]).to_numpy()[:-1]).all()
+    # total selected tokens covers the budget (last doc may overflow)
+    assert (df["prefix_tokens"] + df["n_tokens"]).max() >= _SELECT_BUDGET
+    # degenerate: every score identical -> doc_id-prefix selection
+    flat = pd.DataFrame({"doc_id": range(100), "score": [7] * 100,
+                         "n_tokens": [10] * 100})
+    out = budget_select(rd.from_pandas(flat), budget=95).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == list(range(10))
+    assert sorted(out["prefix_tokens"].tolist()) == [i * 10 for i in range(10)]
