@@ -95,6 +95,35 @@ _SORT_KEYS = [
 _URL_PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*(?P<path>[^?#]*)"
 
 
+# per-process memo of the politeness object's ruleset lookup (domains
+# array + per-domain ruleset id + distinct rulesets) — built once per
+# worker, holds one entry (one config per run)
+_RULESET_CACHE: dict[int, tuple] = {}
+
+
+def _ruleset_lookup(politeness: PolitenessConfig):
+    """Group disallow domains by their DISTINCT (disallow, allow) rule
+    tuple. Real robots configs are massively degenerate — thousands of
+    domains share a handful of rule sets — so the admission filter can
+    scan per distinct ruleset instead of per domain."""
+    ent = _RULESET_CACHE.get(id(politeness))
+    if ent is not None and ent[0] is politeness:
+        return ent[1]
+    rulesets: dict[tuple, int] = {}
+    domains: list[str] = []
+    ids: list[int] = []
+    for dom, dis in politeness.disallow.items():
+        key = (tuple(dis), tuple(politeness.allow.get(dom, ())))
+        ids.append(rulesets.setdefault(key, len(rulesets)))
+        domains.append(dom)
+    out = (pa.array(domains, pa.string()),
+           np.asarray(ids, dtype=np.int32),
+           list(rulesets))
+    _RULESET_CACHE.clear()
+    _RULESET_CACHE[id(politeness)] = (politeness, out)
+    return out
+
+
 def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table, int]:
     """Drop rows whose path is robots-disallowed for their registered
     domain (RFC 9309 §2.2.2 longest-match: the longest matching rule
@@ -105,40 +134,50 @@ def robots_filter(tbl: pa.Table, politeness: PolitenessConfig) -> tuple[pa.Table
     blocked URLs are counted, never silently lost (cf. the reference's
     silent ``return None`` drops, handlers/scrapers.py:50-52).
 
-    Fully vectorized (this sits on the crawl admission hot path): paths
-    come from one ``pc.extract_regex`` pass, and each rule prefix is one
-    ``starts_with`` kernel folded into a per-row match-length maximum —
-    no per-URL Python. Domains without disallow rules (the common case)
-    short-circuit without touching the URL column.
+    Fully vectorized (this sits on the crawl admission hot path): one
+    ``index_in`` pass maps each row's domain to its DISTINCT ruleset
+    (domains sharing rules are folded by ``_ruleset_lookup`` — real
+    configs have thousands of domains but a handful of rule sets), the
+    path regex runs only over rows that have rules at all, and each
+    ruleset scans only its own rows with one ``starts_with`` kernel per
+    prefix folded into a match-length maximum. Work is
+    O(rule_rows x distinct rulesets), not O(rows x rule domains).
     """
     import pyarrow.compute as pc
 
     dis = politeness.disallow
     if tbl.num_rows == 0 or not dis:
         return tbl, 0
-    doms = tbl.column("domain_key")
-    relevant = set(pc.unique(doms).to_pylist()) & set(dis)
-    if not relevant:
+    dom_arr, rid_by_dom, rulesets = _ruleset_lookup(politeness)
+    codes = pc.fill_null(
+        pc.index_in(tbl.column("domain_key"), value_set=dom_arr), -1)
+    codes_np = codes.to_numpy(zero_copy_only=False)
+    rule_idx = np.flatnonzero(codes_np >= 0)
+    if len(rule_idx) == 0:
         return tbl, 0
-    path_col = pc.struct_field(
-        pc.extract_regex(tbl.column("url"), _URL_PATH_RE), "path")
+    row_rids = rid_by_dom[codes_np[rule_idx]]
+    paths_sub = pc.struct_field(
+        pc.extract_regex(tbl.column("url").take(pa.array(rule_idx)),
+                         _URL_PATH_RE), "path")
 
-    def match_len(prefixes: tuple[str, ...]) -> np.ndarray:
-        best = np.zeros(tbl.num_rows, dtype=np.int32)
+    def match_len(sub, prefixes: tuple[str, ...]) -> np.ndarray:
+        best = np.zeros(len(sub), dtype=np.int32)
         for prefix in prefixes:
             sw = np.asarray(pc.fill_null(
-                pc.starts_with(path_col, pattern=prefix), False))
+                pc.starts_with(sub, pattern=prefix), False))
             np.maximum(best, np.where(sw, len(prefix), 0), out=best)
         return best
 
     blocked = np.zeros(tbl.num_rows, dtype=bool)
-    for domain in relevant:
-        dlen = match_len(dis[domain])
+    for rid in np.unique(row_rids):
+        pos = np.flatnonzero(row_rids == rid)
+        sub = paths_sub.take(pa.array(pos))
+        dis_p, allow_p = rulesets[rid]
+        dlen = match_len(sub, dis_p)
         if not dlen.any():
             continue
-        alen = match_len(politeness.allow.get(domain, ()))
-        dommask = np.asarray(pc.fill_null(pc.equal(doms, domain), False))
-        blocked |= dommask & (dlen > 0) & (alen < dlen)
+        alen = match_len(sub, allow_p)
+        blocked[rule_idx[pos[(dlen > 0) & (alen < dlen)]]] = True
     n_blocked = int(blocked.sum())
     if n_blocked == 0:
         return tbl, 0
