@@ -111,11 +111,110 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+class MediaResizer:
+    """Actor-pool stage: image resize plumbing (thumbnailing).
+
+    A real deployment decodes the payload and resizes in ``__call__``
+    (PIL/libvips loaded once per actor in ``__init__`` — same honest
+    codec seam as ``MediaDecoder.decode_real``). The stand-in reads the
+    source dimensions from the payload header bytes (deterministic, so
+    the DuckDB oracle recomputes them) and does the real thumbnail
+    math: fit within ``max_side`` x ``max_side`` preserving aspect
+    ratio, integer arithmetic only."""
+
+    def __init__(self, max_side: int = 64):
+        self.max_side = max_side
+        # codec handle would load here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ms = self.max_side
+        ids, sw, sh, dw, dh, nb = [], [], [], [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            hdr = np.frombuffer(p[:12], dtype="<u4")
+            w = 1 + int(hdr[0]) % 1920
+            h = 1 + int(hdr[1]) % 1080
+            m = max(w, h)
+            tw = max(1, w * ms // m)
+            th = max(1, h * ms // m)
+            ids.append(mid)
+            sw.append(w); sh.append(h); dw.append(tw); dh.append(th)
+            nb.append(tw * th * 3)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "src_w": pa.array(sw, pa.int64()),
+            "src_h": pa.array(sh, pa.int64()),
+            "dst_w": pa.array(dw, pa.int64()),
+            "dst_h": pa.array(dh, pa.int64()),
+            "thumb_bytes": pa.array(nb, pa.int64()),
+        })
+
+
+def q_media_resize(sf_dir: str) -> rd.Dataset:
+    """Thumbnail pass over the image rows: actor-pool resize stage,
+    small binary batches. Kind filter at the source (only images move
+    through the pool)."""
+    import pyarrow.compute as pc
+
+    media = synth_media_table(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow")
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_args=(64,),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+
+_FRAME_CAP = 8      # sampled frames per stream
+_FRAME_MS = 40      # 25 fps frame interval
+
+
+def q_frame_sample(sf_dir: str) -> rd.Dataset:
+    """Frame sampling plumbing over the a/v rows (the audio-kind blobs
+    stand in for av streams): the stream's frame count comes from the
+    payload header (deterministic), and every ceil(n/8)-th frame is
+    emitted as its own row — a pure flat-map (one input row -> <= 8
+    frame rows), the shape a video-frame extraction stage has at any
+    scale. A real deployment decodes the container and grabs the frame
+    bytes here; the stub emits the frame index + timestamp plumbing."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids, nf, fi, ts = [], [], [], []
+        for mid, kind, p in zip(t.column("media_id").to_pylist(),
+                                t.column("kind").to_pylist(),
+                                t.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            hdr = np.frombuffer(p[:12], dtype="<u4")
+            n_frames = 1 + int(hdr[2]) % 240
+            stride = -(-n_frames // _FRAME_CAP)
+            for idx in range(0, n_frames, stride):
+                ids.append(mid)
+                nf.append(n_frames)
+                fi.append(idx)
+                ts.append(idx * _FRAME_MS)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "frame_idx": pa.array(fi, pa.int64()),
+            "ts_ms": pa.array(ts, pa.int64()),
+        })
+
+    return synth_media_table(sf_dir).map_batches(
+        sample, batch_format="pyarrow", batch_size=128, zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle: recompute payload -> features in SQL. The synthetic
 # payload is sha256(text) bytes x8; its hex is repeat(sha256(text), 8),
 # so the feature hash is sha256(repeat(sha256(text), 8)) and each f_j is
-# the j-th little-endian u32 of that digest, mod 1000, / 1000.
+# the j-th little-endian u32 of that digest, mod 1000, / 1000. The
+# resize / frame-sample headers are the first u32 words of the payload
+# itself — i.e. of sha256(text).
 # ---------------------------------------------------------------------------
 
 def _media_oracle_sql() -> str:
@@ -143,6 +242,54 @@ FROM b
 """
 
 
-ORACLE_SQL = {"media_features": _media_oracle_sql()}
+def _hdr_word_sql(j: int) -> str:
+    """Little-endian u32 word *j* of the hex digest aliased ``h``."""
+    digit = "(instr('0123456789abcdef', substr(h, {p}, 1)) - 1)"
 
-QUERIES = {"media_features": q_media_features}
+    def byte(k: int) -> str:
+        return f"({digit.format(p=2 * k + 1)} * 16 + {digit.format(p=2 * k + 2)})"
+
+    return " + ".join(f"{byte(4 * j + m)} * {1 << (8 * m)}" for m in range(4))
+
+
+def _media_resize_oracle_sql() -> str:
+    return f"""
+WITH b AS (SELECT 'm' || printf('%08d', doc_id) AS media_id, sha256(text) AS h
+           FROM documents WHERE doc_id % 2 = 0),
+d AS (SELECT media_id,
+             1 + CAST({_hdr_word_sql(0)} AS BIGINT) % 1920 AS src_w,
+             1 + CAST({_hdr_word_sql(1)} AS BIGINT) % 1080 AS src_h
+      FROM b)
+SELECT media_id, src_w, src_h,
+       greatest(1, src_w * 64 // greatest(src_w, src_h)) AS dst_w,
+       greatest(1, src_h * 64 // greatest(src_w, src_h)) AS dst_h,
+       greatest(1, src_w * 64 // greatest(src_w, src_h))
+         * greatest(1, src_h * 64 // greatest(src_w, src_h)) * 3 AS thumb_bytes
+FROM d
+"""
+
+
+def _frame_sample_oracle_sql() -> str:
+    return f"""
+WITH b AS (SELECT 'm' || printf('%08d', doc_id) AS media_id, sha256(text) AS h
+           FROM documents WHERE doc_id % 2 = 1),
+d AS (SELECT media_id,
+             1 + CAST({_hdr_word_sql(2)} AS BIGINT) % 240 AS n_frames
+      FROM b),
+s AS (SELECT media_id, n_frames, (n_frames + {_FRAME_CAP - 1}) // {_FRAME_CAP}
+          AS stride FROM d)
+SELECT media_id, n_frames, frame_idx,
+       CAST(frame_idx * {_FRAME_MS} AS BIGINT) AS ts_ms
+FROM (SELECT media_id, n_frames,
+             CAST(unnest(range(0, n_frames, stride)) AS BIGINT) AS frame_idx
+      FROM s)
+"""
+
+
+ORACLE_SQL = {"media_features": _media_oracle_sql(),
+              "media_resize": _media_resize_oracle_sql(),
+              "frame_sample": _frame_sample_oracle_sql()}
+
+QUERIES = {"media_features": q_media_features,
+           "media_resize": q_media_resize,
+           "frame_sample": q_frame_sample}
