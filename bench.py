@@ -112,7 +112,8 @@ QUERY_NAMES = [
     "neardup_clusters", "decontaminate", "chunk_tokens", "pack_bins",
     "vocab_topk", "bm25_search", "global_shuffle", "text_normalize",
     "oov_ratio", "dup_spans", "boilerplate", "link_pagerank", "link_hits",
-    "url_patterns", "mirror_domains",
+    "url_patterns", "mirror_domains", "top_terms", "dedup_rate",
+    "gopher_rules", "regex_tokens", "embedding_quantize", "budget_select",
 ]
 
 
