@@ -208,3 +208,21 @@ def test_budget_select_prefix_and_degenerate_scores(ray_session):
     out = budget_select(rd.from_pandas(flat), budget=95).to_pandas()
     assert sorted(out["doc_id"].tolist()) == list(range(10))
     assert sorted(out["prefix_tokens"].tolist()) == [i * 10 for i in range(10)]
+
+
+def test_media_resize_and_frame_sample_invariants(ray_session):
+    """Resize: thumbnails fit 64x64 with the long side exactly 64 and
+    aspect preserved within integer rounding. Frame sample: <= 8 frames
+    per stream, indices inside the stream, constant 40ms spacing."""
+    from scraper_ray.pipelines.media import q_frame_sample, q_media_resize
+
+    rz = q_media_resize(SF).to_pandas()
+    assert len(rz) and (rz["dst_w"] <= 64).all() and (rz["dst_h"] <= 64).all()
+    assert (rz[["dst_w", "dst_h"]].max(axis=1) == 64).all()
+    assert (rz["thumb_bytes"] == rz["dst_w"] * rz["dst_h"] * 3).all()
+
+    fs = q_frame_sample(SF).to_pandas()
+    assert len(fs) and (fs["frame_idx"] < fs["n_frames"]).all()
+    per = fs.groupby("media_id").size()
+    assert (per <= 8).all()
+    assert (fs["ts_ms"] == fs["frame_idx"] * 40).all()
