@@ -210,6 +210,56 @@ def q_dedup_rate(sf_dir: str) -> rd.Dataset:
     return drop_empty_blocks(rep).map_batches(finish, batch_format="pyarrow")
 
 
+def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Dedupe a NEW document batch against an EXISTING corpus without
+    ever reshuffling the old corpus — the hourly-ingest plan when the
+    accumulated corpus is 1000x the increment.
+
+    The existing side (even doc_ids) is read once and its content
+    digests load into the crawl engine's sharded seen-set actors
+    (``state/seen.py`` — cuckoo filter + exact backing, the same state
+    that holds 10^10 URL digests at crawl scale) via batched
+    ``add_if_new`` RPCs from inside ``map_batches``; the new side (odd
+    doc_ids) probes with one batched ``contains`` RPC per shard per
+    batch. No join, no shuffle: the old corpus's only cost is one
+    linear scan at load time, amortizable across increments in a
+    persistent deployment. ``contains`` is exact (the cuckoo filter is
+    backed by an exact digest set), so the output hash-matches the SQL
+    anti-join semantics."""
+    from ..state.seen import ShardedSeen
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    seen = ShardedSeen(4, 1 << 16)
+
+    def load_existing(t: pa.Table) -> pa.Table:
+        digs = [hashlib.sha1(x.encode()).digest()
+                for i, x in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())
+                if i % 2 == 0]
+        if digs:
+            seen.add_if_new(digs)
+        return pa.table({"n": pa.array([len(digs)], pa.int64())})
+
+    # barrier: the existing side must be fully loaded before any probe
+    ds.map_batches(load_existing, batch_format="pyarrow",
+                   zero_copy_batch=True).count()
+
+    def probe_new(t: pa.Table) -> pa.Table:
+        ids = [i for i in t.column("doc_id").to_pylist() if i % 2 == 1]
+        texts = [x for i, x in zip(t.column("doc_id").to_pylist(),
+                                   t.column("text").to_pylist())
+                 if i % 2 == 1]
+        digs = [hashlib.sha1(x.encode()).digest() for x in texts]
+        dup = seen.contains(digs) if digs else []
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_dup": pa.array([int(d) for d in dup], pa.int64()),
+        })
+
+    return ds.map_batches(probe_new, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 _SPAN_K = 32       # window width (chars) — ExactSubstr-style span unit
 _SPAN_STRIDE = 16  # sampling stride; any duplicated run >= K+S-1 chars
                    # is guaranteed to contribute at least one shared window
@@ -606,6 +656,13 @@ SELECT source, lang,
        CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS dup_rate
 FROM documents GROUP BY source, lang
+""",
+    "incremental_dedup": """
+SELECT doc_id,
+       CAST(CASE WHEN text IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM documents WHERE doc_id % 2 = 1
 """,
     "dup_spans": _DUP_SPANS_SQL,
     "boilerplate": _BOILERPLATE_SQL,
@@ -1271,6 +1328,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
+    "incremental_dedup": q_incremental_dedup,
     "dup_spans": q_dup_spans,
     "boilerplate": q_boilerplate,
     "minhash_pairs": q_minhash_pairs,
