@@ -784,6 +784,88 @@ FROM (SELECT doc_id, {bucket} AS b FROM documents)
 """
 
 
+# ---------------------------------------------------------------------------
+# dsir_weights — hashed n-gram importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "zh"
+
+
+def q_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """Per-doc importance weight for target-domain data selection — the
+    hashed-n-gram importance-resampling estimator of DSIR (Xie et al.
+    2023): bucket every token by hash, fit bag-of-buckets counts for the
+    target domain (here DSIR_TARGET_LANG docs) and the raw corpus, and score
+    each document by the sum of its tokens' target/raw bucket ratios.
+    DSIR samples proportionally to exp(log-ratio sums); this uses
+    integer-scaled ratios with add-1 smoothing so the score is EXACT
+    (associative int64 sums — no float wobble under parallel reduction)
+    and the DuckDB oracle can replay it bit-for-bit. (int64 headroom:
+    (count+1)*1e6 per bucket — safe through ~1e12-token corpora.)
+
+    Two passes, both streaming: (1) per-batch bucket histograms reduced
+    by ONE tiny groupby — exactly DSIR_BUCKETS rows reach the driver,
+    never the token stream; (2) a stateless map over docs with the
+    DSIR_BUCKETS-entry weight table in the closure (a ray.put handle at
+    a real bucket count). Token hashing reuses the per-worker md5 cache
+    of the minhash kernel (vocabulary-bounded, one md5 per distinct
+    token per worker)."""
+    from .dedup import _token_hashes
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        raw = np.zeros(DSIR_BUCKETS, np.int64)
+        tgt = np.zeros(DSIR_BUCKETS, np.int64)
+        for txt, lang in zip(t.column("text").to_pylist(),
+                             t.column("lang").to_pylist()):
+            b = _token_hashes(txt.split(" ")) % DSIR_BUCKETS
+            cnt = np.bincount(b.astype(np.int64), minlength=DSIR_BUCKETS)
+            raw += cnt
+            if lang == DSIR_TARGET_LANG:
+                tgt += cnt
+        return pa.table({"bkt": pa.array(range(DSIR_BUCKETS), pa.int64()),
+                         "raw": pa.array(raw), "tgt": pa.array(tgt)})
+
+    counts = (ds.map_batches(bucket_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bkt").sum(["raw", "tgt"]).take_all())
+    w = np.zeros(DSIR_BUCKETS, np.int64)
+    for r in counts:
+        w[r["bkt"]] = ((r["sum(tgt)"] + 1) * DSIR_SCALE) // (r["sum(raw)"] + 1)
+
+    def score(t: pa.Table) -> pa.Table:
+        out = np.empty(t.num_rows, np.int64)
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            b = _token_hashes(txt.split(" ")) % DSIR_BUCKETS
+            out[i] = w[b.astype(np.int64)].sum()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score": pa.array(out)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _dsir_sql() -> str:
+    bkt = sql_hex64("tok") + f" % {DSIR_BUCKETS}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+bk AS (SELECT doc_id, lang, CAST({bkt} AS BIGINT) AS bkt FROM toks),
+raw AS (SELECT bkt, count(*) AS c FROM bk GROUP BY bkt),
+tgt AS (SELECT bkt, count(*) AS c FROM bk
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bkt),
+r AS (SELECT raw.bkt,
+             ((coalesce(tgt.c, 0) + 1) * {DSIR_SCALE}) // (raw.c + 1) AS w
+      FROM raw LEFT JOIN tgt USING (bkt))
+SELECT bk.doc_id, CAST(sum(r.w) AS BIGINT) AS score
+FROM bk JOIN r USING (bkt) GROUP BY bk.doc_id
+"""
+
+
 ORACLE_SQL = {
     "quantiles": _quantiles_sql(),
     "group_quantiles": _group_quantiles_sql(),
@@ -922,4 +1004,7 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "length_band_filter": q_length_band_filter,
     "source_mix": q_source_mix,
+    "dsir_weights": q_dsir_weights,
 }
+
+ORACLE_SQL["dsir_weights"] = _dsir_sql()

@@ -477,7 +477,88 @@ SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
 FROM pred GROUP BY lang, lang_pred
 """
 
+
+# ---------------------------------------------------------------------------
+# bpe_pairs — adjacent-token pair counts (one BPE merge iteration)
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_K = 50
+
+
+def q_bpe_pairs(sf_dir: str) -> rd.Dataset:
+    """Top-K adjacent-token pair counts over the corpus — the statistic
+    one iteration of BPE tokenizer training maximises (Sennrich et al.
+    2016: merge the most frequent symbol pair; here at word granularity,
+    the same count over an initial character vocabulary trains a real
+    tokenizer).
+
+    Fully vectorized pair construction: one ``split_pattern`` per batch,
+    adjacent pairs built by joining the flattened token array against
+    itself shifted by one (two Arrow C++ kernels), doc-boundary pairs
+    masked with a numpy cumsum over the per-doc token counts, and the
+    batch's histogram taken with ``value_counts``. The shuffle carries
+    one (pair, n) row per distinct pair per batch — never the token
+    stream — and a partial top-K per block bounds the final
+    single-group rank to K * n_blocks rows, exactly the bounded
+    three-stage plan of ``stats._vocab_topk_ds``."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ls = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(ls)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n), " ")
+        # a pair (i, i+1) is invalid when i+1 starts a new doc
+        starts = np.cumsum(lens[:-1])
+        mask = np.ones(n - 1, dtype=bool)
+        mask[starts[(starts > 0) & (starts < n)] - 1] = False
+        vc = pc.value_counts(pairs.filter(pa.array(mask)))
+        if len(vc) == 0:
+            return empty
+        return pa.table({"pair": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("pair").sum("n"))
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        out = pa.table({"pair": t.column("pair"),
+                        "n": pc.cast(t.column("sum(n)"), pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                                ("pair", "ascending")])
+        t2 = out.take(order[: min(_BPE_PAIRS_K, out.num_rows)])
+        return t2.append_column("g", pa.array([0] * t2.num_rows, pa.int8()))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["n", "pair"], ascending=[False, True])
+                .head(_BPE_PAIRS_K)[["pair", "n"]])
+
+    return (agg.map_batches(partial_top, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+ORACLE_SQL["bpe_pairs"] = f"""
+WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+p AS (SELECT l[i] || ' ' || l[i + 1] AS pair
+      FROM d, UNNEST(range(1, len(l))) AS t(i))
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_PAIRS_K}
+"""
+
 QUERIES = {
+    "bpe_pairs": q_bpe_pairs,
     "token_count": q_token_count,
     "regex_tokens": q_regex_tokens,
     "doc_stats": q_doc_stats,
