@@ -554,6 +554,91 @@ FROM hits
 """
 
 
+# ---------------------------------------------------------------------------
+# knn_graph — per-vector top-k neighbor graph over LSH candidates
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def q_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
+    """Per-vector top-k cosine neighbor graph — the kNN graph behind
+    SemDeDup-style pruning, graph-based diversification, and
+    label-propagation curation. Built from the SAME banded sign-LSH
+    candidate machinery as ``dedup.q_embedding_neardup`` with the
+    similarity floor removed (every in-bucket candidate pair competes):
+    a vector's neighbor pool is its bucket-mates across the 8 bands —
+    the standard LSH-kNN recall trade, exact within candidates, never
+    all-pairs.
+
+    One wide shuffle total (the (band, bucket) groupby inside the pair
+    search); the symmetrize + rank tail is the ``keep_max_by``
+    discipline — per-block partial top-k (Arrow sort + pandas
+    groupby.head, both C), ONE keyed repartition to co-locate each
+    vec_id's survivors, and the same vectorized pass finishes with a
+    cumcount rank. No per-group Python dispatch. Ranking orders on the
+    ROUNDED cosine (4 dp — the value the DuckDB oracle reproduces
+    bit-for-bit) with neighbor-id tie-break, so ranks are deterministic
+    across engines."""
+    import pandas as pd
+    from ray.data.context import ShuffleStrategy
+
+    from .common import drop_empty_blocks, strip_schema_metadata
+    from .dedup import q_embedding_neardup
+
+    pairs = q_embedding_neardup(sf_dir, threshold=-1.0)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("vec_a").combine_chunks()
+        b = t.column("vec_b").combine_chunks()
+        c = t.column("cosine").combine_chunks()
+        return pa.table({"vec_id": pa.chunked_array([a, b]),
+                         "neighbor": pa.chunked_array([b, a]),
+                         "cosine": pa.chunked_array([c, c])})
+
+    def topk_pass(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["vec_id", "cosine", "neighbor"],
+                            ascending=[True, False, True], kind="mergesort")
+        # Arrow out, metadata stripped: pandas blocks entering the keyed
+        # repartition disable the shuffle's schema-dedup fast path
+        return strip_schema_metadata(pa.Table.from_pandas(
+            df.groupby("vec_id", sort=False).head(k), preserve_index=False))
+
+    partial = drop_empty_blocks(
+        pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(topk_pass, batch_format="pandas"))
+    partial.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    co = drop_empty_blocks(partial.repartition(8, keys=["vec_id"]))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["vec_id", "cosine", "neighbor"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("vec_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("vec_id", sort=False).cumcount() + 1
+        return df[["vec_id", "neighbor", "rank", "cosine"]]
+
+    return co.map_batches(final, batch_format="pandas")
+
+
+def knn_graph_oracle_sql() -> str:
+    from .dedup import _embedding_neardup_oracle_sql
+
+    inner = _embedding_neardup_oracle_sql(threshold=-1.0)
+    return f"""
+WITH pairs AS (SELECT * FROM ({inner})),
+sym AS (
+  SELECT vec_a AS vec_id, vec_b AS neighbor, cosine FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS neighbor, cosine FROM pairs)
+SELECT vec_id, neighbor,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, neighbor) AS BIGINT)
+         AS "rank",
+       cosine
+FROM sym QUALIFY "rank" <= {KNN_K}
+"""
+
+
 ORACLE_SQL = {
     "ann_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -585,7 +670,10 @@ FROM s
 """,
 }
 
+ORACLE_SQL["knn_graph"] = knn_graph_oracle_sql()
+
 QUERIES = {
+    "knn_graph": q_knn_graph,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
