@@ -153,6 +153,112 @@ def q_corpus_neardedup(sf_dir: str) -> rd.Dataset:
     return with_sizes.map_batches(project, batch_format="pyarrow")
 
 
+def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide paragraph dedup with doc rewrite — the CCNet move
+    (Wenzek et al. 2020: drop duplicated paragraphs across the whole
+    crawl, keeping one occurrence) over this engine's natural paragraph
+    unit, the text span of the interleaved crawl payload. Boilerplate
+    (nav bars, footers, shared headers) repeats across pages; the FIRST
+    occurrence in global (doc_id, offset) order survives, every other
+    copy is cut from its document.
+
+    Plan (two shuffles, nothing driver-side): flat-map docs to
+    (doc_id, offset, text) paragraph rows; md5-key them; ONE groupby
+    picks each hash's winner occurrence (Min over the sortable
+    'doc_id:offset' key — a pure aggregate, no per-group dispatch); ONE
+    hash join flags every occurrence against its winner; a keyed
+    repartition co-locates each doc's survivors and a vectorized batch
+    pass reassembles the rewritten text in offset order. Output per
+    doc: paragraph counts before/after and the rewritten text (empty
+    when every paragraph was someone else's boilerplate)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+    from ray.data.context import ShuffleStrategy
+
+    from .common import drop_empty_blocks, strip_schema_metadata
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir).select_columns(["doc_id", "spans"])
+
+    def pars(t: pa.Table) -> pa.Table:
+        ids, offs, texts, hs, ks = [], [], [], [], []
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            for s in spans:
+                if s["kind"] != "text":
+                    continue
+                ids.append(did)
+                offs.append(s["offset"])
+                texts.append(s["text"])
+                hs.append(hashlib.md5(s["text"].encode()).hexdigest())
+                ks.append(f"{did}:{s['offset']:08d}")
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "offset": pa.array(offs, pa.int64()),
+                         "text": pa.array(texts, pa.string()),
+                         "h": pa.array(hs, pa.string()),
+                         "k": pa.array(ks, pa.string())})
+
+    keyed = drop_empty_blocks(
+        docs.map_batches(pars, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()  # feeds both the winner groupby and the join
+    winners = drop_empty_blocks(
+        keyed.groupby("h").aggregate(Min("k", alias_name="wk")))
+    flagged = keyed.join(winners, join_type="inner", num_partitions=8,
+                         on=("h",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        kept = pc.equal(t.column("k"), t.column("wk"))
+        return strip_schema_metadata(
+            pa.table({"doc_id": t.column("doc_id"),
+                      "offset": t.column("offset"),
+                      "text": t.column("text"),
+                      "kept": kept}))
+
+    rows = drop_empty_blocks(
+        flagged.map_batches(flag, batch_format="pyarrow"))
+    rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    co = drop_empty_blocks(rows.repartition(8, keys=["doc_id"]))
+
+    def rebuild(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["doc_id", "offset"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        n_pars = g.size()
+        n_kept = g["kept"].sum().astype("int64")
+        kept_txt = (df[df["kept"]].groupby("doc_id", sort=False)["text"]
+                    .agg(" ".join).reindex(n_pars.index, fill_value=""))
+        return pa.table({
+            "doc_id": pa.array(n_pars.index, pa.string()),
+            "n_pars": pa.array(n_pars.to_numpy(), pa.int64()),
+            "n_kept": pa.array(n_kept.to_numpy(), pa.int64()),
+            "text": pa.array(kept_txt.to_numpy(), pa.string())})
+
+    return co.map_batches(rebuild, batch_format="pandas")
+
+
+def _paragraph_dedup_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_SPANS_PATH
+
+    return f"""
+WITH spans AS (SELECT * FROM read_parquet('{ORACLE_SPANS_PATH}')),
+pars AS (SELECT doc_id, "offset", text FROM spans WHERE kind = 'text'),
+keyed AS (
+  SELECT doc_id, "offset", text, md5(text) AS h,
+         doc_id || ':' || lpad(CAST("offset" AS VARCHAR), 8, '0') AS k
+  FROM pars),
+winners AS (SELECT h, min(k) AS wk FROM keyed GROUP BY h),
+flagged AS (
+  SELECT keyed.doc_id, keyed."offset", keyed.text,
+         (keyed.k = winners.wk) AS kept
+  FROM keyed JOIN winners USING (h))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pars,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(list(text ORDER BY "offset") FILTER (kept),
+                                ' '), '') AS text
+FROM flagged GROUP BY doc_id
+"""
+
+
 def _corpus_oracle_sql() -> str:
     from .crawl_queries import ORACLE_SPANS_PATH
 
@@ -245,7 +351,9 @@ WHERE cl.doc_id IS NULL OR cl.cluster_id = c.doc_id
 
 
 ORACLE_SQL = {"corpus_build": _corpus_oracle_sql(),
-              "corpus_neardedup": _corpus_neardedup_oracle_sql()}
+              "corpus_neardedup": _corpus_neardedup_oracle_sql(),
+              "paragraph_dedup": _paragraph_dedup_oracle_sql()}
 
 QUERIES = {"corpus_build": q_corpus_build,
-           "corpus_neardedup": q_corpus_neardedup}
+           "corpus_neardedup": q_corpus_neardedup,
+           "paragraph_dedup": q_paragraph_dedup}

@@ -226,3 +226,74 @@ def test_media_resize_and_frame_sample_invariants(ray_session):
     per = fs.groupby("media_id").size()
     assert (per <= 8).all()
     assert (fs["ts_ms"] == fs["frame_idx"] * 40).all()
+
+
+def test_bpe_pairs_counts_match_naive(ray_session):
+    from collections import Counter
+
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.text import _BPE_PAIRS_K, q_bpe_pairs
+
+    got = q_bpe_pairs(SF).to_pandas()
+    docs = read_sf_table(SF, "documents", ["text"]).to_pandas()
+    naive: Counter = Counter()
+    for txt in docs["text"]:
+        toks = txt.split(" ")
+        naive.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_PAIRS_K]
+    assert list(zip(got["pair"], got["n"])) == want
+
+
+def test_dsir_weights_favor_target_language(ray_session):
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.stats import DSIR_TARGET_LANG, q_dsir_weights
+
+    scores = q_dsir_weights(SF).to_pandas()
+    docs = read_sf_table(SF, "documents",
+                         ["doc_id", "lang", "text"]).to_pandas()
+    m = scores.merge(docs, on="doc_id")
+    assert (m["score"] > 0).all()
+    # the estimator's whole point: target-language docs score higher
+    # PER TOKEN on average than the rest of the corpus (total score
+    # scales with doc length, so normalize before comparing)
+    per_tok = m["score"] / m["text"].str.split(" ").str.len()
+    tgt = per_tok[m["lang"] == DSIR_TARGET_LANG].mean()
+    rest = per_tok[m["lang"] != DSIR_TARGET_LANG].mean()
+    assert tgt > rest
+
+
+def test_knn_graph_ranks_dense_and_symmetric_candidates(ray_session):
+    from scraper_ray.pipelines.ann import KNN_K, q_knn_graph
+
+    g = q_knn_graph(SF).to_pandas()
+    assert not (g["vec_id"] == g["neighbor"]).any()
+    for _, grp in g.groupby("vec_id"):
+        ranks = sorted(grp["rank"].tolist())
+        assert ranks == list(range(1, len(grp) + 1))   # dense 1..n
+        assert len(grp) <= KNN_K
+        # ranks follow (cosine desc, neighbor asc)
+        ordered = grp.sort_values("rank")
+        key = list(zip(-ordered["cosine"], ordered["neighbor"]))
+        assert key == sorted(key)
+    # candidate symmetry: if b is a's neighbor, the pair was scored both
+    # ways, so a appears among b's candidates unless pushed out by rank
+    pairs = set(zip(g["vec_id"], g["neighbor"]))
+    back = sum((b, a) in pairs for a, b in pairs)
+    assert back > 0
+
+
+def test_paragraph_dedup_rewrites_only_duplicates(ray_session):
+    from scraper_ray.pipelines.corpus import q_paragraph_dedup
+
+    out = q_paragraph_dedup(SF).to_pandas()
+    assert (out["n_kept"] <= out["n_pars"]).all()
+    assert (out["n_kept"] >= 0).all()
+    # rewritten text token/paragraph arithmetic: empty text iff nothing kept
+    empty = out["text"] == ""
+    assert (empty == (out["n_kept"] == 0)).all()
+    # some boilerplate must exist in a synthetic web with shared headers
+    assert (out["n_kept"] < out["n_pars"]).any()
+    # a kept-everything doc's text is its paragraphs joined by one space
+    full = out[out["n_kept"] == out["n_pars"]]
+    if len(full):
+        assert (full["text"].str.len() > 0).all()
