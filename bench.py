@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "oov_ratio", "dup_spans", "boilerplate", "link_pagerank", "link_hits",
     "url_patterns", "mirror_domains", "top_terms", "dedup_rate",
     "gopher_rules", "regex_tokens", "embedding_quantize", "budget_select",
+    "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
 ]
 
 
