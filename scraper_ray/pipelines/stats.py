@@ -705,6 +705,90 @@ def q_source_mix(sf_dir: str) -> rd.Dataset:
 # length_band_filter
 # ---------------------------------------------------------------------------
 
+PPLX_LEVELS = (0.33, 0.67)  # tercile edges, exact decimal literals
+
+
+def q_perplexity_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020 §4.3):
+    per-LANGUAGE tercile thresholds of a fluency score, each doc labeled
+    by which band it falls in — the curation split that keeps 'head'
+    for training and drops or down-samples 'tail'. The score here is an
+    integer perplexity surrogate (chars per whitespace token, in
+    milli-units: associative, no float wobble); a real deployment swaps
+    in a KenLM score column with the identical plan.
+
+    Two phases, both scale-free: (1) per-batch Arrow (lang, score)
+    value counts -> one groupby-sum shuffle bounded by |langs| x the
+    score's value domain (never by doc count) -> per-lang quantile_disc
+    rank pick on the driver (a handful of rows); (2) a streaming
+    vectorized map with the |langs|-entry threshold table in the
+    closure. Same topology as q_length_band_filter, keyed."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+
+    def score_cols(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        s = pc.divide(pc.multiply(t.column("n_chars"), 1000),
+                      pc.cast(n_tok, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "score": pc.cast(s, pa.int64())})
+
+    scored = docs.map_batches(score_cols, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t.column("lang"), "value": t.column("score")})
+             .group_by(["lang", "value"]).aggregate([("value", "count")]))
+        return pa.table({"lang": g.column("lang"),
+                         "value": g.column("value"),
+                         "n": pc.cast(g.column("value_count"), pa.int64())})
+
+    hist = (scored.map_batches(partial_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["lang", "value"]).sum("n").to_pandas())
+
+    edges: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("value").reset_index(drop=True)
+        cum = g["sum(n)"].cumsum()
+        n = int(cum.iloc[-1])
+        picks = []
+        for q in PPLX_LEVELS:  # quantile_disc rank = ceil(q*n), 1-based
+            rank = max(1, math.ceil(q * n))
+            picks.append(int(g["value"].iloc[int((cum >= rank).idxmax())]))
+        edges[str(lang)] = (picks[0], picks[1])
+
+    def label(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        s = t.column("score").to_numpy()
+        t1 = np.fromiter((edges[x][0] for x in langs), np.int64, len(langs))
+        t2 = np.fromiter((edges[x][1] for x in langs), np.int64, len(langs))
+        bucket = np.where(s <= t1, "head", np.where(s <= t2, "middle",
+                                                    "tail"))
+        return t.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _pplx_sql() -> str:
+    qd = ", ".join(
+        f"quantile_disc(s, {q}) AS t{i + 1}"
+        for i, q in enumerate(PPLX_LEVELS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         (n_chars * 1000) // len(string_split(text, ' ')) AS s
+  FROM documents),
+t AS (SELECT lang, {qd} FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.s AS BIGINT) AS score,
+       CASE WHEN d.s <= t.t1 THEN 'head'
+            WHEN d.s <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN t USING (lang)
+"""
+
+
 def q_length_band_filter(sf_dir: str) -> rd.Dataset:
     """Percentile-band outlier trim: keep docs whose char length lies in
     the global [p5, p95] band — the two-phase filter shape (aggregate a
@@ -1005,6 +1089,8 @@ QUERIES = {
     "length_band_filter": q_length_band_filter,
     "source_mix": q_source_mix,
     "dsir_weights": q_dsir_weights,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 ORACLE_SQL["dsir_weights"] = _dsir_sql()
+ORACLE_SQL["perplexity_buckets"] = _pplx_sql()

@@ -319,6 +319,78 @@ def q_text_normalize(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------------------
+# quality_classifier — fastText-style linear model inference
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 4096
+_CLF_WEIGHT_MOD = 2001  # weights span [-1000, 1000]
+
+
+class QualityClassifier:
+    """Batched linear-classifier inference — the fastText-shaped quality
+    gate (Joulin et al. 2016; the CCNet/LLaMA 'looks like a reference
+    page' filter): tokens hash into CLF_BUCKETS buckets, the model is one
+    weight per bucket, a doc's logit is the sum of its tokens' weights.
+
+    This is the model-scoring actor-pool pattern: the weight table is
+    "loaded" ONCE per actor in ``__init__`` (here derived
+    deterministically from md5 so the run is hermetic and the DuckDB
+    oracle can replay it — a real deployment would read a .bin from
+    shared storage instead), and ``__call__`` scores a whole Arrow batch
+    vectorized. Integer weights make the logit an associative int64 sum:
+    exact under any parallelism, hash-comparable against SQL. Pure map —
+    no shuffle at any scale. Reference seam: handlers/scrapers.py's
+    per-session state lives the same way (SURVEY §2.3 T3)."""
+
+    def __init__(self) -> None:
+        from .dedup import _token_hashes
+        self._token_hashes = _token_hashes
+        # one md5 per bucket, once per actor — never per batch
+        w = _token_hashes([str(b) for b in range(CLF_BUCKETS)])
+        import numpy as np
+        self._w = (w % _CLF_WEIGHT_MOD).astype(np.int64) - 1000
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        w, th = self._w, self._token_hashes
+        out = np.empty(t.num_rows, np.int64)
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            b = th(txt.split(" ")) % CLF_BUCKETS
+            out[i] = w[b.astype(np.int64)].sum()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "logit": pa.array(out),
+            "keep_flag": pa.array((out > 0).astype("int64"), pa.int64()),
+        })
+
+
+def q_quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Score every doc with the hashed-bag-of-words linear classifier —
+    actor pool so the weight table builds once per actor, not per
+    batch."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityClassifier, concurrency=(1, 4),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _clf_sql() -> str:
+    from .common import sql_hex64
+    bkt = f"{sql_hex64('tok')} % {CLF_BUCKETS}"
+    wgt = (f"{sql_hex64('CAST(bkt AS VARCHAR)')} % {_CLF_WEIGHT_MOD} "
+           "- 1000")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+bk AS (SELECT doc_id, CAST({bkt} AS BIGINT) AS bkt FROM toks),
+w AS (SELECT bkt, CAST({wgt} AS BIGINT) AS w
+      FROM (SELECT DISTINCT bkt FROM bk))
+SELECT bk.doc_id, CAST(sum(w.w) AS BIGINT) AS logit,
+       CAST(CAST(sum(w.w) > 0 AS INTEGER) AS BIGINT) AS keep_flag
+FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id
+"""
+
+
 ORACLE_SQL = {
     "text_normalize": """
 SELECT doc_id, norm AS norm_text, CAST(length(norm) AS BIGINT) AS n_chars
@@ -557,8 +629,11 @@ SELECT pair, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_PAIRS_K}
 """
 
+ORACLE_SQL["quality_classifier"] = _clf_sql()
+
 QUERIES = {
     "bpe_pairs": q_bpe_pairs,
+    "quality_classifier": q_quality_classifier,
     "token_count": q_token_count,
     "regex_tokens": q_regex_tokens,
     "doc_stats": q_doc_stats,

@@ -297,3 +297,43 @@ def test_paragraph_dedup_rewrites_only_duplicates(ray_session):
     full = out[out["n_kept"] == out["n_pars"]]
     if len(full):
         assert (full["text"].str.len() > 0).all()
+
+
+def test_quality_classifier_matches_naive_recount(ray_session):
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.dedup import _hash64
+    from scraper_ray.pipelines.text import (CLF_BUCKETS, _CLF_WEIGHT_MOD,
+                                            q_quality_classifier)
+
+    out = q_quality_classifier(SF).to_pandas().set_index("doc_id")
+    docs = read_sf_table(SF, "documents", ["doc_id", "text"]).to_pandas()
+    assert len(out) == len(docs)
+    # keep_flag is exactly sign(logit)
+    assert (out["keep_flag"] == (out["logit"] > 0).astype(int)).all()
+    # naive per-token recompute on a sample agrees with the actor pool
+    for r in docs.head(25).itertuples():
+        logit = sum(
+            _hash64(str(_hash64(tok) % CLF_BUCKETS)) % _CLF_WEIGHT_MOD - 1000
+            for tok in r.text.split(" "))
+        assert int(out.loc[r.doc_id, "logit"]) == logit
+
+
+def test_perplexity_buckets_band_order_and_coverage(ray_session):
+    from scraper_ray.pipelines.stats import q_perplexity_buckets
+
+    df = q_perplexity_buckets(SF).to_pandas()
+    assert df["doc_id"].is_unique
+    assert set(df["bucket"].unique()) <= {"head", "middle", "tail"}
+    for _, g in df.groupby("lang"):
+        # band boundaries are value-ordered within every language
+        h = g.loc[g["bucket"] == "head", "score"]
+        m = g.loc[g["bucket"] == "middle", "score"]
+        t = g.loc[g["bucket"] == "tail", "score"]
+        if len(h) and len(m):
+            assert h.max() < m.min()
+        if len(m) and len(t):
+            assert m.max() < t.min()
+        # head holds at least the quantile_disc tercile mass
+        assert len(h) >= 1
+        if len(g) >= 3:
+            assert len(h) >= 0.33 * len(g) - 1
