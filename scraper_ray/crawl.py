@@ -292,21 +292,26 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         # skew rebalancing happens at emission: shards pre-split their
         # wave into ≤batch_size chunks (one block per ref), so a heavy
         # domain's rows spread over the pool with no repartition barrier
+        # batch_size=None: one emitted chunk == one block == one task
+        # batch. The scheduler pool already balanced chunk sizes against
+        # the global wave and the core count; letting map_batches
+        # re-bundle toward a row target would pair trailing slivers with
+        # full chunks into double-length straggler tasks.
         ds = rd.from_arrow_refs(refs)
         if ccfg.fetch_concurrency is None:
             ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
-                                batch_size=ccfg.batch_size, zero_copy_batch=True)
+                                batch_size=None, zero_copy_batch=True)
         else:
             ds = ds.map_batches(
                 fetch_cls,
                 fn_constructor_kwargs=fetch_kwargs,
                 batch_format="pyarrow",
-                batch_size=ccfg.batch_size,
+                batch_size=None,
                 concurrency=ccfg.fetch_concurrency,
                 zero_copy_batch=True,
             )
         ds = ds.map_batches(discover_fn, batch_format="pyarrow",
-                            batch_size=ccfg.batch_size, zero_copy_batch=True)
+                            batch_size=None, zero_copy_batch=True)
         from .sources.io import write_dataset
 
         wave_dir = os.path.join(ccfg.out_dir, f"wave={wave:05d}")

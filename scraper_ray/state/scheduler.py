@@ -460,6 +460,24 @@ class SchedulerShard:
         for off in range(0, tbl.num_rows, chunk_rows):
             yield tbl.slice(off, chunk_rows)
 
+    def prepare_wave(self, wave: int, min_depth: int | None = None) -> int:
+        """Phase 1 of balanced emission: compute the wave (budgets,
+        ordering, store mutation — everything ``next_wave`` does) but
+        hold the table; return its row count so the pool can size chunks
+        against the GLOBAL wave before anything ships."""
+        self._prepared = self.next_wave(wave, min_depth)
+        return self._prepared.num_rows
+
+    def emit_prepared(self, chunk_rows: int):
+        """Phase 2: stream the held wave as equal ~chunk_rows slices.
+        The pool picks chunk_rows per shard so the wave's total task
+        count lands on a multiple of the cluster's cores — no
+        half-empty final scheduling round, no oversized trailing chunk
+        (the two straggler shapes fixed-size slicing produces)."""
+        tbl, self._prepared = self._prepared, None
+        for off in range(0, tbl.num_rows, chunk_rows):
+            yield tbl.slice(off, chunk_rows)
+
     def last_emit_count(self) -> int:
         return self.last_emit
 
@@ -529,6 +547,13 @@ def shard_of_domain(domain: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.sha1(domain.encode()).digest()[:4], "big") % n_shards
 
 
+# floor on balanced-emission chunk rows: below this, per-task overhead
+# (dispatch + the discover stage's admission RPC round) outweighs the
+# parallelism gained — measured ~18 ms/task at 32 cpus, so a 256-row
+# chunk of ~1.4 ms/page fetch work stays >90% useful
+_MIN_CHUNK = 256
+
+
 class SchedulerPool:
     """Serializable client over the scheduler shards."""
 
@@ -585,6 +610,8 @@ class SchedulerPool:
         rows: shards stream their wave pre-split, so the Dataset built
         from the refs is already balanced (no repartition barrier) and
         empty shards contribute no empty blocks."""
+        import math
+
         min_depth = None
         if self.level_sync == "global":
             depths = [d for d in ray.get([a.min_depth.remote() for a in self.actors])
@@ -592,14 +619,41 @@ class SchedulerPool:
             if not depths:
                 return [], 0
             min_depth = min(depths)
-        gens = [a.next_wave_chunks.remote(wave, min_depth, chunk_rows)
-                for a in self.actors]
-        refs = [ref for g in gens for ref in g]
-        counts = ray.get([a.last_emit_count.remote() for a in self.actors])
+        # two-phase balanced emission: shards compute their wave and
+        # report sizes, THEN the pool sizes chunks against the global
+        # wave. Task quantum is the straggler lever — a wave sliced into
+        # ceil(rows/2048) uneven chunks leaves the last scheduling round
+        # mostly idle and lets the map-batch bundler pair a trailing
+        # sliver with a full chunk into a double-length task; instead the
+        # task count is rounded UP to a multiple of the cluster's cores
+        # (equal slices, every round full) whenever the wave is large
+        # enough that per-task overhead stays amortized.
+        sizes = [int(s) for s in ray.get(
+            [a.prepare_wave.remote(wave, min_depth) for a in self.actors])]
+        total = sum(sizes)
         # per-shard contributions of the wave just emitted — the lineage
         # record for the wave's output partition (read via last_emit_counts)
-        self._last_emit_counts = [int(c) for c in counts]
-        return refs, int(sum(counts))
+        self._last_emit_counts = sizes
+        if total == 0:
+            # release the held (empty) tables
+            for a in self.actors:
+                a.emit_prepared.remote(1)
+            return [], 0
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+        tasks = math.ceil(total / chunk_rows)
+        if tasks >= cpus:
+            tasks = cpus * math.ceil(tasks / cpus)
+        else:
+            # small wave: fan out to the cores only while chunks stay
+            # big enough (>= _MIN_CHUNK rows) to amortize task overhead
+            tasks = min(cpus, math.ceil(total / _MIN_CHUNK)) or 1
+        gens = []
+        for a, size in zip(self.actors, sizes):
+            n_chunks = max(1, round(tasks * size / total)) if size else 1
+            gens.append(a.emit_prepared.remote(
+                max(1, math.ceil(size / n_chunks))))
+        refs = [ref for g in gens for ref in g]
+        return refs, total
 
     def last_emit_counts(self) -> list[int]:
         """Rows each scheduler shard contributed to the latest wave."""
