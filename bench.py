@@ -119,7 +119,7 @@ QUERY_NAMES = [
     "url_patterns", "mirror_domains", "top_terms", "dedup_rate",
     "gopher_rules", "regex_tokens", "embedding_quantize", "budget_select",
     "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
-    "quality_classifier", "perplexity_buckets",
+    "quality_classifier", "perplexity_buckets", "media_dedup",
 ]
 
 

@@ -235,6 +235,92 @@ def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
     return co.map_batches(rebuild, batch_format="pandas")
 
 
+def q_media_dedup(sf_dir: str) -> rd.Dataset:
+    """Asset-level dedup over the interleaved payload's MEDIA side — the
+    'store each image once' pass (Common Crawl-style asset dedup; the
+    same shared-boilerplate logos/sprites that paragraph dedup cuts on
+    the text side repeat as media refs across pages). Per distinct
+    media_ref: total span occurrences, distinct referencing docs, and
+    the canonical keeper = the globally first (doc_id, offset)
+    occurrence — the row a binary-asset sink would key its single copy
+    on.
+
+    Plan: per-batch combiner emits one row per (media_ref, doc) with
+    its local occurrence count and min sortable key (docs never split
+    across batches, so these partials are globally disjoint), then ONE
+    groupby does Sum/Min/Count — no per-group dispatch, shuffle bounded
+    by distinct (asset, doc) pairs, never span rows."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .common import drop_empty_blocks
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir).select_columns(["doc_id", "spans"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], list] = {}
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                k = f"{did}|{s['offset']:010d}"
+                cur = agg.get((s["media_ref"], did))
+                if cur is None:
+                    agg[(s["media_ref"], did)] = [1, k]
+                else:
+                    cur[0] += 1
+                    if k < cur[1]:
+                        cur[1] = k
+        keys = list(agg)
+        return pa.table({
+            "media_ref": pa.array([r for r, _ in keys], pa.string()),
+            "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "k": pa.array([agg[k][1] for k in keys], pa.string())})
+
+    pairs = drop_empty_blocks(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    agg = pairs.groupby("media_ref").aggregate(
+        Sum("n", alias_name="n_refs"),
+        Count(alias_name="n_docs"),
+        Min("k", alias_name="wk"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        wk = t.column("wk")
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "n_refs": t.column("n_refs"),
+            "n_docs": t.column("n_docs"),
+            "keep_doc": pc.utf8_slice_codeunits(wk, 0, 40),
+            "keep_offset": pc.cast(pc.utf8_slice_codeunits(wk, 41, 51),
+                                   pa.int64())})
+
+    return drop_empty_blocks(agg).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_dedup_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_SPANS_PATH
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, media_ref, "offset"
+  FROM read_parquet('{ORACLE_SPANS_PATH}') WHERE kind = 'media'),
+agg AS (
+  SELECT media_ref,
+         CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         min(doc_id || '|' ||
+             lpad(CAST("offset" AS VARCHAR), 10, '0')) AS wk
+  FROM m GROUP BY media_ref)
+SELECT media_ref, n_refs, n_docs,
+       split_part(wk, '|', 1) AS keep_doc,
+       CAST(split_part(wk, '|', 2) AS BIGINT) AS keep_offset
+FROM agg
+"""
+
+
 def _paragraph_dedup_oracle_sql() -> str:
     from .crawl_queries import ORACLE_SPANS_PATH
 
@@ -352,8 +438,10 @@ WHERE cl.doc_id IS NULL OR cl.cluster_id = c.doc_id
 
 ORACLE_SQL = {"corpus_build": _corpus_oracle_sql(),
               "corpus_neardedup": _corpus_neardedup_oracle_sql(),
-              "paragraph_dedup": _paragraph_dedup_oracle_sql()}
+              "paragraph_dedup": _paragraph_dedup_oracle_sql(),
+              "media_dedup": _media_dedup_oracle_sql()}
 
 QUERIES = {"corpus_build": q_corpus_build,
            "corpus_neardedup": q_corpus_neardedup,
-           "paragraph_dedup": q_paragraph_dedup}
+           "paragraph_dedup": q_paragraph_dedup,
+           "media_dedup": q_media_dedup}

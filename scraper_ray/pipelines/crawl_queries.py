@@ -736,7 +736,8 @@ PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "span_stats", "domain_stats",
     "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
-    "corpus_neardedup", "paragraph_dedup", "semdedup", "robots_rules",
+    "corpus_neardedup", "paragraph_dedup", "media_dedup", "semdedup",
+    "robots_rules",
     "link_pagerank",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
     "link_hits", "url_patterns", "mirror_domains",

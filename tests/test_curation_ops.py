@@ -337,3 +337,30 @@ def test_perplexity_buckets_band_order_and_coverage(ray_session):
         assert len(h) >= 1
         if len(g) >= 3:
             assert len(h) >= 0.33 * len(g) - 1
+
+
+def test_media_dedup_keeper_is_first_occurrence(ray_session):
+    from scraper_ray.pipelines.corpus import q_media_dedup
+    from scraper_ray.pipelines.crawl_queries import _run_crawl
+
+    out = q_media_dedup(SF).to_pandas()
+    assert out["media_ref"].is_unique
+    assert (out["n_refs"] >= out["n_docs"]).all()
+    assert (out["n_docs"] >= 1).all()
+    # keeper must be the globally-minimal (doc_id, offset) occurrence
+    spans = _run_crawl(SF).select_columns(["doc_id", "spans"]).to_pandas()
+    first: dict[str, tuple] = {}
+    n_occ: dict[str, int] = {}
+    for r in spans.itertuples():
+        for s in r.spans:
+            if s["kind"] != "media":
+                continue
+            key = (r.doc_id, s["offset"])
+            ref = s["media_ref"]
+            n_occ[ref] = n_occ.get(ref, 0) + 1
+            if ref not in first or key < first[ref]:
+                first[ref] = key
+    assert len(out) == len(first)
+    for r in out.itertuples():
+        assert (r.keep_doc, r.keep_offset) == first[r.media_ref]
+        assert r.n_refs == n_occ[r.media_ref]
