@@ -353,11 +353,23 @@ class QualityClassifier:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
-        w, th = self._w, self._token_hashes
-        out = np.empty(t.num_rows, np.int64)
-        for i, txt in enumerate(t.column("text").to_pylist()):
-            b = th(txt.split(" ")) % CLF_BUCKETS
-            out[i] = w[b.astype(np.int64)].sum()
+        if t.num_rows == 0:
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "logit": pa.array([], pa.int64()),
+                             "keep_flag": pa.array([], pa.int64())})
+        # one Arrow split over the batch, one hash pass over the flat
+        # token stream (md5 cached per distinct token per worker), one
+        # segmented reduce over doc boundaries — no per-doc Python loop.
+        # split_pattern never yields an empty list (''.split -> ['']),
+        # so every reduceat segment is non-empty.
+        toks = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks).to_pylist()
+        vals = self._w[(self._token_hashes(flat)
+                        % CLF_BUCKETS).astype(np.int64)]
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.add.reduceat(vals, starts)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "logit": pa.array(out),
