@@ -95,3 +95,35 @@ def test_scheduler_snapshot_restore():
         r2, _ = pool2.next_wave_refs(0)
         t2 = pa.concat_tables(ray.get(r2))
         assert t1.sort_by("url").equals(t2.sort_by("url"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_balanced_emission_aligns_tasks_to_cores():
+    import math
+
+    import ray
+
+    from scraper_ray.state.scheduler import _MIN_CHUNK, SchedulerPool
+
+    pol = PolitenessConfig(wave_units=100_000)
+    pool = SchedulerPool(pol, n_shards=2)
+    urls = [f"http://www.d{i % 7}.test/item/{i}/" for i in range(9000)]
+    pool.offer(_front(urls))
+    chunk_rows = 512
+    refs, n = pool.next_wave_refs(0, chunk_rows=chunk_rows)
+    tables = ray.get(refs)
+    assert sum(t.num_rows for t in tables) == n == 9000
+    cpus = int(ray.cluster_resources()["CPU"])
+    # large wave: task count lands on a multiple of the cluster's cores
+    # (per-shard rounding can add at most one chunk per shard)
+    want = cpus * math.ceil(math.ceil(n / chunk_rows) / cpus)
+    assert want <= len(tables) <= want + pool.n_shards
+    # chunks are balanced: no chunk more than 2x the mean, all <= cap
+    mean = n / len(tables)
+    assert max(t.num_rows for t in tables) <= min(2 * mean, chunk_rows)
+    # tiny wave: no fan-out below the per-task overhead floor
+    pool2 = SchedulerPool(pol, n_shards=2)
+    pool2.offer(_front([f"http://www.e.test/item/{i}/" for i in range(40)]))
+    refs2, n2 = pool2.next_wave_refs(0, chunk_rows=chunk_rows)
+    assert n2 == 40
+    assert len(ray.get(refs2)) <= math.ceil(40 / _MIN_CHUNK) + 1
