@@ -380,9 +380,14 @@ class QualityClassifier:
 def q_quality_classifier(sf_dir: str) -> rd.Dataset:
     """Score every doc with the hashed-bag-of-words linear classifier —
     actor pool so the weight table builds once per actor, not per
-    batch."""
+    batch. Pool size derives from the cluster (an inference stage is
+    CPU-bound here; a real model swaps in num_gpus per actor), elastic
+    from 1 so a small tier doesn't hold idle actors."""
+    import ray
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityClassifier, concurrency=(1, 4),
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ds.map_batches(QualityClassifier, concurrency=(1, max(4, cpus // 2)),
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
