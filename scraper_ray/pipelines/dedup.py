@@ -998,9 +998,25 @@ def minhash_pairs_over(docs: rd.Dataset, threshold: float = 0.6,
                                 docs, threshold, id_type)
 
 
+_PAIR_CACHE: dict[tuple[str, float], rd.Dataset] = {}
+
+
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
-    return minhash_pairs_over(_t(sf_dir, "documents", ["doc_id", "text"]),
-                              threshold)
+    """Verified near-dup pairs of the tier's documents table, derived
+    once per process and shared by every consumer (the pair list is a
+    pure function of the corpus — q_neardup_clusters would otherwise
+    repay the full shingle->LSH->verify pipeline; same per-tier cache
+    discipline as graph._cached_link_edges). Materialized so downstream
+    joins reuse the object-store blocks; Datasets are immutable, so
+    handing the same one to multiple consumers is safe."""
+    import os
+
+    key = (os.path.basename(os.path.normpath(sf_dir)), threshold)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = minhash_pairs_over(
+            _t(sf_dir, "documents", ["doc_id", "text"]),
+            threshold).materialize()
+    return _PAIR_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
