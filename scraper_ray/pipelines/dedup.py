@@ -1341,7 +1341,72 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
     )
 
 
+def q_dedup_funnel(sf_dir: str) -> rd.Dataset:
+    """The dedup-ladder funnel — the curation dashboard's one-glance
+    'where do the documents go' report: corpus size, distinct exact
+    texts, verified near-dup pairs, docs touched by the near-dup graph,
+    near-dup clusters, and the survivor count under the canonical
+    keep-one-per-cluster rule (docs - near_docs + near_clusters). Every
+    number is a distributed aggregate of an existing ladder stage (the
+    verified pair set comes from the per-tier cache, components reuse
+    the dual-plan union-find); only the six scalars reach the driver."""
+    from .graph import connected_components
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    n_distinct = q_dedup_exact(sf_dir).count()
+    pairs = q_minhash_pairs(sf_dir)
+    n_pairs = pairs.count()
+    comp = connected_components(pairs)
+    n_near_docs = comp.count()
+    n_clusters = comp.groupby("cluster_id").count().count()
+    stages = [
+        (1, "docs", n_docs),
+        (2, "distinct_texts", n_distinct),
+        (3, "near_pairs", n_pairs),
+        (4, "near_docs", n_near_docs),
+        (5, "near_clusters", n_clusters),
+        (6, "survivors", n_docs - n_near_docs + n_clusters),
+    ]
+    return rd.from_arrow(pa.table({
+        "stage_idx": pa.array([s[0] for s in stages], pa.int64()),
+        "stage": pa.array([s[1] for s in stages], pa.string()),
+        "n": pa.array([s[2] for s in stages], pa.int64())}))
+
+
+def _funnel_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+clusters AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+m AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(DISTINCT md5(text)) FROM documents) AS n_distinct,
+             (SELECT count(*) FROM pairs) AS n_pairs,
+             (SELECT count(*) FROM clusters) AS n_near_docs,
+             (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT 1 AS stage_idx, 'docs' AS stage, n_docs AS n FROM m
+  UNION ALL SELECT 2, 'distinct_texts', n_distinct FROM m
+  UNION ALL SELECT 3, 'near_pairs', n_pairs FROM m
+  UNION ALL SELECT 4, 'near_docs', n_near_docs FROM m
+  UNION ALL SELECT 5, 'near_clusters', n_clusters FROM m
+  UNION ALL SELECT 6, 'survivors', n_docs - n_near_docs + n_clusters FROM m)
+"""
+
+
+ORACLE_SQL["dedup_funnel"] = _funnel_sql()
+
 QUERIES = {
+    "dedup_funnel": q_dedup_funnel,
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
     "incremental_dedup": q_incremental_dedup,

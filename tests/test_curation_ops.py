@@ -364,3 +364,16 @@ def test_media_dedup_keeper_is_first_occurrence(ray_session):
     for r in out.itertuples():
         assert (r.keep_doc, r.keep_offset) == first[r.media_ref]
         assert r.n_refs == n_occ[r.media_ref]
+
+
+def test_dedup_funnel_monotone_and_consistent(ray_session):
+    from scraper_ray.pipelines.dedup import q_dedup_funnel
+
+    df = (q_dedup_funnel(SF).to_pandas()
+          .set_index("stage")["n"].astype(int))
+    assert df["docs"] >= df["distinct_texts"] >= 1
+    assert df["near_docs"] >= 2 * df["near_clusters"] or df["near_docs"] == 0
+    # every pair touches two docs; a cluster of k docs has >= k-1 pairs
+    assert df["near_pairs"] >= df["near_docs"] - df["near_clusters"]
+    assert df["survivors"] == df["docs"] - df["near_docs"] + df["near_clusters"]
+    assert 0 < df["survivors"] <= df["docs"]
