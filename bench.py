@@ -150,6 +150,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--admission-only", action="store_true")
     args = ap.parse_args()
 
     probe = host_probe()
@@ -211,6 +212,49 @@ def main() -> None:
             "host_probe": probe,
             "attempts": attempts,
         }))
+        return
+
+    if args.admission_only:
+        # frontier-admission stress: seeds -> canonicalize -> sha1 ->
+        # keep-min dedupe -> politeness-queue insert, NO fetch — the
+        # pure scheduler-side path that bounds a 10^10-URL frontier.
+        # Rows/s here x node count = the cluster's frontier ingest rate.
+        import shutil as _sh
+        import time as _t
+
+        import ray
+
+        from scraper_ray.crawl import CrawlConfig, _seed_frontier
+        from scraper_ray.state.scheduler import SchedulerPool
+        from scraper_ray.synthweb import gen_seeds_dataset
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, logging_level="ERROR")
+        _quiet_ray_data()
+        web, pol = crawl_bench_config()
+        n = int(os.environ.get("GRAFT_ADMIT_SEEDS", "2000000"))
+        seeds = gen_seeds_dataset(web, n).materialize()
+        import ray.data as rd
+        rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            lambda b: b, batch_format="pyarrow").count()
+        ccfg = CrawlConfig(web=web, politeness=pol, out_dir="/tmp/admit_x",
+                           n_sched_shards=8)
+        pool = SchedulerPool(pol, n_shards=ccfg.n_sched_shards)
+        t0 = _t.time()
+        admitted = _seed_frontier(seeds, ccfg, pool)
+        dt = _t.time() - t0
+        pending = pool.pending()
+        _sh.rmtree("/tmp/admit_x", ignore_errors=True)
+        print(json.dumps({
+            "metric": "admission_rows_per_sec",
+            "value": round(n / dt, 1),
+            "unit": "rows/sec",
+            "seeds": n, "sec": round(dt, 2),
+            "admitted_unique": admitted, "pending": pending,
+            "host_probe": probe, "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
         return
 
     if args.crawl_only:
