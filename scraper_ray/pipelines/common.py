@@ -95,6 +95,33 @@ def sql_hex64(expr: str) -> str:
     )
 
 
+def keyed_repartition(ds: rd.Dataset, keys: list[str],
+                      num_partitions: int | None = None) -> rd.Dataset:
+    """Hash-shuffle *ds* so every row of a key lands in one block.
+
+    The front half of the repo's standard window/segmented-pass shape
+    (``q_knn_graph``, ``q_paragraph_dedup``, ``keep_max_by``): ONE keyed
+    repartition co-locates each key's rows, then a single
+    ``map_batches(fn, batch_size=None)`` pass runs a *vectorized*
+    per-batch segmented computation (pandas groupby transforms / numpy
+    reduceat over sorted runs) — never one Python dispatch per group.
+    ``batch_size=None`` (the Ray 2.49 default) is load-bearing: blocks
+    map whole, so a key's rows never split across batches.
+
+    Partition count defaults to the cluster's CPU count (floor 8) so the
+    shuffle fans out with the cluster instead of a hardcoded constant.
+    Empty blocks are scrubbed on both sides — groupby/aggregate inputs
+    carry schema-less zero-row blocks that crash the hash shuffle."""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = drop_empty_blocks(ds)
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return drop_empty_blocks(ds.repartition(num_partitions, keys=keys))
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Rebuild *ds* without empty blocks.
 

@@ -1011,7 +1011,9 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     handing the same one to multiple consumers is safe."""
     import os
 
-    key = (os.path.basename(os.path.normpath(sf_dir)), threshold)
+    # full normalized path, not basename: two corpora in different parent
+    # dirs with the same tier name must not share one pair set
+    key = (os.path.normpath(os.path.abspath(sf_dir)), threshold)
     if key not in _PAIR_CACHE:
         _PAIR_CACHE[key] = minhash_pairs_over(
             _t(sf_dir, "documents", ["doc_id", "text"]),

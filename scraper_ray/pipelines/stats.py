@@ -758,11 +758,26 @@ def q_perplexity_buckets(sf_dir: str) -> rd.Dataset:
             picks.append(int(g["value"].iloc[int((cum >= rank).idxmax())]))
         edges[str(lang)] = (picks[0], picks[1])
 
+    # corpus-wide fallback edges: pandas groupby drops NaN lang groups, so
+    # a null/unseen lang must degrade to the global quantiles, not KeyError
+    gg = hist.groupby("value", as_index=False)["sum(n)"].sum().sort_values(
+        "value").reset_index(drop=True)
+    gcum = gg["sum(n)"].cumsum()
+    gn = int(gcum.iloc[-1]) if len(gg) else 0
+    gpicks = []
+    for q in PPLX_LEVELS:
+        rank = max(1, math.ceil(q * max(gn, 1)))
+        gpicks.append(int(gg["value"].iloc[int((gcum >= rank).idxmax())])
+                      if len(gg) else 0)
+    global_edges = (gpicks[0], gpicks[1]) if gpicks else (0, 0)
+
     def label(t: pa.Table) -> pa.Table:
         langs = t.column("lang").to_pylist()
         s = t.column("score").to_numpy()
-        t1 = np.fromiter((edges[x][0] for x in langs), np.int64, len(langs))
-        t2 = np.fromiter((edges[x][1] for x in langs), np.int64, len(langs))
+        t1 = np.fromiter((edges.get(x, global_edges)[0] for x in langs),
+                         np.int64, len(langs))
+        t2 = np.fromiter((edges.get(x, global_edges)[1] for x in langs),
+                         np.int64, len(langs))
         bucket = np.where(s <= t1, "head", np.where(s <= t2, "middle",
                                                     "tail"))
         return t.append_column("bucket", pa.array(bucket, pa.string()))

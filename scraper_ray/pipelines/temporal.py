@@ -1,21 +1,24 @@
 """Temporal operators over the events stream: windows, sessions, as-of.
 
 The reference is batch-only (SURVEY §2.9 — no windows/watermarks), but a
-training-data engine needs the windowed shapes; each is expressed as a
-composition of ``map_batches`` + ``groupby``/``map_groups`` + a sort
-*inside* the group (SURVEY §2 "custom operators" ladder, option (a)):
+training-data engine needs the windowed shapes; each is ONE keyed
+repartition (hash-shuffle co-locating a key's rows in one block) plus a
+single *vectorized* segmented pass per block — pandas ``merge_asof`` /
+numpy ``reduceat`` over sorted runs, never one Python dispatch per group
+(SURVEY §2 "custom operators" ladder, option (a)):
 
 - ``window_hourly`` — tumbling window = truncate-timestamp + groupby.
   Pre-aggregation happens inside the map (the combiner pattern), so the
   shuffle moves (user, hour) partials, not raw events.
-- ``sessions`` — 30-min-gap sessionization: hash-partition by user
-  (groupby), sort within group, count gap breaks. Partitioning
-  assumption: one user's events fit one group (true at any sane scale;
-  a hot user would be salted by day first).
+- ``sessions`` — 30-min-gap sessionization: keyed repartition by user,
+  sort the block by (user, ts), count gap breaks per user-run with one
+  ``np.add.reduceat``. Partitioning assumption: one partition's users'
+  events fit a worker block (a hot user is salted by day in the
+  ``_salted`` variant).
 - ``asof_join`` — each event matched to the latest order of the same
-  user at-or-before the event time: tag-union both streams, hash-
-  partition by user, per-group ``pandas.merge_asof``. Partitioning
-  assumption: co-partition both sides on the key — the one shuffle.
+  user at-or-before the event time: tag-union both streams, ONE keyed
+  repartition co-partitioning both sides, block-wide
+  ``pandas.merge_asof(by="key")`` (a single C pass over all users).
 
 All three have exact DuckDB oracles (ASOF JOIN is native there).
 """
@@ -62,20 +65,50 @@ def q_window_hourly(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def q_sessions(sf_dir: str) -> rd.Dataset:
-    """Per-user session count with a 30-minute inactivity gap."""
-    ds = _t(sf_dir, "events", ["user_id", "ts"])
+def _empty_sessions() -> pd.DataFrame:
+    return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                         "n_events": pd.Series([], dtype="int64"),
+                         "n_sessions": pd.Series([], dtype="int64")})
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+
+def q_sessions(sf_dir: str) -> rd.Dataset:
+    """Per-user session count with a 30-minute inactivity gap.
+
+    ONE keyed repartition co-locates each user's events, then a single
+    vectorized pass per block: sort by (user, ts), diff timestamps as
+    int64 ns, mark gap breaks, and reduce per user-run with
+    ``np.add.reduceat`` — zero per-group Python dispatch (at 10^8 users
+    the old ``map_groups`` shape was 10^8 Python calls)."""
+    import numpy as np
+
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    co = keyed_repartition(ds, ["user_id"])
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return _empty_sessions()
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        brk = (~starts) & (gap > SESSION_GAP_MIN * 60 * 1_000_000_000)
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, n))
+        n_sessions = np.add.reduceat(brk.astype(np.int64), idx) + 1
         return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(g)],
-            "n_sessions": [int(1 + gaps.sum())],
+            "user_id": u[idx].astype("int64"),
+            "n_events": counts.astype("int64"),
+            "n_sessions": n_sessions.astype("int64"),
         })
 
-    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+    return co.map_batches(sess, batch_format="pandas", batch_size=None)
 
 
 def q_asof_join(sf_dir: str) -> rd.Dataset:
@@ -105,17 +138,23 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
             "side": pa.array(["o"] * t.num_rows, pa.string()),
         })
 
+    from .common import keyed_repartition
+
     both = events.map_batches(tag_events, batch_format="pyarrow").union(
         orders.map_batches(tag_orders, batch_format="pyarrow"))
+    co = keyed_repartition(both, ["key"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == "e"][["event_id", "t"]].sort_values(
-            ["t", "event_id"])
+        # every key's rows are co-located in this block, so ONE
+        # merge_asof(by="key") — a single C pass — replaces the old
+        # per-key Python dispatch; semantics are identical
+        ev = g[g["side"] == "e"][["key", "event_id", "t"]].sort_values(
+            ["t", "event_id"], kind="mergesort")
         # ties on order time resolve to max orderkey (both sides do this,
         # else the as-of pick among same-timestamp orders is unspecified)
-        od = (g[g["side"] == "o"][["o_orderkey", "t"]]
-              .groupby("t", as_index=False)["o_orderkey"].max()
-              .sort_values("t"))
+        od = (g[g["side"] == "o"][["key", "o_orderkey", "t"]]
+              .groupby(["key", "t"], as_index=False)["o_orderkey"].max()
+              .sort_values("t", kind="mergesort"))
         if ev.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "o_orderkey": pd.Series([], dtype="Int64")})
@@ -123,7 +162,8 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
             m = pd.DataFrame({"event_id": ev["event_id"],
                               "o_orderkey": float("nan")})
         else:
-            m = pd.merge_asof(ev, od, on="t", direction="backward")
+            m = pd.merge_asof(ev, od, on="t", by="key",
+                              direction="backward")
         # the tagged union nulled event_id on order rows, coercing the
         # column to float64 — cast back to exact int64, and emit unmatched
         # events as NULL (nullable Int64), not float NaN: the DuckDB ASOF
@@ -133,7 +173,7 @@ def q_asof_join(sf_dir: str) -> rd.Dataset:
         m["o_orderkey"] = m["o_orderkey"].round().astype("Int64")
         return m
 
-    return both.groupby("key").map_groups(asof, batch_format="pandas")
+    return co.map_batches(asof, batch_format="pandas", batch_size=None)
 
 
 def q_daily_delta(sf_dir: str) -> rd.Dataset:
@@ -153,13 +193,20 @@ def q_daily_delta(sf_dir: str) -> rd.Dataset:
             "vu": int_scaled(t.column("value"), 1_000_000),
         })
 
+    from .common import keyed_repartition
+
     days = (ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["user_id", "day"]).sum("vu"))
+    co = keyed_repartition(days, ["user_id"])
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day").reset_index(drop=True)
+        # one vectorized lag pass over the whole block: shift(1) with the
+        # previous value masked out at user boundaries (NULL first day)
+        g = g.sort_values(["user_id", "day"],
+                          kind="mergesort").reset_index(drop=True)
         vu = g["sum(vu)"].astype("int64")
         prev = vu.shift(1).astype("Int64")
+        prev = prev.where(g["user_id"].eq(g["user_id"].shift(1)))
         delta = (vu - prev).astype("Float64") / 1_000_000.0
         return pd.DataFrame({
             "user_id": g["user_id"].astype("int64"),
@@ -168,7 +215,7 @@ def q_daily_delta(sf_dir: str) -> rd.Dataset:
             "delta": delta,
         })
 
-    return days.groupby("user_id").map_groups(deltas, batch_format="pandas")
+    return co.map_batches(deltas, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -191,41 +238,86 @@ def q_sessions_salted(sf_dir: str) -> rd.Dataset:
             "day": pc.floor_temporal(t.column("ts"), unit="day"),
         })
 
-    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+    import numpy as np
+
+    from .common import keyed_repartition
+
+    GAP_NS = SESSION_GAP_MIN * 60 * 1_000_000_000
+
+    def per_salt(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-(user, day) summaries: one segmented reduceat
+        # pass per block, no per-salt-group dispatch
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "first_ts": pd.Series([], dtype="datetime64[ns]"),
+                "last_ts": pd.Series([], dtype="datetime64[ns]"),
+            })
+        df = df.sort_values(["user_id", "day", "ts"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[ns]")
+        ts_i = ts.astype(np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = ts_i[1:] - ts_i[:-1]
+        brk = (~starts) & (gap > GAP_NS)
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, n))
         return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "day": [g["day"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [int(1 + gaps.sum())],
-            "first_ts": [ts.iloc[0]],
-            "last_ts": [ts.iloc[-1]],
+            "user_id": u[idx].astype("int64"),
+            "day": d[idx],
+            "n_events": counts.astype("int64"),
+            "n_sessions": np.add.reduceat(brk.astype(np.int64), idx) + 1,
+            "first_ts": ts[idx],
+            "last_ts": ts[idx + counts - 1],
         })
 
-    summaries = (
-        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "day"])
-        .map_groups(per_salt, batch_format="pandas")
-    )
+    salted = keyed_repartition(
+        ds.map_batches(add_salt, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"])
+    summaries = salted.map_batches(per_salt, batch_format="pandas",
+                                   batch_size=None)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day")
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
         # a session spanning two salt groups was counted twice — subtract
-        # one per adjacent pair whose boundary gap is within the window
-        # nanosecond precision: truncating to whole seconds would merge
-        # sessions whose true boundary gap is in (1800, 1801) s
-        gap_ns = (g["first_ts"].iloc[1:].to_numpy()
-                  - g["last_ts"].iloc[:-1].to_numpy()).astype(
-                      "timedelta64[ns]").astype("int64")
-        merged = int((gap_ns <= SESSION_GAP_MIN * 60 * 1_000_000_000).sum())
+        # one per adjacent same-user pair whose boundary gap is within
+        # the window. nanosecond precision: truncating to whole seconds
+        # would merge sessions whose true boundary gap is in (1800, 1801) s
+        n = len(df)
+        if n == 0:
+            return _empty_sessions()
+        df = df.sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        first = df["first_ts"].to_numpy().astype("datetime64[ns]").astype(
+            np.int64)
+        last = df["last_ts"].to_numpy().astype("datetime64[ns]").astype(
+            np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        merged = np.zeros(n, dtype=np.int64)
+        merged[1:] = ((~starts[1:])
+                      & (first[1:] - last[:-1] <= GAP_NS)).astype(np.int64)
+        idx = np.flatnonzero(starts)
         return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [int(g["n_events"].sum())],
-            "n_sessions": [int(g["n_sessions"].sum()) - merged],
+            "user_id": u[idx].astype("int64"),
+            "n_events": np.add.reduceat(
+                df["n_events"].to_numpy(np.int64), idx),
+            "n_sessions": (np.add.reduceat(
+                df["n_sessions"].to_numpy(np.int64), idx)
+                - np.add.reduceat(merged, idx)),
         })
 
-    return summaries.groupby("user_id").map_groups(merge, batch_format="pandas")
+    co = keyed_repartition(summaries, ["user_id"])
+    return co.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
@@ -286,29 +378,33 @@ def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
     small = day_tops.map_batches(tag_small("o"), batch_format="pyarrow").union(
         ev_days.map_batches(tag_small("d"), batch_format="pyarrow"))
 
+    from .common import keyed_repartition
+
     def build_carries(g: pd.DataFrame) -> pd.DataFrame:
         """Per user: for each event-day, the timestamp of the latest
         order on any EARLIER day (the carry-in marker). Emits one row
-        per event-day that has a carry-in."""
-        key = int(g["key"].iloc[0])
-        odays = g[g["side"] == "o"].sort_values("day")
-        edays = g[g["side"] == "d"]["day"]
-        out_day, out_t = [], []
-        if not odays.empty:
-            od = odays["day"].to_numpy()
-            ot = odays["top_t"].to_numpy()
-            import numpy as np
+        per event-day that has a carry-in. Vectorized: one strictly-
+        earlier backward merge_asof(by=key) over the co-located block
+        replaces the old per-user searchsorted dispatch."""
+        odays = g[g["side"] == "o"][["key", "day", "top_t"]].sort_values(
+            "day", kind="mergesort")
+        edays = g[g["side"] == "d"][["key", "day"]].sort_values(
+            "day", kind="mergesort")
+        if edays.empty or odays.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "carry_t": pd.Series([], dtype="datetime64[us]"),
+            })
+        m = pd.merge_asof(edays, odays, on="day", by="key",
+                          direction="backward", allow_exact_matches=False)
+        m = m[m["top_t"].notna()]
+        return pd.DataFrame({"key": m["key"].astype("int64"),
+                             "day": m["day"],
+                             "carry_t": m["top_t"]})
 
-            idx = np.searchsorted(od, edays.to_numpy(), side="left") - 1
-            for d, i in zip(edays, idx):
-                if i >= 0:
-                    out_day.append(d)
-                    out_t.append(ot[i])
-        return pd.DataFrame({"key": [key] * len(out_day), "day": out_day,
-                             "carry_t": out_t})
-
-    carries = small.groupby("key").map_groups(build_carries,
-                                              batch_format="pandas")
+    carries = keyed_repartition(small, ["key"]).map_batches(
+        build_carries, batch_format="pandas", batch_size=None)
 
     # replicate the carried order ROW (need its orderkey at that exact
     # t): join carry markers back to the per-(user, t) max orderkey —
@@ -362,26 +458,30 @@ def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
     )
 
     def asof_day(g: pd.DataFrame) -> pd.DataFrame:
-        evd = g[g["side"] == "e"][["event_id", "t"]].sort_values(
-            ["t", "event_id"])
+        # vectorized per-salt-group as-of: each (key, day) group's rows
+        # are co-located, one merge_asof(by=[key, day]) does them all
+        evd = g[g["side"] == "e"][["key", "day", "event_id", "t"]
+                                  ].sort_values(["t", "event_id"],
+                                                kind="mergesort")
         if evd.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "o_orderkey": pd.Series([], dtype="Int64")})
-        od = (g[g["side"] != "e"][["o_orderkey", "t"]]
-              .groupby("t", as_index=False)["o_orderkey"].max()
-              .sort_values("t"))
+        od = (g[g["side"] != "e"][["key", "day", "o_orderkey", "t"]]
+              .groupby(["key", "day", "t"], as_index=False)["o_orderkey"]
+              .max().sort_values("t", kind="mergesort"))
         if od.empty:
             m = pd.DataFrame({"event_id": evd["event_id"],
                               "o_orderkey": float("nan")})
         else:
-            m = pd.merge_asof(evd, od, on="t", direction="backward")
+            m = pd.merge_asof(evd, od, on="t", by=["key", "day"],
+                              direction="backward")
         m = m[["event_id", "o_orderkey"]].copy()
         m["event_id"] = m["event_id"].astype("int64")
         m["o_orderkey"] = m["o_orderkey"].round().astype("Int64")
         return m
 
-    return both.groupby(["key", "day"]).map_groups(
-        asof_day, batch_format="pandas")
+    return keyed_repartition(both, ["key", "day"]).map_batches(
+        asof_day, batch_format="pandas", batch_size=None)
 
 
 ORACLE_SQL = {

@@ -3,9 +3,11 @@ two-phase distinct, pivot.
 
 SQL window functions have no direct Ray Data primitive, so each is the
 documented composition (SURVEY §2 "custom operators" ladder, option a):
-hash-partition on the PARTITION BY key with ``groupby``, order inside
-the group, and keep the shuffle small with a combiner wherever the
-window runs over an aggregate rather than raw rows:
+ONE keyed repartition hash-shuffles on the PARTITION BY key (every
+key's rows co-located in one block), then a single *vectorized*
+segmented pass per block — sort + pandas groupby transform / numpy
+shifts, never one Python dispatch per group — with a combiner first
+wherever the window runs over an aggregate rather than raw rows:
 
 - ``rank_topn`` — ``row_number() <= k`` per partition. Per-batch partial
   top-k inside ``map_batches`` first, so the shuffle moves at most
@@ -67,16 +69,22 @@ def q_rank_topn(sf_dir: str) -> rd.Dataset:
             preserve_index=False).replace_schema_metadata(None)
 
     def final_rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(RANK_K)
-        g = g.reset_index(drop=True)
-        g["rnk"] = g.index.astype("int64") + 1
+        # one vectorized pass per co-located block (the q_knn_graph
+        # rank shape): sort, per-key head(k), cumcount rank — no
+        # per-customer Python dispatch
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(RANK_K).copy()
+        g["rnk"] = (g.groupby("o_custkey", sort=False).cumcount()
+                    + 1).astype("int64")
         return g[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
 
-    return (ds.map_batches(partial_topk, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("o_custkey")
-            .map_groups(final_rank, batch_format="pandas"))
+    from .common import keyed_repartition
+
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return keyed_repartition(partial, ["o_custkey"]).map_batches(
+        final_rank, batch_format="pandas", batch_size=None)
 
 
 def q_cumulative_spend(sf_dir: str) -> rd.Dataset:
@@ -95,15 +103,22 @@ def q_cumulative_spend(sf_dir: str) -> rd.Dataset:
         })
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        # segmented cumsum over the co-located block: groupby(...).cumsum
+        # is one vectorized C pass, not a per-customer dispatch
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort").reset_index(drop=True)
+        cum = g.groupby("o_custkey", sort=False)["cents"].cumsum()
         return pd.DataFrame({
             "o_custkey": g["o_custkey"].astype("int64"),
             "o_orderkey": g["o_orderkey"].astype("int64"),
-            "cum_spend": g["cents"].astype("int64").cumsum() / 100.0,
+            "cum_spend": cum.astype("int64") / 100.0,
         })
 
-    return (ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("o_custkey").map_groups(running, batch_format="pandas"))
+    from .common import keyed_repartition
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_repartition(pre_ds, ["o_custkey"]).map_batches(
+        running, batch_format="pandas", batch_size=None)
 
 
 def q_moving_avg(sf_dir: str) -> rd.Dataset:
@@ -127,17 +142,41 @@ def q_moving_avg(sf_dir: str) -> rd.Dataset:
             .groupby(["user_id", "day"]).sum("vu"))
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day").reset_index(drop=True)
-        vu = g["sum(vu)"].astype("int64")
-        wsum = vu.rolling(MAVG_FRAME, min_periods=1).sum()
-        wn = vu.rolling(MAVG_FRAME, min_periods=1).count()
+        # vectorized 3-row frame over the co-located block: the window
+        # sum is the value plus up-to-two lagged values masked at user
+        # boundaries — pure numpy shifts, no per-user dispatch
+        import numpy as np
+
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "avg_value": pd.Series([], dtype="float64"),
+            })
+        g = g.sort_values(["user_id", "day"],
+                          kind="mergesort").reset_index(drop=True)
+        u = g["user_id"].to_numpy()
+        vu = g["sum(vu)"].to_numpy(np.int64)
+        wsum = vu.astype(np.float64)
+        wn = np.ones(n, dtype=np.float64)
+        for lag in range(1, MAVG_FRAME):
+            same = np.zeros(n, dtype=bool)
+            same[lag:] = u[lag:] == u[:-lag]
+            lagged = np.zeros(n, dtype=np.int64)
+            lagged[lag:] = vu[:-lag]
+            wsum[same] += lagged[same]
+            wn += same
         return pd.DataFrame({
             "user_id": g["user_id"].astype("int64"),
             "day": g["day"],
             "avg_value": (wsum / wn) / 1_000_000.0,
         })
 
-    return days.groupby("user_id").map_groups(window, batch_format="pandas")
+    from .common import keyed_repartition
+
+    return keyed_repartition(days, ["user_id"]).map_batches(
+        window, batch_format="pandas", batch_size=None)
 
 
 def q_distinct_daily(sf_dir: str) -> rd.Dataset:

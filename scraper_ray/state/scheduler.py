@@ -449,17 +449,6 @@ class SchedulerShard:
         return emitted.append_column(
             "wave", pa.array([wave] * emitted.num_rows, pa.int32()))
 
-    def next_wave_chunks(self, wave: int, min_depth: int | None = None,
-                         chunk_rows: int = 2048):
-        """``next_wave`` streamed as ~chunk_rows zero-copy slices (one
-        object ref each). Shards pre-split their wave output so the
-        driver can build a balanced Dataset directly from the refs —
-        no per-wave ``repartition`` all-to-all; a heavy domain's rows
-        land in many small blocks instead of one fat one."""
-        tbl = self.next_wave(wave, min_depth)
-        for off in range(0, tbl.num_rows, chunk_rows):
-            yield tbl.slice(off, chunk_rows)
-
     def prepare_wave(self, wave: int, min_depth: int | None = None) -> int:
         """Phase 1 of balanced emission: compute the wave (budgets,
         ordering, store mutation — everything ``next_wave`` does) but
@@ -649,7 +638,13 @@ class SchedulerPool:
             tasks = min(cpus, math.ceil(total / _MIN_CHUNK)) or 1
         gens = []
         for a, size in zip(self.actors, sizes):
-            n_chunks = max(1, round(tasks * size / total)) if size else 1
+            # floor at ceil(size/chunk_rows): proportional rounding alone
+            # can round 1.49 down to 1 on a skewed shard and emit one
+            # oversized chunk — the double-length straggler this two-phase
+            # scheme exists to remove ("each ref holds <= chunk_rows rows")
+            n_chunks = (max(round(tasks * size / total),
+                            math.ceil(size / chunk_rows), 1)
+                        if size else 1)
             gens.append(a.emit_prepared.remote(
                 max(1, math.ceil(size / n_chunks))))
         refs = [ref for g in gens for ref in g]
