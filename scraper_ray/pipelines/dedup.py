@@ -134,6 +134,57 @@ def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
     return np.min(vals, axis=1)
 
 
+# LSH bucket key = uint64 linear combine of a band's signature values
+# (wraparound), NOT md5 of their decimal join: the combine is one numpy
+# multiply-add over the whole batch's signature matrix, where md5 cost
+# one Python hash call per (doc, band). Odd constants < 2^61 so DuckDB
+# mirrors the combine in HUGEINT (& mask) without overflow: 4 terms
+# < 2^125 each sum to < 2^127. Collisions beyond LSH's own are ~2^-64
+# and identical on both sides (the oracle recomputes the same key).
+_BUCKET_C = (np.random.default_rng(0xB0C4E7)
+             .integers(1, 1 << 61, size=_ROWS_PER_BAND, dtype=np.uint64)
+             | np.uint64(1))
+
+
+def _batch_shingle_hashes(texts: list[str],
+                          k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a whole batch: one flat uint64 array plus
+    per-doc start offsets (for ``np.minimum.reduceat``).
+
+    Token md5 hashing is one cached pass over the batch's flattened
+    token stream; the k-gram linear combine runs ONCE over the flat
+    array and each doc slices its valid window out (grams never cross
+    doc boundaries). Docs shorter than *k* tokens contribute their
+    single whole-text hash, exactly like ``_shingle_hashes``."""
+    n = len(texts)
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64, n)
+    flat: list[str] = []
+    for toks in tok_lists:
+        flat.extend(toks)
+    H = _token_hashes(flat)
+    tok_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=tok_off[1:])
+    counts = np.where(lens >= k, lens - (k - 1), 1)
+    g_off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=g_off[1:])
+    out = np.empty(int(g_off[-1]), np.uint64)
+    with np.errstate(over="ignore"):
+        if len(H) >= k:
+            comb = H[: -(k - 1)] * _SHINGLE_C[0]
+            for j in range(1, k):
+                comb = comb + H[j: len(H) - (k - 1 - j) or None] * _SHINGLE_C[j]
+        else:
+            comb = np.empty(0, np.uint64)
+    for i in range(n):
+        if lens[i] >= k:
+            s = tok_off[i]
+            out[g_off[i]: g_off[i + 1]] = comb[s: s + counts[i]]
+        else:
+            out[g_off[i]] = _hash64(texts[i])
+    return out, g_off[:-1]
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -507,8 +558,12 @@ def _minhash_oracle_sql(threshold: float = 0.6,
     a_lst = "[" + ", ".join(f"{int(a)}::HUGEINT" for a in _PERM_A) + "]"
     b_lst = "[" + ", ".join(f"{int(b)}::HUGEINT" for b in _PERM_B) + "]"
     mask = "18446744073709551615::HUGEINT"
-    band_key = " || ',' || ".join(
-        f"CAST(sig[4 * b + {r}] AS VARCHAR)" for r in range(1, 5))
+    # bucket = uint64 linear combine of the band's 4 signature values,
+    # constant-for-constant with the engine's _BUCKET_C (wraparound ==
+    # HUGEINT sum & mask; 4 terms < 2^125 stay under 2^127)
+    band_key = "(" + " + ".join(
+        f"sig[4 * b + {r}] * {int(_BUCKET_C[r - 1])}::HUGEINT"
+        for r in range(1, 5)) + f") & {mask}"
     return f"""
 WITH {_gram_hash_ctes(source)},
 sigs AS (
@@ -518,7 +573,7 @@ sigs AS (
              s -> (s * ({a_lst})[p] + ({b_lst})[p]) & {mask}))) AS sig
   FROM hs),
 bands AS (
-  SELECT doc_id, b, md5({band_key}) AS bucket
+  SELECT doc_id, b, {band_key} AS bucket
   FROM sigs CROSS JOIN range(0, 16) t(b)),
 ok_buckets AS (
   SELECT b, bucket FROM bands GROUP BY b, bucket
@@ -679,25 +734,41 @@ FROM documents WHERE doc_id % 2 = 1
 
 def _band_rows_fn(id_type: pa.DataType):
     def minhash_band_rows(t: pa.Table) -> pa.Table:
-        """doc batch -> (band, bucket, doc_id) rows (LSH banding)."""
-        doc_ids: list = []
-        bands: list[int] = []
-        buckets: list[str] = []
-        for did, text in zip(t.column("doc_id").to_pylist(),
-                             t.column("text").to_pylist()):
-            sig = _minhash_sig(_shingle_hashes(text))
+        """doc batch -> (band, bucket, doc_id) rows (LSH banding).
+
+        Fully batched: ONE flat shingle pass for the whole batch, the
+        64-perm signature matrix computed as 64 multiply-add +
+        ``minimum.reduceat`` passes over the flat hash array (Python
+        loop is over permutations, never docs), and bucket keys as a
+        vectorized uint64 band combine — zero per-doc Python work."""
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], id_type),
+                             "band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64())})
+        H, offsets = _batch_shingle_hashes(t.column("text").to_pylist())
+        sig = np.empty((_N_PERM, n), np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(_N_PERM):
+                sig[p] = np.minimum.reduceat(
+                    H * _PERM_A[p] + _PERM_B[p], offsets)
+            buckets = np.zeros((_BANDS, n), np.uint64)
             for b in range(_BANDS):
-                chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-                # bucket key = md5 of the band's signature values in
-                # decimal (SQL-recomputable, endianness-free)
-                bucket = hashlib.md5(
-                    ",".join(str(int(v)) for v in chunk).encode()).hexdigest()
-                doc_ids.append(did)
-                bands.append(b)
-                buckets.append(bucket)
-        return pa.table({"doc_id": pa.array(doc_ids, id_type),
-                         "band": pa.array(bands, pa.int32()),
-                         "bucket": pa.array(buckets, pa.string())})
+                acc = np.zeros(n, np.uint64)
+                for r in range(_ROWS_PER_BAND):
+                    acc = acc + sig[b * _ROWS_PER_BAND + r] * _BUCKET_C[r]
+                buckets[b] = acc
+        ids = pc.take(t.column("doc_id"),
+                      pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                         _BANDS)))
+        # int64 two's-complement view: equality-preserving, and Ray's
+        # hash aggregate handles int64 natively where uint64 values past
+        # 2^63 fall back to pickled Python objects
+        return pa.table({
+            "doc_id": pc.cast(ids, id_type),
+            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.T.reshape(-1).view(np.int64)),
+        })
     return minhash_band_rows
 
 
@@ -725,7 +796,7 @@ def candidate_pairs_over(docs: rd.Dataset,
     def pin_keys(t: pa.Table) -> pa.Table:
         # the aggregate upcasts the int32 band key; re-pin both join keys
         return pa.table({"band": pc.cast(t.column("band"), pa.int32()),
-                         "bucket": pc.cast(t.column("bucket"), pa.string())})
+                         "bucket": pc.cast(t.column("bucket"), pa.int64())})
 
     # materialize the (small) survivor key set ONCE so the count() below
     # and the take_all()/join consumer read pinned blocks instead of
