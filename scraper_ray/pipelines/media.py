@@ -18,6 +18,18 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+def media_pool_size() -> tuple[int, int]:
+    """Actor-pool bounds for the media stages, derived from the cluster
+    like ``QualityClassifier``'s (text.py): elastic from 1 so a small
+    tier doesn't hold idle actors, up to half the cluster's cores — a
+    decode stage is CPU-bound; a real codec swaps in num_gpus/actor."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return (1, max(4, cpus // 2))
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -106,7 +118,7 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
         fn_constructor_args=(8,),
         batch_format="pyarrow",
         batch_size=128,            # binary payloads: keep batches small
-        concurrency=2,
+        concurrency=media_pool_size(),
         zero_copy_batch=True,
     )
 
@@ -164,7 +176,7 @@ def q_media_resize(sf_dir: str) -> rd.Dataset:
         fn_constructor_args=(64,),
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=2,
+        concurrency=media_pool_size(),
         zero_copy_batch=True,
     )
 

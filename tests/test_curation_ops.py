@@ -228,6 +228,18 @@ def test_media_resize_and_frame_sample_invariants(ray_session):
     assert (fs["ts_ms"] == fs["frame_idx"] * 40).all()
 
 
+def test_media_pool_size_derives_from_cluster(ray_session):
+    """The media actor pools must scale with the cluster like the
+    quality classifier's, not sit at a hardcoded concurrency=2."""
+    import ray
+
+    from scraper_ray.pipelines.media import media_pool_size
+
+    lo, hi = media_pool_size()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    assert lo == 1 and hi == max(4, cpus // 2)
+
+
 def test_bpe_pairs_counts_match_naive(ray_session):
     from collections import Counter
 
