@@ -120,7 +120,9 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--max-pages", type=int, default=10)
     c.add_argument("--wave-units", type=int, default=64)
     c.add_argument("--work-per-page", type=int, default=0)
-    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--shards", type=int, default=None,
+                   help="seen/scheduler shard count (default: one per "
+                        "~4 cluster cores; on resume, the checkpoint's)")
     c.add_argument("--batch-size", type=int, default=2048)
     c.add_argument("--level-sync", choices=["domain", "global"], default="domain")
     c.add_argument("--seed", type=int, default=42)

@@ -46,8 +46,13 @@ class CrawlConfig:
     out_dir: str
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
-    n_seen_shards: int = 4
-    n_sched_shards: int = 4
+    # None -> derived from the cluster at crawl() start (one shard per
+    # ~4 cores, floor 4): a 256-core cluster gets 64 admission points
+    # without the caller remembering to size them. On resume, None keeps
+    # the checkpoint's count; an EXPLICIT different count re-shards the
+    # restored state (state/{seen,scheduler}.py restore re-routing).
+    n_seen_shards: int | None = None
+    n_sched_shards: int | None = None
     seen_capacity_per_shard: int = 1 << 18   # cuckoo slots; exact set backs it
     fetch_concurrency: int | None = None   # None -> task pool (pure fetcher);
     # an int -> actor pool of that size (stateful HTTP fetcher shape)
@@ -175,6 +180,17 @@ def _preseed_seen(skip_urls: list[str] | rd.Dataset,
     return int(marked["n"].sum())
 
 
+def _default_shard_count() -> int:
+    """Seen/scheduler shard count for a fresh run: one admission point
+    per ~4 cluster cores, floor 4. Each shard admits ~450-500k rows/s
+    (bench.py --admission-only), so this keeps admission far off the
+    critical path while shard RPC fan-out stays O(cores)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 0)) or 32
+    return max(4, cpus // 4)
+
+
 def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
                 sched: SchedulerPool, stats: CrawlStats) -> None:
     root = ccfg.checkpoint_dir
@@ -226,6 +242,28 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     does fetch. Equivalent to the sequential oracle with ``pre_seen``
     (tests/test_incremental.py pins the conformance).
     """
+    import dataclasses
+
+    manifest, wdir, last = None, None, None
+    if resume:
+        assert ccfg.checkpoint_dir, "resume requires a checkpoint_dir"
+        last = latest_checkpoint(ccfg.checkpoint_dir)
+        assert last is not None, "no checkpoint to resume from"
+        wdir = os.path.join(ccfg.checkpoint_dir, f"wave_{last:05d}")
+        with open(os.path.join(wdir, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+    # resolve shard counts: explicit > checkpoint's > cluster-derived.
+    # An explicit count differing from the checkpoint triggers re-shard
+    # restore (state re-routed by digest/domain hash under the new count)
+    # so a run checkpointed on 8 nodes can resume on 32.
+    ccfg = dataclasses.replace(
+        ccfg,
+        n_seen_shards=ccfg.n_seen_shards or (
+            manifest.get("n_seen_shards", 4) if manifest
+            else _default_shard_count()),
+        n_sched_shards=ccfg.n_sched_shards or (
+            manifest.get("n_sched_shards", 4) if manifest
+            else _default_shard_count()))
     seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
                           level_sync=ccfg.level_sync, seen=seen,
@@ -235,18 +273,6 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     start_wave = 0
 
     if resume:
-        assert ccfg.checkpoint_dir, "resume requires a checkpoint_dir"
-        last = latest_checkpoint(ccfg.checkpoint_dir)
-        assert last is not None, "no checkpoint to resume from"
-        wdir = os.path.join(ccfg.checkpoint_dir, f"wave_{last:05d}")
-        with open(os.path.join(wdir, "MANIFEST.json")) as f:
-            manifest = json.load(f)
-        # shard routing is positional — resuming with a different shard
-        # count would silently mis-route digests/domains
-        assert manifest.get("n_seen_shards", ccfg.n_seen_shards) == ccfg.n_seen_shards, \
-            "checkpoint was written with a different n_seen_shards"
-        assert manifest.get("n_sched_shards", ccfg.n_sched_shards) == ccfg.n_sched_shards, \
-            "checkpoint was written with a different n_sched_shards"
         seen.restore(wdir)
         sched.restore(wdir)
         stats.docs = manifest["docs"]

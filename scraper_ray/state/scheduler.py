@@ -337,8 +337,11 @@ class SchedulerShard:
             self.runs.setdefault(domain, {}).setdefault(d, []).append(path)
             self.n_spilled += length
         self.store = st.filter(pa.array(~cold))
+        # Arrow to_pylist, not numpy S20 tolist: numpy strips trailing
+        # \x00 bytes, which would leave 1-in-256 spilled digests stuck
+        # in pending_set (stale overcount until their run re-emits)
         self.pending_set.difference_update(
-            _sha1_np(st.column("url_sha1"))[cold].tolist())
+            st.filter(pa.array(cold)).column("url_sha1").to_pylist())
 
     def _load_runs(self, domain: str, emit_depth: int) -> None:
         """Queue spilled runs at (or defensively below) *emit_depth* for
@@ -529,11 +532,57 @@ class SchedulerShard:
         self.n_spilled = d.get("n_spilled", 0)
         self.n_loaded = d.get("n_loaded", 0)
 
+    # -- re-shard restore ---------------------------------------------------
+
+    def admit_restored(self, tbl: pa.Table) -> int:
+        """Accept pending rows re-routed from another shard count's
+        checkpoint. Unlike ``offer`` this bumps NO counters — the
+        restored counters arrive separately as merged totals, and these
+        rows were already counted when first offered. Rows land in
+        ``fresh`` and keep-min-compact as usual (old shards held disjoint
+        domains, so no cross-dump duplicates exist)."""
+        if tbl.num_rows == 0:
+            return 0
+        self.pending_set.update(tbl.column("url_sha1").to_pylist())
+        self.fresh.append(tbl)
+        return tbl.num_rows
+
+    def set_restored_meta(self, counters: dict | None, n_offered: int,
+                          n_upgraded: int, runs: dict, spill_seq: int,
+                          n_spilled: int, n_loaded: int) -> None:
+        """Install re-shard metadata. *runs* is this shard's slice of the
+        spill-run index (re-routed by domain); the scalar counters are
+        pool-level merged totals carried by one designated shard so
+        pool-level sums (``counters()``, ``pending_total()``) are
+        preserved exactly. *spill_seq* is the max across old dumps so a
+        new shard reusing an old shard's index can never overwrite a
+        still-referenced run file."""
+        if counters is not None:
+            self.run_counters = dict(counters)
+            self.n_offered = n_offered
+            self.n_upgraded = n_upgraded
+            self.n_spilled = n_spilled
+            self.n_loaded = n_loaded
+        self.runs = runs
+        self.spill_seq = spill_seq
+
 
 def shard_of_domain(domain: str, n_shards: int) -> int:
     import hashlib
 
     return int.from_bytes(hashlib.sha1(domain.encode()).digest()[:4], "big") % n_shards
+
+
+def _route_by_domain(tbl: pa.Table, n_shards: int) -> np.ndarray:
+    """Per-row owning-shard array. Vectorized: the domain column is
+    dictionary-encoded, the hash runs once per UNIQUE domain, each row
+    resolves through the code LUT."""
+    import pyarrow.compute as pc
+
+    dom = pc.dictionary_encode(tbl.column("domain_key").combine_chunks())
+    lut = np.array([shard_of_domain(d, n_shards)
+                    for d in dom.dictionary.to_pylist()], dtype=np.int64)
+    return lut[dom.indices.to_numpy()]
 
 
 # floor on balanced-emission chunk rows: below this, per-task overhead
@@ -572,10 +621,7 @@ class SchedulerPool:
             if counters:
                 ray.get(self.actors[0].offer.remote(tbl, counters))
             return 0
-        dom = pc.dictionary_encode(tbl.column("domain_key").combine_chunks())
-        lut = np.array([shard_of_domain(d, self.n_shards)
-                        for d in dom.dictionary.to_pylist()], dtype=np.int64)
-        shard_np = lut[dom.indices.to_numpy()]
+        shard_np = _route_by_domain(tbl, self.n_shards)
         refs = []
         for s in np.unique(shard_np):
             ix = np.flatnonzero(shard_np == s)
@@ -675,13 +721,63 @@ class SchedulerPool:
             os.replace(tmp, os.path.join(directory, f"sched_shard_{i:04d}.bin"))
 
     def restore(self, directory: str) -> None:
+        """Restore from shard dumps. Positional when the dump count
+        matches this pool's shard count; otherwise RE-SHARD: each old
+        dump's pending store is re-routed by domain hash under the new
+        count (``admit_restored`` — no counter double-count), spill-run
+        ownership moves to each domain's new shard, and the merged
+        scalar counters ride on shard 0 so pool-level sums are exact.
+        Emission order and final output are shard-count-independent
+        (tests/test_crawl_conformance.py pins this), so a checkpoint
+        taken at N shards resumes bit-identically at M
+        (tests/test_reshard.py)."""
+        import glob
         import os
 
+        files = sorted(glob.glob(os.path.join(directory, "sched_shard_*.bin")))
+        assert files, f"no scheduler-shard dumps under {directory}"
+        if len(files) == self.n_shards:
+            refs = []
+            for path, a in zip(files, self.actors):
+                with open(path, "rb") as f:
+                    refs.append(a.restore.remote(f.read()))
+            ray.get(refs)
+            return
+        merged_counters: dict[str, int] = {}
+        n_offered = n_upgraded = n_spilled = n_loaded = 0
+        spill_seq = 0
+        runs_by_shard: list[dict] = [{} for _ in self.actors]
         refs = []
-        for i, a in enumerate(self.actors):
-            with open(os.path.join(directory, f"sched_shard_{i:04d}.bin"), "rb") as f:
-                refs.append(a.restore.remote(f.read()))
+        for path in files:   # one old dump in driver memory at a time
+            with open(path, "rb") as f:
+                d = pickle.loads(f.read())
+            for k, v in d.get("counters", {}).items():
+                merged_counters[k] = merged_counters.get(k, 0) + int(v)
+            n_offered += d["offered"]
+            n_upgraded += d["upgraded"]
+            n_spilled += d.get("n_spilled", 0)
+            n_loaded += d.get("n_loaded", 0)
+            spill_seq = max(spill_seq, d.get("spill_seq", 0))
+            for domain, depth_runs in d.get("runs", {}).items():
+                s = shard_of_domain(domain, self.n_shards)
+                dst = runs_by_shard[s].setdefault(domain, {})
+                for depth, paths in depth_runs.items():
+                    dst.setdefault(depth, []).extend(paths)
+            store = d["store"]
+            if store is not None and store.num_rows:
+                shard_np = _route_by_domain(store, self.n_shards)
+                for s in np.unique(shard_np):
+                    ix = np.flatnonzero(shard_np == s)
+                    refs.append(self.actors[int(s)].admit_restored.remote(
+                        store.take(pa.array(ix))))
         ray.get(refs)
+        ray.get([
+            a.set_restored_meta.remote(
+                merged_counters if i == 0 else None,
+                n_offered if i == 0 else 0, n_upgraded if i == 0 else 0,
+                runs_by_shard[i], spill_seq,
+                n_spilled if i == 0 else 0, n_loaded if i == 0 else 0)
+            for i, a in enumerate(self.actors)])
 
     def shutdown(self) -> None:
         """Terminate the shard actors (end-of-run cleanup)."""

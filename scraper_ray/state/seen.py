@@ -47,9 +47,29 @@ class SeenShard:
     def restore(self, blob: bytes) -> None:
         self.state = SeenShardState.load(blob)
 
+    def ingest(self, digests: list[bytes]) -> int:
+        """Bulk-load digests (re-shard restore path). Same insert path as
+        ``add_if_new`` so the rebuilt filter is deterministic for a given
+        arrival order; returns the count actually new to this shard."""
+        return int(np.asarray(self.state.add_if_new(digests)).sum())
+
 
 def shard_of(digest: bytes, n_shards: int) -> int:
     return int.from_bytes(digest[12:16], "big") % n_shards
+
+
+def shards_of_np(digests: np.ndarray, n_shards: int) -> np.ndarray:
+    """Vectorized ``shard_of`` over an S20 digest array: bytes 12..16
+    big-endian -> uint32 -> mod n_shards. One numpy pass, no per-digest
+    Python."""
+    if len(digests) == 0:
+        return np.zeros(0, dtype=np.int64)
+    u = digests.view(np.uint8).reshape(len(digests), 20)
+    key = (u[:, 12].astype(np.uint32) << 24
+           | u[:, 13].astype(np.uint32) << 16
+           | u[:, 14].astype(np.uint32) << 8
+           | u[:, 15].astype(np.uint32))
+    return (key % np.uint32(n_shards)).astype(np.int64)
 
 
 class ShardedSeen:
@@ -64,22 +84,25 @@ class ShardedSeen:
 
     def _fanout(self, method: str, digests: list[bytes]) -> np.ndarray:
         """Group digests by owning shard, one batched RPC per shard,
-        recombine the per-digest boolean mask."""
+        recombine the per-digest boolean mask. Routing is one vectorized
+        numpy pass (``shards_of_np``) — this runs inside every fetch /
+        discover task, so per-digest Python here taxes the whole crawl."""
         n = len(digests)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        by_shard: dict[int, list[int]] = {}
-        for i, d in enumerate(digests):
-            by_shard.setdefault(shard_of(d, self.n_shards), []).append(i)
-        shards = list(by_shard.keys())
-        refs = [
-            getattr(self.actors[s], method).remote(
-                [digests[i] for i in by_shard[s]])
-            for s in shards
-        ]
+        arr = np.asarray(digests, dtype="S20")
+        sh = shards_of_np(arr, self.n_shards)
         mask = np.zeros(n, dtype=bool)
-        for s, res in zip(shards, ray.get(refs)):
-            mask[np.asarray(by_shard[s])] = res
+        idxs, refs = [], []
+        for s in np.unique(sh):
+            ix = np.flatnonzero(sh == s)
+            idxs.append(ix)
+            # index the ORIGINAL list: numpy S20 -> tolist() strips
+            # trailing \x00 bytes, which would corrupt 1-in-256 digests
+            refs.append(getattr(self.actors[int(s)], method).remote(
+                [digests[i] for i in ix]))
+        for ix, res in zip(idxs, ray.get(refs)):
+            mask[ix] = res
         return mask
 
     def add_if_new(self, digests: list[bytes]) -> np.ndarray:
@@ -104,12 +127,47 @@ class ShardedSeen:
             os.replace(tmp, os.path.join(directory, f"seen_shard_{i:04d}.bin"))
 
     def restore(self, directory: str) -> None:
-        refs = []
-        for i, a in enumerate(self.actors):
-            path = os.path.join(directory, f"seen_shard_{i:04d}.bin")
+        """Restore from shard dumps. When the dump count equals this
+        pool's shard count the restore is positional (bit-identical
+        filters). When it differs — a checkpoint taken on an N-shard
+        cluster resumed at M shards — digests are RE-ROUTED: each old
+        dump's exact set is re-partitioned by ``shards_of_np`` under the
+        new count and bulk-ingested. The rebuilt cuckoo filters differ in
+        layout (insertion order changed) but membership is exact either
+        way (the exact set backs every positive), so crawl output is
+        unchanged (tests/test_reshard.py)."""
+        import glob
+
+        files = sorted(glob.glob(os.path.join(directory, "seen_shard_*.bin")))
+        assert files, f"no seen-shard dumps under {directory}"
+        if len(files) == self.n_shards:
+            refs = []
+            for path, a in zip(files, self.actors):
+                with open(path, "rb") as f:
+                    refs.append(a.restore.remote(f.read()))
+            ray.get(refs)
+            return
+        import pickle
+
+        # one old dump in driver memory at a time; at 10^10-digest scale
+        # the dumps become parquet digest runs and this loop a Ray Data
+        # map_batches over them (same routing kernel), but the re-shard
+        # event itself is rare enough that driver chunking suffices here
+        for path in files:
             with open(path, "rb") as f:
-                refs.append(a.restore.remote(f.read()))
-        ray.get(refs)
+                exact = pickle.loads(f.read())["exact"]
+            if not exact:
+                continue
+            arr = np.asarray(exact, dtype="S20")
+            sh = shards_of_np(arr, self.n_shards)
+            refs = []
+            for s in np.unique(sh):
+                ix = np.flatnonzero(sh == s)
+                digs = [exact[i] for i in ix]
+                refs.extend(
+                    self.actors[int(s)].ingest.remote(digs[off:off + 65536])
+                    for off in range(0, len(digs), 65536))
+            ray.get(refs)
 
     def shutdown(self) -> None:
         """Terminate the shard actors (end-of-run cleanup)."""
