@@ -180,6 +180,42 @@ def _preseed_seen(skip_urls: list[str] | rd.Dataset,
     return int(marked["n"].sum())
 
 
+def _micro_wave_task(tbl: pa.Table, fetch_fn, discover_fn,
+                     out_path: str) -> int:
+    """One tiny-wave chunk: fetch -> discover/offer -> parquet part, as a
+    plain Ray task. A streaming Dataset execution costs ~100 ms of
+    setup regardless of size — the right price for a 200k-row wave,
+    pure overhead for the long tail of <~2k-row waves every frontier
+    exhausts into (the profile showed 11 of 13 bench waves under 150
+    rows). Output rows and offer RPCs are identical to the pipeline
+    path; only the executor differs."""
+    import pyarrow.parquet as pq
+
+    out = discover_fn(fetch_fn(tbl))
+    pq.write_table(out, out_path)
+    return out.num_rows
+
+
+_micro_wave_remote = None   # lazily-decorated (keeps import side-effect free)
+
+
+def _micro_wave(refs: list, fetch_ref, disc_ref, wave_dir: str) -> None:
+    """*fetch_ref*/*disc_ref* are object refs put ONCE per crawl —
+    re-putting the stage closures (which carry the seen/sched actor
+    handles) per wave costs ~100 ms, defeating the fast path."""
+    import ray
+
+    global _micro_wave_remote
+    if _micro_wave_remote is None:
+        _micro_wave_remote = ray.remote(_micro_wave_task)
+    os.makedirs(wave_dir, exist_ok=True)
+    ray.get([
+        _micro_wave_remote.remote(
+            r, fetch_ref, disc_ref,
+            os.path.join(wave_dir, f"part-{i:05d}.parquet"))
+        for i, r in enumerate(refs)])
+
+
 def _default_shard_count() -> int:
     """Seen/scheduler shard count for a fresh run: one admission point
     per ~4 cluster cores, floor 4. Each shard admits ~450-500k rows/s
@@ -304,6 +340,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         fetch_cls, fetch_kwargs = FetchParse, {"web_cfg": ccfg.web}
     fetch_fn = fetch_cls(**fetch_kwargs)
     discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
+    micro_refs = None   # (fetch_ref, disc_ref), put lazily on first use
     wave = start_wave
     while wave < ccfg.max_waves:
         refs, n_wave = sched.next_wave_refs(wave, chunk_rows=ccfg.batch_size)
@@ -315,33 +352,44 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                 break
             wave += 1
             continue
-        # skew rebalancing happens at emission: shards pre-split their
-        # wave into ≤batch_size chunks (one block per ref), so a heavy
-        # domain's rows spread over the pool with no repartition barrier
-        # batch_size=None: one emitted chunk == one block == one task
-        # batch. The scheduler pool already balanced chunk sizes against
-        # the global wave and the core count; letting map_batches
-        # re-bundle toward a row target would pair trailing slivers with
-        # full chunks into double-length straggler tasks.
-        ds = rd.from_arrow_refs(refs)
-        if ccfg.fetch_concurrency is None:
-            ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
-                                batch_size=None, zero_copy_batch=True)
-        else:
-            ds = ds.map_batches(
-                fetch_cls,
-                fn_constructor_kwargs=fetch_kwargs,
-                batch_format="pyarrow",
-                batch_size=None,
-                concurrency=ccfg.fetch_concurrency,
-                zero_copy_batch=True,
-            )
-        ds = ds.map_batches(discover_fn, batch_format="pyarrow",
-                            batch_size=None, zero_copy_batch=True)
         from .sources.io import write_dataset
 
         wave_dir = os.path.join(ccfg.out_dir, f"wave={wave:05d}")
-        write_dataset(ds, wave_dir, format=ccfg.sink_format)
+        if (n_wave <= max(2048, ccfg.batch_size)
+                and ccfg.fetch_concurrency is None
+                and ccfg.sink_format == "parquet"):
+            # tiny-wave fast path: plain tasks, no streaming-executor
+            # setup (~100 ms/wave saved across the frontier's long tail)
+            if micro_refs is None:
+                import ray
+
+                micro_refs = (ray.put(fetch_fn), ray.put(discover_fn))
+            _micro_wave(refs, micro_refs[0], micro_refs[1], wave_dir)
+        else:
+            # skew rebalancing happens at emission: shards pre-split their
+            # wave into ≤batch_size chunks (one block per ref), so a heavy
+            # domain's rows spread over the pool with no repartition barrier
+            # batch_size=None: one emitted chunk == one block == one task
+            # batch. The scheduler pool already balanced chunk sizes against
+            # the global wave and the core count; letting map_batches
+            # re-bundle toward a row target would pair trailing slivers with
+            # full chunks into double-length straggler tasks.
+            ds = rd.from_arrow_refs(refs)
+            if ccfg.fetch_concurrency is None:
+                ds = ds.map_batches(fetch_fn, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+            else:
+                ds = ds.map_batches(
+                    fetch_cls,
+                    fn_constructor_kwargs=fetch_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=ccfg.fetch_concurrency,
+                    zero_copy_batch=True,
+                )
+            ds = ds.map_batches(discover_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+            write_dataset(ds, wave_dir, format=ccfg.sink_format)
         # per-partition lineage: each wave dir records exactly which
         # scheduler shards produced how many of its rows and the run
         # counters at emission, so any output partition is traceable to

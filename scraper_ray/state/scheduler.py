@@ -213,6 +213,7 @@ class SchedulerShard:
         self.store: pa.Table | None = None
         # offered-but-not-yet-compacted batches (may contain duplicates)
         self.fresh: list[pa.Table] = []
+        self.fresh_rows = 0
         # url_sha1 of every pending URL (store + fresh, unique) — gives
         # offer() its exact new-unique count in O(batch) set ops
         self.pending_set: set[bytes] = set()
@@ -246,12 +247,25 @@ class SchedulerShard:
         ps.update(tbl.column("url_sha1").to_pylist())
         n_new = len(ps) - n_before
         self.fresh.append(tbl)
+        self.fresh_rows += tbl.num_rows
         self.n_offered += n_new
         if n_new:
             self.run_counters["n_offered"] = (
                 self.run_counters.get("n_offered", 0) + n_new)
         self._maybe_spill()
+        # eager compaction: offers arrive while the wave's fetch stream
+        # is still draining (discover tasks RPC as they finish), so fold
+        # fresh into the sorted store NOW — on this shard's own process,
+        # overlapped with fetch — instead of leaving the whole wave's
+        # sort to the barrier where the fetch pool sits idle. The
+        # store/2 guard keeps total sort work amortized O(n log n): a
+        # large store never re-sorts for a trickle of offers.
+        if self.fresh_rows >= max(4096, self._store_rows() // 2):
+            self._compact()
         return n_new
+
+    def _store_rows(self) -> int:
+        return self.store.num_rows if self.store is not None else 0
 
     # -- compaction ---------------------------------------------------------
 
@@ -263,6 +277,7 @@ class SchedulerShard:
             return
         parts = self.fresh if self.store is None else [self.store, *self.fresh]
         self.fresh = []
+        self.fresh_rows = 0
         tbl = pa.concat_tables(parts).combine_chunks()
         tbl = tbl.sort_by(_SORT_KEYS)
         sha = _sha1_np(tbl.column("url_sha1"))
@@ -370,6 +385,7 @@ class SchedulerShard:
                 shas = [s for s, k in zip(shas, keep) if k]
         if tbl.num_rows:
             self.fresh.append(tbl)
+            self.fresh_rows += tbl.num_rows
             self.pending_set.update(shas)
 
     def _load_eligible_runs(self, min_depth: int | None) -> None:
@@ -521,6 +537,7 @@ class SchedulerShard:
         d = pickle.loads(blob)
         self.store = d["store"]
         self.fresh = []
+        self.fresh_rows = 0
         self.pending_set = (
             set(self.store.column("url_sha1").to_pylist())
             if self.store is not None else set())
@@ -545,6 +562,7 @@ class SchedulerShard:
             return 0
         self.pending_set.update(tbl.column("url_sha1").to_pylist())
         self.fresh.append(tbl)
+        self.fresh_rows += tbl.num_rows
         return tbl.num_rows
 
     def set_restored_meta(self, counters: dict | None, n_offered: int,
