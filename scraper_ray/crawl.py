@@ -76,7 +76,10 @@ class CrawlConfig:
     sched_spill_threshold: int = 0
     # doc sink format per wave dir: 'lance' is the north rule's target
     # (distributed fragment writes, sources/io.py); falls back to
-    # parquet with the same wave-dir layout when lance is not installed
+    # parquet with the same wave-dir layout when lance is not installed.
+    # 'warc' archives each wave as WARC shards + a CDX parquet index
+    # (sources/warc.py) — the Common Crawl interchange layout; read back
+    # with read_docs(out_dir, format='warc') or any CDX-aware reader
     sink_format: str = "parquet"
 
 
@@ -436,7 +439,17 @@ def read_docs(out_dir: str, format: str = "parquet") -> rd.Dataset:
 
     ``format='lance'`` reads each wave's Lance dataset via
     ``ray.data.read_lance`` and unions them (only when the lance
-    package is installed; the sink falls back to parquet otherwise)."""
+    package is installed; the sink falls back to parquet otherwise).
+
+    ``format='warc'`` parses the wave dirs' WARC shards (one task per
+    shard; the _cdx parquet and _LINEAGE files are extension-filtered
+    out) into RECORD rows — url, doc_id, payload digest and the
+    canonical span-text payload. WARC is the archival view: the
+    numeric span offsets live only in the parquet/lance sinks."""
+    if format == "warc":
+        from .sources.warc import read_warc
+
+        return read_warc(out_dir)
     if format == "lance":
         import lance  # noqa: F401  (gate: raises cleanly when absent)
 

@@ -68,6 +68,20 @@ def write_dataset(ds: rd.Dataset, path: str, format: str = "parquet") -> str:
             lance.write_dataset(batch, path, mode="create" if first else "append")
             first = False
         return path
+    if format == "warc":
+        # archival crawl sink (ISO 28500): WARC shards under *path* plus
+        # the CDX index as parquet under *path*/_cdx — consuming the CDX
+        # dataset drives the distributed shard write (sources/warc.py).
+        # Task-pool stage: the writer is stateless beyond its target dir,
+        # so per-wave actor spin-up would be pure overhead.
+        import os
+
+        from .warc import WarcShardWriter
+
+        cdx = ds.map_batches(WarcShardWriter(path), batch_size=4096,
+                             batch_format="pyarrow")
+        cdx.write_parquet(os.path.join(path, "_cdx"))
+        return path
     if format == "csv":
         ds.write_csv(path)
         return path

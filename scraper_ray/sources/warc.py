@@ -120,6 +120,9 @@ class WarcShardWriter:
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # instance may have been pickled to a task on another node where
+        # __init__'s makedirs never ran
+        os.makedirs(self.out_dir, exist_ok=True)
         urls = t.column("url").to_pylist()
         spans_col = t.column("spans").to_pylist()
         doc_ids = (t.column("doc_id").to_pylist()

@@ -127,3 +127,47 @@ def test_distributed_roundtrip(ray_session, tmp_path):
     # index digests equal record digests
     assert (dict(zip(cdx["url"], cdx["digest"]))
             == dict(zip(back["url"], back["digest"])))
+
+
+def test_crawl_to_warc_sink(ray_session, tmp_path):
+    """sink_format='warc' makes the archive a first-class crawl output:
+    each wave dir holds WARC shards + a _cdx parquet index, the record
+    readback covers exactly the oracle's seen set with self-consistent
+    digests, and a CDX row random-accesses its record."""
+    import pyarrow.parquet as pq
+
+    from scraper_ray.crawl import CrawlConfig, crawl, read_docs
+    from scraper_ray.oracle import crawl_oracle
+    from scraper_ray.synthweb import WebConfig, default_politeness, gen_seeds
+
+    web = WebConfig(seed=5, n_entities=6, items_per_page=4, max_pages_cap=6,
+                    dup_rate=0.2, alias_rate=0.2)
+    pol = default_politeness(web, wave_units=10)
+    seeds = gen_seeds(web, 30)
+    out = str(tmp_path / "docs")
+    stats = crawl(seeds, CrawlConfig(web=web, politeness=pol, out_dir=out,
+                                     batch_size=64, sink_format="warc"))
+    wave_dirs = sorted(glob.glob(os.path.join(out, "wave=*")))
+    assert len(wave_dirs) == stats.waves
+    for d in wave_dirs:
+        assert glob.glob(os.path.join(d, "part-*.warc.gz"))
+        assert glob.glob(os.path.join(d, "_cdx", "*.parquet"))
+
+    oracle = crawl_oracle(seeds, web, pol)
+    recs = read_docs(out, format="warc").to_pandas()
+    assert set(recs["url"]) == oracle.seen
+    assert len(recs) == stats.docs
+    # record digests are self-consistent with their payload bytes
+    assert all(hashlib.md5(p).hexdigest() == dg
+               for p, dg in zip(recs["payload"], recs["digest"]))
+
+    # CDX random access: every row of one wave's index resolves to its
+    # record without reading the rest of the shard
+    cdx = pq.read_table(os.path.join(wave_dirs[0], "_cdx")).to_pylist()
+    assert cdx
+    for row in cdx[:5]:
+        one = read_warc_member(
+            os.path.join(wave_dirs[0], row["filename"]),
+            row["offset"], row["member_length"]).to_pylist()
+        assert len(one) == 1 and one[0]["url"] == row["url"]
+        assert one[0]["digest"] == row["digest"]
