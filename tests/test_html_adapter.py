@@ -137,3 +137,59 @@ def test_per_domain_adapter_registry_routes_by_netloc(ray_session):
         assert custom["children"] == plain["children"]
     finally:
         registry.clear()
+
+
+def test_backend_registry_has_stdlib_and_prefers_lxml():
+    from scraper_ray.adapters.html import DEFAULT_BACKEND, DOM_BACKENDS
+
+    assert "stdlib" in DOM_BACKENDS
+    # lxml registers itself when importable and becomes the default
+    try:
+        import lxml.html  # noqa: F401
+    except ImportError:
+        assert DEFAULT_BACKEND == "stdlib"
+    else:
+        assert "lxml" in DOM_BACKENDS and DEFAULT_BACKEND == "lxml"
+
+
+@pytest.mark.parametrize("fixture", ["list_page.html", "detail_page.html"])
+def test_backends_agree_on_shared_fixtures(fixture):
+    """Every registered backend must produce identical span/link/field
+    output on the shared fixtures (in-sandbox this covers stdlib alone;
+    where lxml is installed it pins stdlib == lxml)."""
+    from scraper_ray.adapters.html import DOM_BACKENDS, parse
+
+    raw = _read(fixture)
+    results = {b: parse(raw, backend=b) for b in DOM_BACKENDS}
+    base = results["stdlib"]
+    for name, got in results.items():
+        assert got.page_type == base.page_type, name
+        assert got.spans == base.spans, name
+        assert got.child_urls == base.child_urls, name
+        assert got.fields == base.fields, name
+
+
+def test_elem_to_node_matches_stdlib_tree():
+    """The lxml-side element converter (shared node-dict shape) places
+    text and tails exactly like the stdlib parser — validated here via
+    xml.etree (same element API lxml exposes), since lxml itself may be
+    absent in the sandbox."""
+    import xml.etree.ElementTree as ET
+
+    from scraper_ray.adapters.html import (_build_dom_stdlib, _elem_to_node,
+                                           _find_all, _first_img_src, _text)
+
+    doc = ('<div class="a"><p>hello <b>bold</b> tail</p>'
+           '<div class="cell"><img src="x.png"/>after</div></div>')
+    via_etree = {"tag": "", "attrs": {}, "text": [],
+                 "children": [_elem_to_node(ET.fromstring(doc))]}
+    via_stdlib = _build_dom_stdlib(doc)
+
+    def norm(node):
+        return (node["tag"], tuple(sorted(node["attrs"].items())),
+                _text(node), tuple(norm(c) for c in node["children"]))
+
+    assert norm(via_etree) == norm(via_stdlib)
+    a = _find_all(via_etree, lambda n: n["attrs"].get("class") == "cell")
+    b = _find_all(via_stdlib, lambda n: n["attrs"].get("class") == "cell")
+    assert _first_img_src(a[0]) == _first_img_src(b[0]) == "x.png"
