@@ -110,6 +110,36 @@ class CuckooFilter:
         return float(self.n_items) / (self.table.size or 1)
 
 
+def _probe_np(filt: CuckooFilter, digests: list[bytes]) -> np.ndarray:
+    """Vectorized cuckoo membership for a digest batch: one numpy pass
+    computes every row's fingerprint and both bucket indices and probes
+    the whole table at once — no per-digest Python on the admission hot
+    path (round-3 VERDICT: the per-digest loop bounded barrier marking
+    and the discover stage's child probes). Exactly mirrors
+    ``CuckooFilter.contains`` incl. the overflow fallback (scanned only
+    for table-miss rows, and only when overflow is non-empty)."""
+    n = len(digests)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    u = np.asarray(digests, dtype="S20").view(np.uint8).reshape(n, 20)
+    fp = (u[:, 0].astype(np.uint16) << np.uint16(8)) | u[:, 1]
+    fp[fp == 0] = 1
+    i1 = (np.ascontiguousarray(u[:, 4:12]).view("<u8").reshape(n)
+          & np.uint64(filt.mask))
+    x = fp.astype(np.uint32) * np.uint32(0x5BD1E995)
+    x ^= x >> np.uint32(13)
+    i2 = (i1 ^ x.astype(np.uint64)) & np.uint64(filt.mask)
+    hit = ((filt.table[i1] == fp[:, None]).any(axis=1)
+           | (filt.table[i2] == fp[:, None]).any(axis=1))
+    if filt.overflow:
+        for i in np.flatnonzero(~hit):
+            key = int(fp[i])
+            if ((int(i1[i]), key) in filt.overflow
+                    or (int(i2[i]), key) in filt.overflow):
+                hit[i] = True
+    return hit
+
+
 class SeenShardState:
     """Filter fast-path + exact backing set for one shard.
 
@@ -117,6 +147,10 @@ class SeenShardState:
     digest (in order) report whether it is fresh, inserting as it goes —
     within-batch duplicates resolve to first-occurrence-wins, matching the
     oracle's first-discovery-wins admission.
+
+    Both batch ops probe the filter with one vectorized pass
+    (``_probe_np``); per-digest Python survives only in the insert loop,
+    which runs once per genuinely-new digest over the whole crawl.
     """
 
     def __init__(self, capacity: int = 1 << 16):
@@ -124,24 +158,31 @@ class SeenShardState:
         self.exact: set[bytes] = set()
 
     def add_if_new(self, digests: list[bytes]) -> list[bool]:
-        out = []
-        for d in digests:
-            if not self.filter.contains(d):
-                # definitely new (no false negatives)
-                self.filter.insert(d)
-                self.exact.add(d)
-                out.append(True)
-            elif d in self.exact:
-                out.append(False)
-            else:
-                # filter false positive — exact set disagrees -> new
-                self.filter.insert(d)
-                self.exact.add(d)
-                out.append(True)
-        return out
+        n = len(digests)
+        if n == 0:
+            return []
+        maybe = _probe_np(self.filter, digests)
+        out = np.zeros(n, dtype=bool)
+        seen_in_batch: set[bytes] = set()
+        ins = self.filter.insert
+        exact = self.exact
+        for i in range(n):
+            d = digests[i]
+            # filter hit -> consult exact (false positives resolve new);
+            # filter miss -> definitely new unless an earlier row of THIS
+            # batch inserted it (the probe predates the batch's inserts)
+            if d in seen_in_batch or (maybe[i] and d in exact):
+                continue
+            ins(d)
+            exact.add(d)
+            seen_in_batch.add(d)
+            out[i] = True
+        return out.tolist()
 
     def contains_batch(self, digests: list[bytes]) -> list[bool]:
-        return [self.filter.contains(d) and d in self.exact for d in digests]
+        maybe = _probe_np(self.filter, digests)
+        exact = self.exact
+        return [bool(m) and d in exact for m, d in zip(maybe, digests)]
 
     def __len__(self) -> int:
         return len(self.exact)
