@@ -2,7 +2,12 @@
 compare against ``oracle_sql()`` via DuckDB (row count + schema-name set
 + order-insensitive value hash), the way the driver's gate does.
 
-Usage: python tools/check_oracles.py [sf_dir] [name ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` additionally persists the per-query results in the driver's
+CORRECTNESS_r{N}.json shape, so a full 120-query run at final HEAD can
+ship with the repo (the driver gate samples a subset; the artifact
+reconciles the full-set claim without a re-run).
 """
 
 from __future__ import annotations
@@ -67,8 +72,13 @@ def main() -> int:
 
     import __ray_entry__ as e
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs, oracles = e.queries(), e.oracle_sql()
 
     # these oracles embed gate-tier fixtures/constants (sequential-crawl
@@ -87,6 +97,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,23 +106,34 @@ def main() -> int:
             mine = to_pandas(fn(pinned if name in pinned_qs else sf))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "err": f"{type(ex).__name__}: {ex}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={len(mine)} cols={sorted(mine.columns)}"
                   f" [rows-only] {dt:.1f}s")
+            results[name] = {"rows_only": True, "spark_rows": len(mine),
+                             "err": None}
             n_pass += 1
             continue
         try:
             orc = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL raised {ex}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"oracle: {ex}"}
             n_fail += 1
             continue
         ok_rows = len(mine) == len(orc)
         ok_cols = sorted(mine.columns) == sorted(orc.columns)
         ok_hash = ok_rows and ok_cols and value_hash(mine) == value_hash(orc)
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(mine),
+                         "oracle_rows": len(orc), "sec": round(dt, 2),
+                         "err": None}
         if ok_hash:
             print(f"PASS {name}: rows={len(mine)} {dt:.1f}s")
             n_pass += 1
@@ -126,6 +148,13 @@ def main() -> int:
                 print("  differing cols:", list(diff[diff].index))
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
