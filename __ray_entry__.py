@@ -37,16 +37,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         packing,
         relational,
+        sketch,
         stats,
         temporal,
         text,
+        tpch,
         window,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, dedup, text, ann, enrichment, media,
                 crawl_queries, listing, temporal, corpus, stats, graph,
-                window, packing, archive):
+                window, packing, archive, tpch, sketch):
         out.update(mod.QUERIES)
     return out
 
@@ -64,9 +66,11 @@ def oracle_sql() -> dict[str, str]:
         media,
         packing,
         relational,
+        sketch,
         stats,
         temporal,
         text,
+        tpch,
         window,
     )
 
@@ -77,7 +81,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (relational, dedup, text, ann, temporal, crawl_queries,
                 listing, enrichment, media, corpus, stats, graph, window,
-                packing, archive):
+                packing, archive, tpch, sketch):
         out.update(mod.ORACLE_SQL)
     # generated at call time: inlines the gate tier's k-means centroids
     out["ann_ivf_topk"] = ann.ivf_oracle_sql()

@@ -1,0 +1,238 @@
+"""Multi-table analytical joins in the TPC-H Q5/Q10 shape.
+
+The reference's analytical surface is single-join + groupby summaries
+(handlers/cn_postalcode.py:184-216 aggregates, utility_commons.py:116-130
+sink joins); production curation pipelines routinely chain 4-6 tables
+(fact x fact x several dims). These two queries exercise that plan shape
+end-to-end on the driver's star schema:
+
+- ``regional_volume`` (TPC-H Q5 shape): lineitem x orders is the one
+  big-big hash join; every dimension (supplier, customer->nation,
+  nation->region) rides ``ray.put`` broadcast lookups inside the SAME
+  map over the join output — at 100 TB the fact-fact join is the only
+  all-to-all exchange, dims are one object-store read per actor.
+- ``returned_revenue`` (TPC-H Q10 shape): flag-filtered fact join, a
+  groupby to O(customers) rows, distributed top-k by (revenue, key),
+  then the k winning rows (bounded, k=20) pick up customer/nation
+  attributes driver-side.
+
+Money sums follow the repo's exact-integer discipline (``int_scaled``;
+see pipelines/common.py) so the distributed sum is bit-equal to the
+DuckDB oracle regardless of addition order.
+
+Broadcast-dim discipline: each lookup dict is built only when the dim's
+row count is under ``_DIM_BROADCAST_CAP`` (TPC-H dims scale far slower
+than facts; suppliers = 0.01 x lineitem). Past the cap the query raises
+rather than silently materializing an unbounded driver dict — the
+hash-join fallback for oversized dims already exists as ``q_join_hash``'s
+plan and would replace the lookup here.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .common import int_scaled as _int_scaled
+from .common import read_sf_table as _t
+
+_DIM_BROADCAST_CAP = 4_000_000
+
+Q5_REGION = "ASIA"
+Q5_T0 = _dt.datetime(1996, 1, 1)
+Q5_T1 = _dt.datetime(1997, 1, 1)
+
+
+def _dim_map(sf_dir: str, table: str, key: str, val: str) -> dict:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    if tbl.num_rows > _DIM_BROADCAST_CAP:
+        raise ValueError(
+            f"{table} exceeds the broadcast cap ({tbl.num_rows} rows); "
+            "switch this dim to the hash-join plan (q_join_hash shape)")
+    return dict(zip(tbl.column(key).to_pylist(), tbl.column(val).to_pylist()))
+
+
+def q_regional_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 shape: revenue by nation for orders placed in 1996 where
+    the customer and the line's supplier sit in the same ASIA nation.
+
+    Plan: orders is date-pruned at the read and hash-joined to lineitem
+    (the single big-big exchange); supplier->nation, customer->nation
+    and the region's nation set are ``ray.put`` broadcast dicts applied
+    in one vectorized map over the join output; the final groupby
+    carries O(nations) rows."""
+    nat_region = _dim_map(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    nat_name = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    region_name = _dim_map(sf_dir, "region", "r_regionkey", "r_name")
+    region_nations = {nk for nk, rk in nat_region.items()
+                      if region_name[rk] == Q5_REGION}
+    name_of = {nk: nat_name[nk] for nk in region_nations}
+    cust_ref = ray.put(_dim_map(sf_dir, "customer", "c_custkey",
+                                "c_nationkey"))
+    supp_ref = ray.put(_dim_map(sf_dir, "supplier", "s_suppkey",
+                                "s_nationkey"))
+    name_ref = ray.put(name_of)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prune_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(Q5_T0)),
+            pc.less(t.column("o_orderdate"), pa.scalar(Q5_T1)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(prune_orders, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "rev_c": _int_scaled(rev, 10_000)})
+
+    line = line.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = line.join(orders, join_type="inner", num_partitions=16,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def dims(t: pa.Table) -> pa.Table:
+        cust_nat = ray.get(cust_ref)
+        supp_nat = ray.get(supp_ref)
+        names = ray.get(name_ref)
+        cn = [cust_nat.get(k) for k in t.column("o_custkey").to_pylist()]
+        sn = [supp_nat.get(k) for k in t.column("l_suppkey").to_pylist()]
+        n_name = [names.get(c) if c == s and c is not None else None
+                  for c, s in zip(cn, sn)]
+        out = pa.table({"n_name": pa.array(n_name, pa.string()),
+                        "rev_c": t.column("rev_c")})
+        return out.filter(pc.is_valid(out.column("n_name")))
+
+    agg = (joined.map_batches(dims, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("rev_c", alias_name="rev_c"),
+                      Count(alias_name="n_items")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "revenue": pc.divide(pc.cast(t.column("rev_c"), pa.float64()),
+                                 10_000.0),
+            "n_items": pc.cast(t.column("n_items"), pa.int64()),
+        })
+
+    from .common import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(finish, batch_format="pyarrow")
+
+
+RETURNED_TOP_K = 20
+
+
+def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
+    """TPC-H Q10 shape: the top-*k* customers by revenue of returned
+    line items (``l_returnflag = 'R'``), with name and nation.
+
+    Plan: the flag filter prunes lineitem in the map before the single
+    fact-fact hash join; the groupby collapses to O(customers) rows; a
+    distributed sort + limit picks the k winners (ties break by custkey
+    ascending — deterministic); only those k rows (bounded by the
+    constant k, never data-sized) take their customer/nation attributes
+    from driver-side dim reads."""
+    import pyarrow.parquet as pq
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_c": _int_scaled(rev, 10_000)})
+
+    line = line.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = line.join(orders, join_type="inner", num_partitions=16,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = (joined.groupby("o_custkey")
+                .aggregate(Sum("rev_c", alias_name="rev_c"),
+                           Count(alias_name="n_items")))
+
+    from .common import drop_empty_blocks
+    top = (drop_empty_blocks(per_cust)
+           .sort(["rev_c", "o_custkey"], descending=[True, False])
+           .limit(k).take_all())
+
+    name_of = _dim_map(sf_dir, "customer", "c_custkey", "c_name")
+    cust_nat = _dim_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nat_name = _dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    return pa.table({
+        "c_custkey": pa.array([r["o_custkey"] for r in top], pa.int64()),
+        "c_name": pa.array([name_of[r["o_custkey"]] for r in top],
+                           pa.string()),
+        "n_name": pa.array([nat_name[cust_nat[r["o_custkey"]]] for r in top],
+                           pa.string()),
+        "revenue": pa.array([r["rev_c"] / 10_000.0 for r in top],
+                            pa.float64()),
+        "n_items": pa.array([r["n_items"] for r in top], pa.int64()),
+    })
+
+
+ORACLE_SQL = {
+    "regional_volume": f"""
+WITH rev AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS rev_c
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey = c.c_nationkey
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT n.n_name,
+       sum(rev.rev_c) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM rev
+JOIN nation n ON rev.nk = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+GROUP BY n.n_name
+""",
+    "returned_revenue": f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS rev_c,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT p.o_custkey AS c_custkey, c.c_name, n.n_name,
+       p.rev_c / 10000.0 AS revenue,
+       CAST(p.n_items AS BIGINT) AS n_items
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY p.rev_c DESC, p.o_custkey ASC
+LIMIT {RETURNED_TOP_K}
+""",
+}
+
+QUERIES = {
+    "regional_volume": q_regional_volume,
+    "returned_revenue": q_returned_revenue,
+}
