@@ -826,6 +826,163 @@ def q_host_graph(sf_dir: str) -> rd.Dataset:
     return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
 
 
+BFS_MAX_HOPS = 30
+_BFS_UNREACHED = 1 << 30     # "infinity" label; far above any real hop count
+
+
+def bfs_hops(nodes: rd.Dataset, edges: rd.Dataset, seeds: rd.Dataset,
+             max_hops: int = BFS_MAX_HOPS,
+             num_partitions: int = 8,
+             inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+    """Min-hop distance from the *seeds* node set over directed (src,
+    dst) edges: (doc_id, hops), hops = -1 for unreachable nodes.
+
+    Distributed plan: level-synchronous relaxation (the BSP BFS /
+    Bellman-Ford hybrid every vertex-centric framework uses) — labels
+    start at 0 for seeds and "infinity" elsewhere; each round is one
+    hash join (labels x edges on src) emitting d+1 candidates at dst,
+    one union with the current labels, one groupby-min. Labels only
+    decrease, so an unchanged label sum is the fixpoint (the same O(1)
+    convergence check as ``connected_components``). Rounds needed =
+    eccentricity of the seed set, never more than *max_hops*. Graphs
+    under ``inline_edge_cap`` take an exact driver numpy fast path
+    (identical semantics, bit-identical output)."""
+    import numpy as np
+    from ray.data.aggregate import Min, Sum
+
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
+                                       "hops": pa.array([], pa.int64())}))
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= inline_edge_cap and n <= inline_edge_cap:
+        node_ids = sorted(r["doc_id"]
+                          for r in nodes.take_all(limit=inline_edge_cap + 1))
+        src_i, dst_i = _edge_indices(edges, node_ids)
+        seed_set = pa.array([r["doc_id"] for r in seeds.take_all()])
+        seed_i = pc.index_in(pa.array(node_ids), value_set=seed_set)
+        d = np.where(np.asarray(seed_i.is_valid()), 0, _BFS_UNREACHED
+                     ).astype(np.int64)
+        for _ in range(max_hops):
+            nd = d.copy()
+            if n_edges:
+                np.minimum.at(nd, dst_i, d[src_i] + 1)
+            if np.array_equal(nd, d):
+                break
+            d = nd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(node_ids, pa.string()),
+            "hops": pa.array(np.where(d >= _BFS_UNREACHED, -1, d),
+                             pa.int64())}))
+
+    seed_ds = drop_empty_blocks(
+        seeds.select_columns(["doc_id"])).materialize()
+
+    def init_seed(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("doc_id"),
+                         "d": pa.array([0] * t.num_rows, pa.int64())})
+
+    def init_inf(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("doc_id"),
+                         "d": pa.array([_BFS_UNREACHED] * t.num_rows,
+                                       pa.int64())})
+
+    labels = drop_empty_blocks(
+        seed_ds.map_batches(init_seed, batch_format="pyarrow")
+        .union(nodes.select_columns(["doc_id"])
+               .map_batches(init_inf, batch_format="pyarrow"))
+        .groupby("node").aggregate(Min("d", alias_name="d"))).materialize()
+    total = labels.sum("d")
+
+    def relax(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = t.column("d").to_numpy().astype(np.int64)
+        return pa.table({"node": t.column("dst"),
+                         "d": pa.array(np.minimum(d + 1, _BFS_UNREACHED),
+                                       pa.int64())})
+
+    for _ in range(max_hops):
+        prop = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+        merged = drop_empty_blocks(
+            prop.map_batches(relax, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node").aggregate(Min("d", alias_name="d"))
+        ).materialize()
+        new_total = merged.sum("d")
+        labels = merged
+        if new_total == total:
+            break
+        total = new_total
+    else:
+        logger.warning("bfs_hops: relaxation hit the %d-round cap before "
+                       "converging", max_hops)
+
+    def rename(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = t.column("d").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t.column("node"),
+                         "hops": pa.array(
+                             np.where(d >= _BFS_UNREACHED, -1, d),
+                             pa.int64())})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def q_link_bfs(sf_dir: str) -> rd.Dataset:
+    """Min-hop histogram of the crawl's link graph from the seed pages:
+    (hops, n_nodes), hops = min link distance from any depth-0 doc over
+    the DISTINCT edge graph, -1 if unreachable. Genuinely different
+    from the crawl's stored ``depth`` (first-discovery path length):
+    budget-deferred emission can record a deeper first-discovery path
+    than the true shortest link path, and BFS here relaxes over ALL
+    edges, not the discovery forest. The DuckDB oracle recomputes the
+    same bounded BFS with a recursive CTE over the sequential oracle
+    crawler's independently-derived fixtures."""
+    from ray.data.aggregate import Count
+
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir)
+    edges = _cached_link_edges(sf_dir)
+    seeds = docs.filter(expr="depth == 0")
+    per_node = bfs_hops(docs.select_columns(["doc_id"]), edges,
+                        seeds.select_columns(["doc_id"]))
+    hist = per_node.groupby("hops").aggregate(Count(alias_name="n_nodes"))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"hops": pc.cast(t.column("hops"), pa.int64()),
+                         "n_nodes": pc.cast(t.column("n_nodes"),
+                                            pa.int64())})
+
+    return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
+
+
+def _link_bfs_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM read_parquet('{ORACLE_EDGES_PATH}')),
+reach(node, d) AS (
+  SELECT doc_id, 0 FROM read_parquet('{ORACLE_DOCS_PATH}') WHERE depth = 0
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {BFS_MAX_HOPS}),
+mind AS (SELECT node, min(d) AS hops FROM reach GROUP BY node),
+perdoc AS (
+  SELECT coalesce(m.hops, -1) AS hops
+  FROM read_parquet('{ORACLE_DOCS_PATH}') doc
+  LEFT JOIN mind m ON m.node = doc.doc_id)
+SELECT CAST(hops AS BIGINT) AS hops,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM perdoc GROUP BY hops
+"""
+
+
 def _link_components_oracle_sql() -> str:
     from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
 
@@ -892,6 +1049,7 @@ FROM ind GROUP BY in_degree
 
 
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
+              "link_bfs": _link_bfs_oracle_sql(),
               "link_pagerank": _pagerank_oracle_sql(),
               "link_hits": _hits_oracle_sql(),
               "anchor_text": _anchor_text_oracle_sql(),
@@ -900,6 +1058,7 @@ ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "host_graph": _host_graph_oracle_sql()}
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
+           "link_bfs": q_link_bfs,
            "link_pagerank": q_link_pagerank,
            "link_hits": q_link_hits,
            "anchor_text": q_anchor_text,

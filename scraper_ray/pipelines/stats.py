@@ -325,6 +325,71 @@ def q_token_df(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# inverted_index (token -> sorted posting list)
+# ---------------------------------------------------------------------------
+
+# singleton tokens carry no retrieval signal and are excluded; posting
+# rows are bounded by emitting only the FIRST posting block (the K
+# lowest doc_ids — real indexes store long lists as chains of such
+# compressed blocks) while df reports the full count
+POSTINGS_DF_MIN = 2
+POSTINGS_BLOCK = 32
+
+
+def q_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Posting-list build: (token, df, postings) with df the full
+    document frequency and postings the token's first posting block —
+    the ``POSTINGS_BLOCK`` lowest doc_ids, comma-joined ascending. The
+    core artifact of a search/retrieval index over a curated corpus.
+
+    Scale shape: per-batch distinct (doc_id, token) pairs (docs land
+    whole in a batch, so batch-local distinct is globally distinct),
+    ONE keyed repartition on token to co-locate each token's rows, then
+    a single vectorized per-batch segmented pass (pandas groupby-agg +
+    cumcount inside the batch — never one Python dispatch per token via
+    map_groups). The block cap bounds every output row; the shuffle
+    carries (token, doc_id) pairs once."""
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            for tok in set(txt.split(" ")):
+                ids.append(did)
+                toks.append(tok)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"token": pd.Series([], dtype="string"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype="string")})
+        df = df.sort_values(["token", "doc_id"])
+        full = df.groupby("token", sort=False)["doc_id"].size()
+        head = df[df.groupby("token", sort=False).cumcount()
+                  < POSTINGS_BLOCK]
+        out = pd.DataFrame({
+            "df": full,
+            "postings": head.groupby("token", sort=False)["doc_id"]
+            .agg(lambda s: ",".join(map(str, s))),
+        }).reset_index()
+        out = out[out["df"] >= POSTINGS_DF_MIN]
+        out["df"] = out["df"].astype("int64")
+        return out[["token", "df", "postings"]]
+
+    return keyed_repartition(pair_ds, ["token"]).map_batches(
+        postings, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # top_terms (per-doc tf-idf keyword extraction)
 # ---------------------------------------------------------------------------
 
@@ -1023,6 +1088,20 @@ SELECT token, CAST(count(*) AS BIGINT) AS df,
              6) AS idf
 FROM tok GROUP BY token
 """,
+    "inverted_index": f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+rk AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM tok)
+SELECT token, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM rk WHERE rn <= {POSTINGS_BLOCK}
+GROUP BY token HAVING max(df) >= {POSTINGS_DF_MIN}
+""",
     "vocab_topk": f"""
 SELECT token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1095,6 +1174,7 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "group_topk": q_group_topk,
     "token_df": q_token_df,
+    "inverted_index": q_inverted_index,
     "top_terms": q_top_terms,
     "vocab_topk": q_vocab_topk,
     "oov_ratio": q_oov_ratio,
