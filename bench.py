@@ -120,7 +120,8 @@ QUERY_NAMES = [
     "gopher_rules", "regex_tokens", "embedding_quantize", "budget_select",
     "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
     "quality_classifier", "perplexity_buckets", "media_dedup",
-    "dedup_funnel",
+    "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
+    "inverted_index", "link_bfs",
 ]
 
 

@@ -250,3 +250,100 @@ def test_mirror_domains_pairs_are_ordered_and_grounded(ray_session):
     cap = pairs.apply(lambda r: min(per_dom[r["domain_a"]],
                                     per_dom[r["domain_b"]]), axis=1)
     assert (pairs["n_shared"] <= cap).all()
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+def _str_edges(pairs):
+    return rd.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.string()),
+        "dst": pa.array([p[1] for p in pairs], pa.string())}))
+
+
+def _ids(names):
+    return rd.from_arrow(pa.table({"doc_id": pa.array(names, pa.string())}))
+
+
+def test_bfs_shortcut_beats_long_path():
+    # s -> a -> b -> c (3 hops) but also s -> c directly: min-hop is 1,
+    # which is exactly how BFS differs from a first-discovery depth
+    from scraper_ray.pipelines.graph import bfs_hops
+
+    nodes = _ids(["s", "a", "b", "c", "iso"])
+    edges = _str_edges([("s", "a"), ("a", "b"), ("b", "c"), ("s", "c")])
+    got = dict(zip(*[bfs_hops(nodes, edges, _ids(["s"])).to_pandas()[c]
+                     for c in ("doc_id", "hops")]))
+    assert got == {"s": 0, "a": 1, "b": 2, "c": 1, "iso": -1}
+
+
+def test_bfs_inline_and_distributed_paths_agree():
+    from scraper_ray.pipelines.graph import bfs_hops
+
+    names = [f"n{i}" for i in range(12)]
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(11)] + [("n0", "n7")]
+    a = bfs_hops(_ids(names), _str_edges(pairs), _ids(["n0"]))
+    b = bfs_hops(_ids(names), _str_edges(pairs), _ids(["n0"]),
+                 inline_edge_cap=0)
+    pda = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert pda.equals(pdb)
+    got = dict(zip(pda["doc_id"], pda["hops"]))
+    assert got["n7"] == 1 and got["n8"] == 2 and got["n6"] == 6
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch
+# ---------------------------------------------------------------------------
+
+def test_hll_register_merge_equals_union():
+    """Register-merge (elementwise max) of two shard sketches must equal
+    the sketch of the union — the property that makes HLL mergeable
+    across corpus shards without rescanning."""
+    import numpy as np
+
+    from scraper_ray.pipelines.sketch import _hll_partial
+
+    a = [f"u{i}" for i in range(500)]
+    b = [f"u{i}" for i in range(300, 900)]
+    merged = np.maximum(_hll_partial(a), _hll_partial(b))
+    assert np.array_equal(merged, _hll_partial(a + b))
+
+
+def test_hll_estimate_within_tolerance():
+    import numpy as np
+
+    from scraper_ray.pipelines.sketch import (
+        _hll_partial, hll_estimate_from_regs)
+
+    n = 20_000
+    est = hll_estimate_from_regs(_hll_partial([f"key-{i}" for i in range(n)]))
+    # standard error ~1.04/sqrt(256) = 6.5%; 3 sigma
+    assert abs(est - n) / n < 0.2, est
+
+
+# ---------------------------------------------------------------------------
+# inverted index posting blocks
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_truncates_posting_block(tmp_path):
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.stats import (
+        POSTINGS_BLOCK, q_inverted_index)
+
+    n = POSTINGS_BLOCK + 17
+    texts = ["common alpha" if i % 2 == 0 else "common beta"
+             for i in range(2 * n)]
+    tbl = pa.table({"doc_id": pa.array(range(2 * n), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "inv"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = q_inverted_index(str(d)).to_pandas().set_index("token")
+    assert out.loc["common", "df"] == 2 * n          # full df survives
+    got = [int(x) for x in out.loc["common", "postings"].split(",")]
+    assert got == sorted(range(2 * n))[:POSTINGS_BLOCK]   # first block only
+    assert [int(x) for x in out.loc["alpha", "postings"].split(",")] == \
+        sorted(i for i in range(2 * n) if i % 2 == 0)[:POSTINGS_BLOCK]
