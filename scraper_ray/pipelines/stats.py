@@ -390,6 +390,150 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# token_entropy (per-source vocabulary diversity)
+# ---------------------------------------------------------------------------
+
+def q_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-source Shannon entropy of the token distribution — the
+    vocabulary-diversity signal curation dashboards use to spot
+    template-generated or looping sources (low entropy at high volume).
+
+    Scale shape: per-batch (source, token) count partials (disjoint —
+    docs land whole in a batch), one groupby-sum to corpus counts, then
+    ONE keyed repartition on source and a vectorized per-batch
+    segmented entropy (numpy log over each source's contiguous rows) —
+    the shuffle carries (source, token, n) rows, never the token
+    stream. Entropy is rounded to 6 digits (house convention for
+    transcendental aggregates; sum-order ulp noise sits far below)."""
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for src, txt in zip(t.column("source").to_pylist(),
+                            t.column("text").to_pylist()):
+            for tok in txt.split(" "):
+                counts[(src, tok)] = counts.get((src, tok), 0) + 1
+        return pa.table({
+            "source": pa.array([k[0] for k in counts], pa.string()),
+            "token": pa.array([k[1] for k in counts], pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64())})
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["source", "token"]).sum("n"))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"source": pd.Series([], dtype="string"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "n_distinct": pd.Series([], dtype="int64"),
+                                 "entropy": pd.Series([], dtype="float64")})
+        g = df.groupby("source", sort=False)["sum(n)"]
+        tot = g.transform("sum").to_numpy(dtype=np.float64)
+        p = df["sum(n)"].to_numpy(dtype=np.float64) / tot
+        df = df.assign(term=-p * np.log(p))
+        agg = df.groupby("source", sort=False).agg(
+            n_tokens=("sum(n)", "sum"), n_distinct=("sum(n)", "size"),
+            entropy=("term", "sum")).reset_index()
+        agg["entropy"] = round_half_away(agg["entropy"].to_numpy(), 6)
+        agg["n_tokens"] = agg["n_tokens"].astype("int64")
+        agg["n_distinct"] = agg["n_distinct"].astype("int64")
+        return agg
+
+    return keyed_repartition(summed, ["source"]).map_batches(
+        entropy, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross_source_leakage (shared n-grams across source pairs)
+# ---------------------------------------------------------------------------
+
+LEAK_NGRAM = 4
+# grams present in more than this many sources are boilerplate, not
+# leakage — they would also blow the per-gram pair expansion up
+# quadratically; excluded identically in the SQL oracle's HAVING
+LEAK_MAX_SOURCES = 16
+
+
+def q_cross_source_leakage(sf_dir: str) -> rd.Dataset:
+    """Contamination audit: for every source pair, how many distinct
+    4-grams they share — the cross-corpus leakage signal checked before
+    treating two sources as independent (train/eval splits, mixture
+    weighting).
+
+    Scale shape: per-batch locally-distinct (gram, source) pairs, one
+    groupby to global distinct, ONE keyed repartition on gram, a
+    vectorized per-batch segmented pass expanding each gram's <=
+    ``LEAK_MAX_SOURCES`` sources into ordered pairs (bounded fan-out),
+    and a final (src_a, src_b) groupby-count — O(sources^2) output."""
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        seen: set[tuple] = set()
+        for src, txt in zip(t.column("source").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = txt.split(" ")
+            for i in range(len(toks) - LEAK_NGRAM + 1):
+                seen.add((" ".join(toks[i:i + LEAK_NGRAM]), src))
+        return pa.table({
+            "gram": pa.array([g for g, _ in seen], pa.string()),
+            "source": pa.array([s for _, s in seen], pa.string())})
+
+    distinct = (ds.map_batches(grams, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["gram", "source"]).count()
+                .drop_columns(["count()"]))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # segmented pair expansion, vectorized over GRAMS (never one
+        # Python dispatch per gram): grams sharing a source count k
+        # expand together through one (n_segments, k*(k-1)/2) broadcast
+        if not len(df):
+            return pd.DataFrame({"src_a": pd.Series([], dtype="string"),
+                                 "src_b": pd.Series([], dtype="string")})
+        df = df.sort_values(["gram", "source"])
+        src = df["source"].to_numpy()
+        codes = pd.factorize(df["gram"], sort=False)[0]
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], change))
+        sizes = np.diff(np.concatenate((starts, [len(codes)])))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for k in np.unique(sizes):
+            if not 2 <= k <= LEAK_MAX_SOURCES:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            seg = starts[sizes == k]
+            out_a.append(src[(seg[:, None] + iu[None, :]).ravel()])
+            out_b.append(src[(seg[:, None] + ju[None, :]).ravel()])
+        if not out_a:
+            return pd.DataFrame({"src_a": pd.Series([], dtype="string"),
+                                 "src_b": pd.Series([], dtype="string")})
+        return pd.DataFrame({"src_a": np.concatenate(out_a),
+                             "src_b": np.concatenate(out_b)})
+
+    from ray.data.aggregate import Count
+
+    agg = (keyed_repartition(distinct, ["gram"])
+           .map_batches(pairs, batch_format="pandas")
+           .groupby(["src_a", "src_b"])
+           .aggregate(Count(alias_name="n_shared")))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({"src_a": t.column("src_a"),
+                         "src_b": t.column("src_b"),
+                         "n_shared": pc.cast(t.column("n_shared"),
+                                             pa.int64())})
+
+    from .common import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(pin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # top_terms (per-doc tf-idf keyword extraction)
 # ---------------------------------------------------------------------------
 
@@ -1088,6 +1232,34 @@ SELECT token, CAST(count(*) AS BIGINT) AS df,
              6) AS idf
 FROM tok GROUP BY token
 """,
+    "token_entropy": """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+SELECT c.source, CAST(t.tot AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(-sum((n / CAST(t.tot AS DOUBLE))
+                  * ln(n / CAST(t.tot AS DOUBLE))), 6) AS entropy
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.tot
+""",
+    "cross_source_leakage": f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT source, array_to_string(t[i.i:i.i + {LEAK_NGRAM - 1}], ' ') AS gram
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(range(1, len(t) - {LEAK_NGRAM - 2})) AS i) i),
+gs AS (SELECT DISTINCT gram, source FROM g),
+k AS (SELECT gram FROM gs GROUP BY gram
+      HAVING count(*) BETWEEN 2 AND {LEAK_MAX_SOURCES})
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM gs a JOIN gs b USING (gram) JOIN k USING (gram)
+WHERE a.source < b.source
+GROUP BY a.source, b.source
+""",
     "inverted_index": f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1175,6 +1347,8 @@ QUERIES = {
     "group_topk": q_group_topk,
     "token_df": q_token_df,
     "inverted_index": q_inverted_index,
+    "token_entropy": q_token_entropy,
+    "cross_source_leakage": q_cross_source_leakage,
     "top_terms": q_top_terms,
     "vocab_topk": q_vocab_topk,
     "oov_ratio": q_oov_ratio,
