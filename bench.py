@@ -121,7 +121,8 @@ QUERY_NAMES = [
     "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
     "quality_classifier", "perplexity_buckets", "media_dedup",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
-    "inverted_index", "link_bfs",
+    "inverted_index", "link_bfs", "link_triangles", "token_entropy",
+    "cross_source_leakage",
 ]
 
 

@@ -960,6 +960,130 @@ def q_link_bfs(sf_dir: str) -> rd.Dataset:
     return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
 
 
+def count_triangles(edges: rd.Dataset,
+                    num_partitions: int = 8) -> tuple[int, int]:
+    """(n_wedges, n_triangles) of the UNDIRECTED graph under (src, dst)
+    edges, by the standard degree-oriented distributed plan: orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher, join oriented edges head-to-tail to enumerate wedges, and
+    close each wedge with a second join against the oriented edge list.
+    Degree orientation bounds the wedge count at O(m^1.5) regardless of
+    skew (a star graph yields zero oriented wedges at its hub), so both
+    joins move edge-bounded data — nothing is collected on the driver.
+    """
+    from ray.data.aggregate import Count
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s, d = t.column("src"), t.column("dst")
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.table({"u": lo, "v": hi})
+
+    und = drop_empty_blocks(
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"]).count().drop_columns(["count()"])
+    ).materialize()
+    if und.count() == 0:
+        return 0, 0
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [_one_chunk(t.column("u")), _one_chunk(t.column("v"))])})
+
+    deg = drop_empty_blocks(
+        und.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="d"))).materialize()
+
+    ed = drop_empty_blocks(und.join(
+        deg.rename_columns({"node": "un", "d": "du"}), join_type="inner",
+        num_partitions=num_partitions, on=("u",), right_on=("un",)))
+    ed = drop_empty_blocks(ed.join(
+        deg.rename_columns({"node": "vn", "d": "dv"}), join_type="inner",
+        num_partitions=num_partitions, on=("v",), right_on=("vn",)))
+
+    def orient(t: pa.Table) -> pa.Table:
+        u, v = t.column("u"), t.column("v")
+        du, dv = t.column("du"), t.column("dv")
+        u_first = pc.or_(pc.less(du, dv),
+                         pc.and_(pc.equal(du, dv), pc.less(u, v)))
+        return pa.table({"a": pc.if_else(u_first, u, v),
+                         "b": pc.if_else(u_first, v, u)})
+
+    oriented = drop_empty_blocks(
+        ed.map_batches(orient, batch_format="pyarrow")).materialize()
+
+    wedges = drop_empty_blocks(oriented.rename_columns(
+        {"a": "w_a", "b": "mid"}).join(
+        oriented.rename_columns({"a": "m2", "b": "w_c"}),
+        join_type="inner", num_partitions=num_partitions,
+        on=("mid",), right_on=("m2",))).materialize()
+    n_wedges = wedges.count()
+    if n_wedges == 0:
+        return 0, 0
+    closed = wedges.join(
+        oriented, join_type="inner", num_partitions=num_partitions,
+        on=("w_a", "w_c"), right_on=("a", "b"))
+    return n_wedges, closed.count()
+
+
+def q_link_triangles(sf_dir: str) -> pa.Table:
+    """Triangle census of the crawl's link graph (undirected distinct
+    edges): one row (n_wedges, n_triangles, clustering) — the global
+    clustering coefficient 3*triangles/wedges... using the ORIENTED
+    wedge count, where each triangle closes exactly one oriented wedge,
+    so clustering = n_triangles / n_wedges (rounded 6). The DuckDB
+    oracle recomputes the same orientation and joins over the
+    sequential oracle crawler's edge fixture."""
+    edges = _cached_link_edges(sf_dir)
+    n_wedges, n_tri = count_triangles(edges)
+    ratio = 0.0
+    if n_wedges:
+        from .common import round_half_away
+        ratio = float(round_half_away(n_tri / n_wedges, 6))
+    return pa.table({"n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64()),
+                     "closure_rate": pa.array([ratio], pa.float64())})
+
+
+def _link_triangles_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_EDGES_PATH
+
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM read_parquet('{ORACLE_EDGES_PATH}')
+  WHERE src <> dst),
+und AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 GROUP BY 1, 2),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und
+  JOIN deg da ON da.node = und.u
+  JOIN deg db ON db.node = und.v),
+wedges AS (
+  SELECT e1.a AS w_a, e1.b AS mid, e2.b AS w_c
+  FROM orient e1 JOIN orient e2 ON e1.b = e2.a),
+tri AS (
+  SELECT count(*) AS c
+  FROM wedges w JOIN orient e3 ON e3.a = w.w_a AND e3.b = w.w_c),
+wc AS (SELECT count(*) AS n FROM wedges)
+SELECT CAST(wc.n AS BIGINT) AS n_wedges,
+       CAST(tri.c AS BIGINT) AS n_triangles,
+       CASE WHEN wc.n = 0 THEN 0.0
+            ELSE round(tri.c / CAST(wc.n AS DOUBLE), 6) END AS closure_rate
+FROM wc, tri
+"""
+
+
 def _link_bfs_oracle_sql() -> str:
     from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
 
@@ -1050,6 +1174,7 @@ FROM ind GROUP BY in_degree
 
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "link_bfs": _link_bfs_oracle_sql(),
+              "link_triangles": _link_triangles_oracle_sql(),
               "link_pagerank": _pagerank_oracle_sql(),
               "link_hits": _hits_oracle_sql(),
               "anchor_text": _anchor_text_oracle_sql(),
@@ -1059,6 +1184,7 @@ ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_bfs": q_link_bfs,
+           "link_triangles": q_link_triangles,
            "link_pagerank": q_link_pagerank,
            "link_hits": q_link_hits,
            "anchor_text": q_anchor_text,

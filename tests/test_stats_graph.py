@@ -347,3 +347,21 @@ def test_inverted_index_truncates_posting_block(tmp_path):
     assert got == sorted(range(2 * n))[:POSTINGS_BLOCK]   # first block only
     assert [int(x) for x in out.loc["alpha", "postings"].split(",")] == \
         sorted(i for i in range(2 * n) if i % 2 == 0)[:POSTINGS_BLOCK]
+
+
+def test_triangle_census_on_planted_graph():
+    """K4 plus a pendant edge: C(4,3)=4 triangles; oriented wedges are
+    countable by hand. A star graph has zero oriented wedges (the
+    degree orientation points every edge AT the hub)."""
+    from scraper_ray.pipelines.graph import count_triangles
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]
+    wedges, tris = count_triangles(_str_edges(k4))
+    assert tris == 4
+    assert wedges >= tris
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    assert count_triangles(_str_edges(star)) == (0, 0)
+    # direction and parallel/reverse duplicates must not change the census
+    k4_rev = k4 + [(b, a) for a, b in k4]
+    assert count_triangles(_str_edges(k4_rev))[1] == 4
