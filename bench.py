@@ -122,7 +122,7 @@ QUERY_NAMES = [
     "quality_classifier", "perplexity_buckets", "media_dedup",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
     "inverted_index", "link_bfs", "link_triangles", "token_entropy",
-    "cross_source_leakage",
+    "cross_source_leakage", "cms_heavy_hitters",
 ]
 
 

@@ -122,6 +122,119 @@ def q_hll_registers(sf_dir: str) -> rd.Dataset:
     return hll_registers(_t(sf_dir, "events", ["user_id"]), "user_id")
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter token counts without a full groupby
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 10
+
+
+def _cms_partial(tok_counts: dict) -> np.ndarray:
+    """Fold {token: count} into one (CMS_DEPTH, CMS_WIDTH) int64 sketch."""
+    regs = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for tok, n in tok_counts.items():
+        for d in range(CMS_DEPTH):
+            h = hashlib.md5(f"{d}:{tok}".encode()).hexdigest()
+            regs[d, int(h[:8], 16) % CMS_WIDTH] += n
+    return regs
+
+
+def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Count-Min-sketch readout for the corpus's exact top-k tokens:
+    (token, true_n, est_n). ``est_n >= true_n`` always (the CMS
+    one-sided error guarantee); equality up to hash-collision mass.
+
+    Scale shape: each batch folds its token counts into a fixed
+    (depth x width) integer sketch — merge is element-wise SUM, exact
+    and associative, so the distributed combine is order-independent.
+    The shuffle carries <= depth*width tiny rows per batch, never the
+    token stream; the exact top-k (for the comparison column) is the
+    usual partial-count groupby + bounded sort. The driver touches only
+    the k winners and the 4096-cell sketch (explicitly bounded). The
+    DuckDB oracle recomputes the identical sketch from the same md5
+    bucket arithmetic and integer sums."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for tok in txt.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        regs = _cms_partial(counts)
+        d_idx, b_idx = np.nonzero(regs)
+        return pa.table({"d": pa.array(d_idx, pa.int64()),
+                         "b": pa.array(b_idx, pa.int64()),
+                         "c": pa.array(regs[d_idx, b_idx], pa.int64())})
+
+    cms_rows = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["d", "b"]).aggregate(Sum("c", alias_name="c")))
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for r in drop_empty_blocks(cms_rows).take_all():   # <= 4096 rows
+        cms[r["d"], r["b"]] = r["c"]
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for tok in txt.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    top = (ds.map_batches(tok_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    winners = (drop_empty_blocks(top)
+               .sort(["n", "token"], descending=[True, False])
+               .limit(CMS_TOP_K).take_all())
+
+    ests = []
+    for r in winners:
+        cells = [cms[d, int(hashlib.md5(f"{d}:{r['token']}".encode())
+                            .hexdigest()[:8], 16) % CMS_WIDTH]
+                 for d in range(CMS_DEPTH)]
+        ests.append(int(min(cells)))
+    return pa.table({
+        "token": pa.array([r["token"] for r in winners], pa.string()),
+        "true_n": pa.array([r["n"] for r in winners], pa.int64()),
+        "est_n": pa.array(ests, pa.int64())})
+
+
+def _sql_hex_int(expr: str, start: int, ndigits: int) -> str:
+    """DuckDB: hex digits [start, start+ndigits) of md5(expr) as BIGINT."""
+    h = f"md5({expr})"
+    return (f"list_sum(list_transform(range({start}, {start + ndigits}), "
+            f"hx -> (instr('0123456789abcdef', substr({h}, hx, 1)) - 1)"
+            f"::BIGINT * (1::BIGINT << (4 * ({start + ndigits - 1} - hx)))))")
+
+
+def _cms_oracle_sql() -> str:
+    bucket = _sql_hex_int("CAST(d AS VARCHAR) || ':' || tok", 1, 8)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+dh AS (
+  SELECT r.d, tc.tok, tc.n, CAST({bucket} % {CMS_WIDTH} AS BIGINT) AS b
+  FROM tc CROSS JOIN range(0, {CMS_DEPTH}) r(d)),
+cms AS (SELECT d, b, sum(n) AS c FROM dh GROUP BY d, b),
+topk AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT {CMS_TOP_K}),
+est AS (
+  SELECT t.tok, t.n, min(cms.c) AS est
+  FROM topk t
+  JOIN dh ON dh.tok = t.tok
+  JOIN cms ON cms.d = dh.d AND cms.b = dh.b
+  GROUP BY t.tok, t.n)
+SELECT tok AS token, CAST(n AS BIGINT) AS true_n,
+       CAST(est AS BIGINT) AS est_n
+FROM est
+"""
+
+
 def _sql_bucket(expr: str) -> str:
     h = f"md5(CAST({expr} AS VARCHAR))"
     return ("(instr('0123456789abcdef', substr(" + h + ", 1, 1)) - 1) * 16 + "
@@ -154,6 +267,7 @@ regs AS (
 
 
 ORACLE_SQL = {
+    "cms_heavy_hitters": _cms_oracle_sql(),
     "hll_registers": f"""
 WITH {_registers_cte()}
 SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
@@ -182,6 +296,7 @@ FROM est
 }
 
 QUERIES = {
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
 }

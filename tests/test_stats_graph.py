@@ -365,3 +365,27 @@ def test_triangle_census_on_planted_graph():
     # direction and parallel/reverse duplicates must not change the census
     k4_rev = k4 + [(b, a) for a, b in k4]
     assert count_triangles(_str_edges(k4_rev))[1] == 4
+
+
+def test_cms_overestimates_and_merges_exactly():
+    """CMS one-sided error: the sketch estimate never undercounts; and
+    sketch-of-parts summed equals sketch-of-whole (exact merge)."""
+    import numpy as np
+
+    from scraper_ray.pipelines.sketch import _cms_partial
+
+    a = {"alpha": 7, "beta": 3, "gamma": 11}
+    b = {"alpha": 2, "delta": 5}
+    whole = {"alpha": 9, "beta": 3, "gamma": 11, "delta": 5}
+    assert np.array_equal(_cms_partial(a) + _cms_partial(b),
+                          _cms_partial(whole))
+    import hashlib
+
+    from scraper_ray.pipelines.sketch import CMS_DEPTH, CMS_WIDTH
+
+    regs = _cms_partial(whole)
+    for tok, n in whole.items():
+        est = min(regs[d, int(hashlib.md5(f"{d}:{tok}".encode())
+                              .hexdigest()[:8], 16) % CMS_WIDTH]
+                  for d in range(CMS_DEPTH))
+        assert est >= n
