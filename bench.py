@@ -153,9 +153,38 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--admission-only", action="store_true")
+    ap.add_argument("--stats", nargs="*", metavar="QUERY",
+                    help="run the named queries (default: a heavyweight "
+                         "sample) and dump Ray Data per-stage stats — the "
+                         "profiling loop for deciding which stage to "
+                         "optimize next")
     args = ap.parse_args()
 
     probe = host_probe()
+
+    if args.stats is not None:
+        import ray
+        import ray.data as rd
+
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False)
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        names = args.stats or ["minhash_pairs", "knn_graph",
+                               "paragraph_dedup"]
+        for name in names:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if isinstance(res, rd.Dataset):
+                res = res.materialize()
+                print(f"===== {name} ({time.time() - t0:.2f}s) =====")
+                print(res.stats())
+            else:
+                print(f"===== {name} ({time.time() - t0:.2f}s) ===== "
+                      "(driver-side result; no Dataset stats)")
+        ray.shutdown()
+        return
 
     if args.scaling:
         # N vs 4N CPUs. Default 2 vs 8: this box has 16 physical cores +
