@@ -17,8 +17,17 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
 
 
 def read_sf_table(sf_dir: str, name: str,
-                  columns: list[str] | None = None) -> rd.Dataset:
-    """Read one driver table, pruning columns at the read.
+                  columns: list[str] | None = None,
+                  filter: "pa.dataset.Expression | None" = None
+                  ) -> rd.Dataset:
+    """Read one driver table, pruning columns — and optionally rows —
+    at the read.
+
+    ``filter`` is a pyarrow dataset expression pushed into the parquet
+    fragments (row-group statistics prune whole groups before any byte
+    leaves storage) — at 100 TB a date/flag predicate evaluated here
+    instead of in a downstream map is the difference between scanning a
+    partition and scanning the corpus.
 
     Passes an explicit metadata-stripped ``schema=`` (one footer read on
     the driver) so the read tasks themselves emit metadata-free blocks:
@@ -32,7 +41,8 @@ def read_sf_table(sf_dir: str, name: str,
     sch = pq.read_schema(path).remove_metadata()
     if columns is not None:
         sch = pa.schema([sch.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=sch)
+    return rd.read_parquet(path, columns=columns, schema=sch,
+                           filter=filter)
 
 
 def int_scaled(arr, scale: float):

@@ -80,15 +80,19 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
                                 "s_nationkey"))
     name_ref = ray.put(name_of)
 
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # the date predicate is pushed into the parquet fragments (row-group
+    # stats prune before any byte leaves storage), not a downstream map
+    import pyarrow.dataset as pds
 
-    def prune_orders(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), pa.scalar(Q5_T0)),
-            pc.less(t.column("o_orderdate"), pa.scalar(Q5_T1)))
-        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+    date_pred = ((pds.field("o_orderdate") >= pa.scalar(Q5_T0))
+                 & (pds.field("o_orderdate") < pa.scalar(Q5_T1)))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                filter=date_pred)
 
-    orders = orders.map_batches(prune_orders, batch_format="pyarrow",
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(project, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
     line = _t(sf_dir, "lineitem",
