@@ -142,9 +142,10 @@ def _cms_partial(tok_counts: dict) -> np.ndarray:
 
 
 def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
-    """Count-Min-sketch readout for the corpus's exact top-k tokens:
-    (token, true_n, est_n). ``est_n >= true_n`` always (the CMS
-    one-sided error guarantee); equality up to hash-collision mass.
+    """Count-Min-sketch readout (Cormode & Muthukrishnan 2005) for the
+    corpus's exact top-k tokens: (token, true_n, est_n). ``est_n >=
+    true_n`` always (the CMS one-sided error guarantee); equality up to
+    hash-collision mass.
 
     Scale shape: each batch folds its token counts into a fixed
     (depth x width) integer sketch — merge is element-wise SUM, exact
