@@ -43,6 +43,14 @@ from .common import read_sf_table as _t
 
 _DIM_BROADCAST_CAP = 4_000_000
 
+
+def _join_parts() -> int:
+    """Fact-fact hash-join partition count, derived from the cluster
+    (same rule as common.keyed_repartition) so the exchange fans out
+    with the hardware instead of a pinned constant."""
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
 Q5_REGION = "ASIA"
 Q5_T0 = _dt.datetime(1996, 1, 1)
 Q5_T1 = _dt.datetime(1997, 1, 1)
@@ -107,7 +115,7 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
 
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
-    joined = line.join(orders, join_type="inner", num_partitions=16,
+    joined = line.join(orders, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def dims(t: pa.Table) -> pa.Table:
@@ -152,13 +160,15 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
     ascending — deterministic); only those k rows (bounded by the
     constant k, never data-sized) take their customer/nation attributes
     from driver-side dim reads."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pds
 
+    # flag predicate pushed into the parquet fragments (row-group
+    # dictionary/stats pruning), not a downstream map
     line = _t(sf_dir, "lineitem",
-              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+              filter=pds.field("l_returnflag") == "R")
 
     def derive(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"l_orderkey": t.column("l_orderkey"),
@@ -167,7 +177,7 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = line.join(orders, join_type="inner", num_partitions=16,
+    joined = line.join(orders, join_type="inner", num_partitions=_join_parts(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = (joined.groupby("o_custkey")
                 .aggregate(Sum("rev_c", alias_name="rev_c"),
