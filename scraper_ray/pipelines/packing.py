@@ -113,6 +113,66 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+BLOOM_M = 1 << 16   # filter bits (8 KiB packed — constant vs corpus size)
+BLOOM_K = 3         # hash functions per gram
+
+
+def _bloom_positions(gram: str) -> tuple[int, ...]:
+    """The K bit positions of *gram*: md5 of 'j:gram' for j in 0..K-1,
+    first 8 hex digits mod M — the same deterministic cross-engine hash
+    family as the CMS/HLL sketches (sketch.py), so the DuckDB oracle
+    recomputes identical bits."""
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"{j}:{gram}".encode()).hexdigest()[:8], 16)
+        % BLOOM_M for j in range(BLOOM_K))
+
+
+def q_decontaminate_bloom(sf_dir: str) -> rd.Dataset:
+    """Bloom-filter decontamination (the 100 TB-scale path): the eval
+    split's gram set is folded into a FIXED-SIZE bit array (2^16 bits =
+    8 KiB regardless of benchmark size) broadcast once; every training
+    doc probes its distinct 5-grams against the bits. One-sided error:
+    ``bloom_hit >= exact_hit`` always (no false negatives — safe for
+    decontamination, a clean doc is never flagged missed), and the
+    exact flag is emitted alongside so the row set measures the
+    false-positive mass directly. Same broadcast-semi-join shape as
+    ``q_decontaminate``; the broadcast payload just stops growing with
+    the eval set."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    ev_set = _eval_gram_set(docs)
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for g in ev_set:
+        for p in _bloom_positions(g):
+            bits[p] = True
+    bits_ref = ray.put(bits)
+    ev_ref = ray.put(ev_set)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bset = ray.get(bits_ref)
+        exact = ray.get(ev_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        keep_ids, bloom_hit, exact_hit = [], [], []
+        for i, x in zip(ids, texts):
+            if int(i) % _EVAL_MOD == 0:
+                continue
+            gs = _grams(x, _DECON_K)
+            keep_ids.append(int(i))
+            bloom_hit.append(int(any(
+                all(bset[p] for p in _bloom_positions(g)) for g in gs)))
+            exact_hit.append(int(bool(gs & exact)))
+        return pa.table({
+            "doc_id": pa.array(keep_ids, pa.int64()),
+            "bloom_hit": pa.array(bloom_hit, pa.int64()),
+            "exact_hit": pa.array(exact_hit, pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_chunk_tokens(sf_dir: str) -> rd.Dataset:
     """Context-window chunking: each doc's tokens split into consecutive
     32-token windows (last window ragged). One output row per chunk —
@@ -431,6 +491,7 @@ SELECT tr.doc_id,
             AS BIGINT) AS contaminated
 FROM tr LEFT JOIN h USING (doc_id)
 """,
+    "decontaminate_bloom": "",  # generated below (needs the hex helper)
     "chunk_tokens": f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ex AS (SELECT doc_id, toks,
@@ -487,8 +548,52 @@ FROM deduped
 """,
 }
 
+def _bloom_oracle_sql() -> str:
+    """DuckDB mirror of q_decontaminate_bloom: the identical md5-derived
+    bit set, a per-(doc, gram) bool_and over the K probe positions, and
+    the exact-overlap flag from the plain gram join."""
+    from .sketch import _sql_hex_int
+
+    pos = _sql_hex_int("CAST(j AS VARCHAR) || ':' || gram", 1, 8)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_DECON_K} THEN
+           list_transform(range(1, len(toks) - {_DECON_K - 2}),
+                          i -> array_to_string(toks[i:i+{_DECON_K - 1}], ' '))
+         ELSE [text] END AS gs
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+       WHERE doc_id % {_EVAL_MOD} = 0),
+evb AS (SELECT DISTINCT CAST({pos} % {BLOOM_M} AS BIGINT) AS b
+        FROM ev CROSS JOIN range(0, {BLOOM_K}) r(j)),
+tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g
+       WHERE doc_id % {_EVAL_MOD} <> 0),
+trb AS (SELECT doc_id, gram, j, CAST({pos} % {BLOOM_M} AS BIGINT) AS b
+        FROM tr CROSS JOIN range(0, {BLOOM_K}) r(j)),
+ghit AS (SELECT t.doc_id, t.gram,
+                bool_and(evb.b IS NOT NULL) AS all_in
+         FROM trb t LEFT JOIN evb ON evb.b = t.b
+         GROUP BY t.doc_id, t.gram),
+bl AS (SELECT doc_id, max(CASE WHEN all_in THEN 1 ELSE 0 END) AS bloom_hit
+       FROM ghit GROUP BY doc_id),
+exh AS (SELECT tr.doc_id, count(*) AS n FROM tr
+        JOIN ev ON ev.gram = tr.gram GROUP BY tr.doc_id),
+base AS (SELECT DISTINCT doc_id FROM tr)
+SELECT base.doc_id,
+       CAST(coalesce(bl.bloom_hit, 0) AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN coalesce(exh.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_hit
+FROM base LEFT JOIN bl USING (doc_id) LEFT JOIN exh USING (doc_id)
+"""
+
+
+ORACLE_SQL["decontaminate_bloom"] = _bloom_oracle_sql()
+
 QUERIES = {
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "chunk_tokens": q_chunk_tokens,
     "pack_bins": q_pack_bins,
     "budget_select": q_budget_select,

@@ -410,15 +410,27 @@ def q_token_entropy(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["source", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[tuple, int] = {}
-        for src, txt in zip(t.column("source").to_pylist(),
-                            t.column("text").to_pylist()):
-            for tok in txt.split(" "):
-                counts[(src, tok)] = counts.get((src, tok), 0) + 1
+        # vectorized: one split_pattern, token->source via a repeat-built
+        # doc index, one hash groupby-size — no Python loop over tokens
+        ls = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(ls)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = t.column("source").to_pandas().to_numpy()
+        doc = np.repeat(np.arange(len(lens)), lens)
+        df = pd.DataFrame({"source": src[doc],
+                           "token": flat.to_pandas().to_numpy()})
+        out = (df.groupby(["source", "token"], sort=False)
+               .size().reset_index(name="n"))
         return pa.table({
-            "source": pa.array([k[0] for k in counts], pa.string()),
-            "token": pa.array([k[1] for k in counts], pa.string()),
-            "n": pa.array(list(counts.values()), pa.int64())})
+            "source": pa.array(out["source"], pa.string()),
+            "token": pa.array(out["token"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64())})
 
     summed = (ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -463,30 +475,54 @@ def q_cross_source_leakage(sf_dir: str) -> rd.Dataset:
     treating two sources as independent (train/eval splits, mixture
     weighting).
 
-    Scale shape: per-batch locally-distinct (gram, source) pairs, one
-    groupby to global distinct, ONE keyed repartition on gram, a
-    vectorized per-batch segmented pass expanding each gram's <=
-    ``LEAK_MAX_SOURCES`` sources into ordered pairs (bounded fan-out),
-    and a final (src_a, src_b) groupby-count — O(sources^2) output."""
+    Scale shape: per-batch locally-distinct (gram, source) pairs, ONE
+    keyed repartition on gram (which both globally co-locates and lets
+    one in-batch drop_duplicates finish the distinct — no separate
+    groupby exchange), a vectorized per-batch segmented pass expanding
+    each gram's <= ``LEAK_MAX_SOURCES`` sources into ordered pairs
+    (bounded fan-out), and a final (src_a, src_b) groupby-count —
+    O(sources^2) output."""
     from .common import keyed_repartition
 
     ds = _t(sf_dir, "documents", ["source", "text"])
 
     def grams(t: pa.Table) -> pa.Table:
-        seen: set[tuple] = set()
-        for src, txt in zip(t.column("source").to_pylist(),
-                            t.column("text").to_pylist()):
-            toks = txt.split(" ")
-            for i in range(len(toks) - LEAK_NGRAM + 1):
-                seen.add((" ".join(toks[i:i + LEAK_NGRAM]), src))
-        return pa.table({
-            "gram": pa.array([g for g, _ in seen], pa.string()),
-            "source": pa.array([s for _, s in seen], pa.string())})
+        # vectorized n-gram construction (the q_bpe_pairs pattern): one
+        # split_pattern per batch, grams built by joining the flattened
+        # token array against itself shifted 1..3 (Arrow C++ kernels),
+        # doc-boundary grams masked via a repeat-built doc index, local
+        # distinct via one hash-based drop_duplicates — no Python loop
+        # over rows or grams
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        ls = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(ls)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < LEAK_NGRAM:
+            return empty
+        m = n - LEAK_NGRAM + 1
+        g = pc.binary_join_element_wise(
+            *(flat.slice(i, m) for i in range(LEAK_NGRAM)), " ")
+        doc = np.repeat(np.arange(len(lens)), lens)
+        # a gram starting at flat index i is valid iff token i+3 is
+        # still in the same doc
+        mask = doc[:m] == doc[LEAK_NGRAM - 1:]
+        src = t.column("source").to_pandas().to_numpy()
+        df = pd.DataFrame({"gram": g.to_pandas().to_numpy()[mask],
+                           "source": src[doc[:m][mask]]})
+        df = df.drop_duplicates()
+        return pa.table({"gram": pa.array(df["gram"], pa.string()),
+                         "source": pa.array(df["source"], pa.string())})
 
-    distinct = (ds.map_batches(grams, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby(["gram", "source"]).count()
-                .drop_columns(["count()"]))
+    # per-batch locally-distinct rows go straight into the keyed
+    # repartition — it co-locates every copy of a gram in one block, so
+    # the global (gram, source) distinct happens inside the pairs batch
+    # (one drop_duplicates) instead of a separate groupby all-to-all
+    distinct = ds.map_batches(grams, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # segmented pair expansion, vectorized over GRAMS (never one
@@ -495,7 +531,7 @@ def q_cross_source_leakage(sf_dir: str) -> rd.Dataset:
         if not len(df):
             return pd.DataFrame({"src_a": pd.Series([], dtype="string"),
                                  "src_b": pd.Series([], dtype="string")})
-        df = df.sort_values(["gram", "source"])
+        df = df.drop_duplicates().sort_values(["gram", "source"])
         src = df["source"].to_numpy()
         codes = pd.factorize(df["gram"], sort=False)[0]
         change = np.flatnonzero(np.diff(codes)) + 1

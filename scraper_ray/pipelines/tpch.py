@@ -82,10 +82,21 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
     region_nations = {nk for nk, rk in nat_region.items()
                       if region_name[rk] == Q5_REGION}
     name_of = {nk: nat_name[nk] for nk in region_nations}
-    cust_ref = ray.put(_dim_map(sf_dir, "customer", "c_custkey",
-                                "c_nationkey"))
-    supp_ref = ray.put(_dim_map(sf_dir, "supplier", "s_suppkey",
-                                "s_nationkey"))
+
+    def _dim_arrays(table: str, key: str, val: str):
+        # broadcast form for fact-sized lookups: sorted key array +
+        # aligned value array, probed with vectorized searchsorted
+        # (no per-row dict.get in the hot map)
+        import numpy as np
+
+        d = _dim_map(sf_dir, table, key, val)
+        keys = np.fromiter(d.keys(), dtype=np.int64, count=len(d))
+        vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    cust_ref = ray.put(_dim_arrays("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_dim_arrays("supplier", "s_suppkey", "s_nationkey"))
     name_ref = ray.put(name_of)
 
     # the date predicate is pushed into the parquet fragments (row-group
@@ -119,16 +130,34 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def dims(t: pa.Table) -> pa.Table:
-        cust_nat = ray.get(cust_ref)
-        supp_nat = ray.get(supp_ref)
+        # vectorized broadcast-dim application: two searchsorted probes
+        # (customer->nation, supplier->nation), the same-nation equality
+        # mask, then a tiny nation->name take — zero per-row Python
+        import numpy as np
+
+        ck, cv = ray.get(cust_ref)
+        sk, sv = ray.get(supp_ref)
         names = ray.get(name_ref)
-        cn = [cust_nat.get(k) for k in t.column("o_custkey").to_pylist()]
-        sn = [supp_nat.get(k) for k in t.column("l_suppkey").to_pylist()]
-        n_name = [names.get(c) if c == s and c is not None else None
-                  for c, s in zip(cn, sn)]
-        out = pa.table({"n_name": pa.array(n_name, pa.string()),
-                        "rev_c": t.column("rev_c")})
-        return out.filter(pc.is_valid(out.column("n_name")))
+        if t.num_rows == 0 or not names or not len(ck) or not len(sk):
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "rev_c": pa.array([], pa.int64())})
+        cq = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        sq = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ci = np.minimum(np.searchsorted(ck, cq), len(ck) - 1)
+        si = np.minimum(np.searchsorted(sk, sq), len(sk) - 1)
+        cn = cv[ci]
+        mask = (ck[ci] == cq) & (sk[si] == sq) & (cn == sv[si])
+        nat_keys = np.fromiter(sorted(names), dtype=np.int64,
+                               count=len(names))
+        nat_vals = np.array([names[k] for k in sorted(names)], dtype=object)
+        cn = cn[mask]
+        ni = np.minimum(np.searchsorted(nat_keys, cn), len(nat_keys) - 1)
+        mask2 = nat_keys[ni] == cn
+        return pa.table({
+            "n_name": pa.array(nat_vals[ni][mask2], pa.string()),
+            "rev_c": pa.array(
+                t.column("rev_c").to_numpy(zero_copy_only=False)
+                [mask][mask2], pa.int64())})
 
     agg = (joined.map_batches(dims, batch_format="pyarrow")
            .groupby("n_name")

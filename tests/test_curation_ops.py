@@ -389,3 +389,22 @@ def test_dedup_funnel_monotone_and_consistent(ray_session):
     assert df["near_pairs"] >= df["near_docs"] - df["near_clusters"]
     assert df["survivors"] == df["docs"] - df["near_docs"] + df["near_clusters"]
     assert 0 < df["survivors"] <= df["docs"]
+
+
+def test_decontaminate_bloom_one_sided_and_consistent(ray_session):
+    """Bloom decontamination never misses a truly contaminated doc
+    (bloom_hit >= exact_hit row-wise), covers exactly the training
+    split, and its exact flag agrees with q_decontaminate."""
+    from scraper_ray.pipelines.packing import (
+        q_decontaminate, q_decontaminate_bloom)
+
+    bl = q_decontaminate_bloom(SF).to_pandas().set_index("doc_id")
+    ex = q_decontaminate(SF).to_pandas().set_index("doc_id")
+    assert set(bl.index) == set(ex.index)
+    merged = bl.join(ex[["contaminated"]])
+    # one-sided: every exact hit is a bloom hit
+    assert (merged["bloom_hit"] >= merged["exact_hit"]).all()
+    # the exact flag recomputed inside the bloom query matches the
+    # canonical decontaminate output
+    assert (merged["exact_hit"] == merged["contaminated"]).all()
+    assert set(bl["bloom_hit"].unique()) <= {0, 1}
