@@ -960,8 +960,59 @@ def q_link_bfs(sf_dir: str) -> rd.Dataset:
     return drop_empty_blocks(hist).map_batches(pin, batch_format="pyarrow")
 
 
-def count_triangles(edges: rd.Dataset,
-                    num_partitions: int = 8) -> tuple[int, int]:
+# inline triangle path: bail to the distributed join plan past this
+# many enumerated wedges (~5 int64 arrays of this length on the driver)
+_INLINE_WEDGE_CAP = 8_000_000
+
+
+def _count_triangles_inline(src, dst) -> tuple[int, int] | None:
+    """Exact driver numpy triangle census over directed (src, dst) code
+    arrays — the same degree-(then-id)-oriented formula as the
+    distributed plan, segment-vectorized wedge expansion, closure via
+    one searchsorted membership pass. Returns None when the enumerated
+    wedge count would exceed ``_INLINE_WEDGE_CAP`` (caller falls back
+    to the distributed join plan, which streams the same wedges)."""
+    import numpy as np
+
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if not len(src):
+        return 0, 0
+    n = int(max(src.max(), dst.max())) + 1
+    u = np.minimum(src, dst)
+    v = np.maximum(src, dst)
+    und = np.unique(u * n + v)
+    u, v = und // n, und % n
+    deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
+    # orient from the lower-(degree, id) endpoint to the higher; u < v
+    # already, so the tie-break keeps (u, v) as-is
+    u_first = deg[u] <= deg[v]
+    a = np.where(u_first, u, v)
+    b = np.where(u_first, v, u)
+    out_cnt = np.bincount(a, minlength=n)
+    cnt = out_cnt[b]                      # wedges seeded by each edge
+    n_wedges = int(cnt.sum())
+    if n_wedges > _INLINE_WEDGE_CAP:
+        return None
+    if n_wedges == 0:
+        return 0, 0
+    order = np.argsort(a, kind="stable")
+    b_by_a = b[order]
+    out_start = np.concatenate(([0], np.cumsum(out_cnt)))[:-1]
+    e1 = np.repeat(np.arange(len(a)), cnt)
+    off = np.arange(n_wedges) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    w_c = b_by_a[out_start[b[e1]] + off]
+    q = a[e1] * n + w_c
+    ekeys = np.sort(a * n + b)
+    idx = np.searchsorted(ekeys, q)
+    idx_c = np.minimum(idx, len(ekeys) - 1)
+    n_tri = int(np.count_nonzero(ekeys[idx_c] == q))
+    return n_wedges, n_tri
+
+
+def count_triangles(edges: rd.Dataset, num_partitions: int = 8,
+                    inline_edge_cap: int = _INLINE_EDGE_CAP
+                    ) -> tuple[int, int]:
     """(n_wedges, n_triangles) of the UNDIRECTED graph under (src, dst)
     edges, by the standard degree-oriented distributed plan: orient
     every undirected edge from its lower-(degree, id) endpoint to the
@@ -970,8 +1021,29 @@ def count_triangles(edges: rd.Dataset,
     Degree orientation bounds the wedge count at O(m^1.5) regardless of
     skew (a star graph yields zero oriented wedges at its hub), so both
     joins move edge-bounded data — nothing is collected on the driver.
-    """
+
+    Graphs at or under ``inline_edge_cap`` directed rows whose oriented
+    wedge count fits ``_INLINE_WEDGE_CAP`` take an exact driver numpy
+    fast path (same orientation, bit-identical counts — the pagerank /
+    HITS dual-plan discipline)."""
     from ray.data.aggregate import Count
+
+    edges = edges.materialize()
+    if edges.count() <= inline_edge_cap:
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in edges.iter_batches(batch_format="pandas")]
+        if not parts:
+            return 0, 0
+        df = pd.concat(parts, ignore_index=True)
+        codes, _ = pd.factorize(
+            pd.concat([df["src"], df["dst"]], ignore_index=True), sort=True)
+        m = len(df)
+        res = _count_triangles_inline(
+            codes[:m].astype(np.int64), codes[m:].astype(np.int64))
+        if res is not None:
+            return res
 
     def undirect(t: pa.Table) -> pa.Table:
         s, d = t.column("src"), t.column("dst")

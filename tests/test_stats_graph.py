@@ -367,6 +367,24 @@ def test_triangle_census_on_planted_graph():
     assert count_triangles(_str_edges(k4_rev))[1] == 4
 
 
+def test_triangle_inline_and_distributed_plans_agree():
+    """The driver numpy fast path and the distributed join plan are the
+    same formula — force each on a pseudo-random graph and compare both
+    counts exactly."""
+    import random
+
+    from scraper_ray.pipelines.graph import count_triangles
+
+    rng = random.Random(7)
+    edges = list({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+                  for _ in range(160)})
+    ds = _str_edges(edges)
+    inline = count_triangles(ds)                       # inline (under cap)
+    dist = count_triangles(ds, inline_edge_cap=0)      # distributed
+    assert inline == dist
+    assert inline[0] >= inline[1] >= 0
+
+
 def test_cms_overestimates_and_merges_exactly():
     """CMS one-sided error: the sketch estimate never undercounts; and
     sketch-of-parts summed equals sketch-of-whole (exact merge)."""
