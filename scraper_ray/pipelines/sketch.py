@@ -115,6 +115,70 @@ def q_hll_distinct(sf_dir: str) -> pa.Table:
                      "exact_distinct": pa.array([exact], pa.int64())})
 
 
+def q_hll_daily(sf_dir: str) -> pa.Table:
+    """Per-day distinct-user HLL estimate vs exact — the register-MERGE
+    property in action: every batch contributes per-(day, bucket)
+    partials and one groupby-max merges them, so sketches built on
+    different partitions/shards/days combine without re-scanning (the
+    artifact a multi-tenant pipeline persists per day and unions for
+    any date range). Driver materialization is bounded by the day
+    domain (<= 2^p rows per day), never by events."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        days = pc.floor_temporal(t.column("ts"), unit="day").to_pandas()
+        uids = t.column("user_id").to_pandas()
+        out_day, out_b, out_r = [], [], []
+        for day, g in pd.DataFrame({"day": days, "uid": uids}).groupby(
+                "day", sort=False):
+            regs = _hll_partial(g["uid"].tolist())
+            nz = np.nonzero(regs)[0]      # only set registers: <= 2^p/day
+            out_day.extend([day] * len(nz))
+            out_b.extend(nz.tolist())
+            out_r.extend(regs[nz].tolist())
+        return pa.table({"day": pa.array(out_day, pa.timestamp("us")),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "rho": pa.array(out_r, pa.int64())})
+
+    regs_rows = (ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby(["day", "bucket"])
+                 .aggregate(Max("rho", alias_name="rho")))
+    per_day: dict = {}
+    for r in drop_empty_blocks(regs_rows).take_all():
+        per_day.setdefault(r["day"],
+                           np.zeros(HLL_M, np.int64))[r["bucket"]] = r["rho"]
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            "user_id": t.column("user_id")})
+
+    exact_rows = (ds.map_batches(pre, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                  .groupby(["day", "user_id"])
+                  .aggregate(Count(alias_name="_n"))
+                  .groupby("day").aggregate(Count(alias_name="n")))
+    exact = {r["day"]: r["n"]
+             for r in drop_empty_blocks(exact_rows).take_all()}
+
+    days = sorted(per_day)
+    return pa.table({
+        "day": pa.array(days, pa.timestamp("us")),
+        "est_distinct": pa.array(
+            [hll_estimate_from_regs(per_day[d]) for d in days],
+            pa.float64()),
+        "exact_distinct": pa.array([int(exact[d]) for d in days],
+                                   pa.int64())})
+
+
 def q_hll_registers(sf_dir: str) -> rd.Dataset:
     """The HLL register table over events.user_id — the exact artifact
     a multi-corpus pipeline would persist and merge (register max) to
@@ -296,8 +360,47 @@ FROM est
 """,
 }
 
+ORACLE_SQL["hll_daily"] = f"""
+WITH hashed AS (
+  SELECT date_trunc('day', ts) AS day,
+         {_sql_bucket('user_id')} AS bucket, {_sql_x32('user_id')} AS x
+  FROM events),
+ranked AS (
+  SELECT day, bucket,
+         CASE WHEN x = 0 THEN 33
+              ELSE 33 - length(format('{{:b}}', CAST(x AS BIGINT))) END AS r
+  FROM hashed),
+days AS (SELECT DISTINCT day FROM hashed),
+regs AS (
+  SELECT d.day, b.bucket, coalesce(mx.rho, 0) AS rho
+  FROM days d CROSS JOIN range(0, {HLL_M}) AS b(bucket)
+  LEFT JOIN (SELECT day, bucket, max(r) AS rho FROM ranked
+             GROUP BY day, bucket) mx
+    ON mx.day = d.day AND mx.bucket = b.bucket),
+raw AS (
+  SELECT day,
+         CAST({0.7213 / (1.0 + 1.079 / HLL_M)!r} AS DOUBLE)
+           * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE)
+           / sum(power(2.0, -rho)) AS est,
+         sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+  FROM regs GROUP BY day),
+est AS (
+  SELECT day, CASE WHEN est <= CAST({2.5 * HLL_M!r} AS DOUBLE) AND v > 0
+                   THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                          * ln(CAST({float(HLL_M)!r} AS DOUBLE) / v)
+                   ELSE est END AS e
+  FROM raw),
+exact AS (SELECT date_trunc('day', ts) AS day,
+                 count(DISTINCT user_id) AS n
+          FROM events GROUP BY day)
+SELECT est.day, round(e, 6) AS est_distinct,
+       CAST(exact.n AS BIGINT) AS exact_distinct
+FROM est JOIN exact USING (day)
+"""
+
 QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_registers": q_hll_registers,
     "hll_distinct": q_hll_distinct,
+    "hll_daily": q_hll_daily,
 }

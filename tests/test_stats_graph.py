@@ -385,6 +385,25 @@ def test_triangle_inline_and_distributed_plans_agree():
     assert inline[0] >= inline[1] >= 0
 
 
+def test_hll_daily_exact_matches_distinct_daily(ray_session):
+    """hll_daily's exact column must equal the canonical two-phase
+    distinct per day, and the HLL estimate stays inside the standard
+    error envelope (1.04/sqrt(m) ~ 6.5%; allow 4 sigma)."""
+    from scraper_ray.pipelines.sketch import HLL_M, q_hll_daily
+    from scraper_ray.pipelines.window import q_distinct_daily
+
+    hd = q_hll_daily("/root/testdata/sf0.001").to_pandas().set_index("day")
+    dd = (q_distinct_daily("/root/testdata/sf0.001").to_pandas()
+          .set_index("day"))
+    assert set(hd.index) == set(dd.index)
+    dd = dd.reindex(hd.index)
+    assert (hd["exact_distinct"] == dd["n_users"]).all()
+    tol = 4 * 1.04 / (HLL_M ** 0.5)
+    rel = ((hd["est_distinct"] - hd["exact_distinct"]).abs()
+           / hd["exact_distinct"])
+    assert (rel <= tol).all()
+
+
 def test_cms_overestimates_and_merges_exactly():
     """CMS one-sided error: the sketch estimate never undercounts; and
     sketch-of-parts summed equals sketch-of-whole (exact merge)."""
