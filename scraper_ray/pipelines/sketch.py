@@ -224,12 +224,23 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
 
     ds = _t(sf_dir, "documents", ["text"])
 
+    def _batch_token_counts(t: pa.Table) -> dict[str, int]:
+        # one split_pattern + one value_counts — the token histogram is
+        # computed by Arrow C++ kernels; Python touches only the batch's
+        # DISTINCT tokens (for the md5 folds)
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if not len(flat):
+            return {}
+        vc = pc.value_counts(flat)
+        return dict(zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()))
+
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for tok in txt.split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
-        regs = _cms_partial(counts)
+        regs = _cms_partial(_batch_token_counts(t))
         d_idx, b_idx = np.nonzero(regs)
         return pa.table({"d": pa.array(d_idx, pa.int64()),
                          "b": pa.array(b_idx, pa.int64()),
@@ -243,10 +254,7 @@ def q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
         cms[r["d"], r["b"]] = r["c"]
 
     def tok_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for tok in txt.split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
+        counts = _batch_token_counts(t)
         return pa.table({"token": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})
 
