@@ -595,6 +595,65 @@ def q_link_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank(docs.select_columns(["doc_id"]), edges)
 
 
+CRAWL_BUDGET_TOTAL = 100_000
+
+
+def q_crawl_budget(sf_dir: str) -> rd.Dataset:
+    """PageRank-weighted per-domain fetch-budget allocation — the
+    crawl-prioritization loop closed: the frontier scheduler's next-wave
+    budget is apportioned to domains in proportion to their crawled
+    pages' integer PageRank mass (importance-driven recrawl/frontier
+    spending, the OPIC-style signal).
+
+    ``fetch_budget = (TOTAL * mass_d) // mass_total`` in int64 — exact
+    and order-independent. Overflow headroom: total PageRank mass is
+    ~PR_SCALE (1e12) by construction, so TOTAL * mass < 1e17 << 2^63.
+    Engine shape: one hash join (ranks x doc->domain projection), one
+    groupby-sum to O(domains) rows, one O(1) scalar total, a vectorized
+    allocation map."""
+    from ray.data.aggregate import Sum
+
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir)
+    pr = q_link_pagerank(sf_dir)
+    doms = docs.select_columns(["doc_id", "domain_key"])
+    j = drop_empty_blocks(pr.join(
+        doms.rename_columns({"doc_id": "d2"}), join_type="inner",
+        num_partitions=8, on=("doc_id",), right_on=("d2",)))
+    mass = drop_empty_blocks(
+        j.groupby("domain_key").aggregate(Sum("pr", alias_name="pr_mass")))
+    total = int(mass.sum("pr_mass"))
+
+    def alloc(t: pa.Table) -> pa.Table:
+        m = pc.cast(t.column("pr_mass"), pa.int64())
+        b = pc.divide(pc.multiply(m, pa.scalar(CRAWL_BUDGET_TOTAL,
+                                               pa.int64())),
+                      pa.scalar(total, pa.int64()))
+        return pa.table({"domain_key": t.column("domain_key"),
+                         "pr_mass": m,
+                         "fetch_budget": pc.cast(b, pa.int64())})
+
+    return mass.map_batches(alloc, batch_format="pyarrow")
+
+
+def _crawl_budget_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH
+
+    return _pagerank_ctes() + f""",
+mass AS (
+  SELECT d.domain_key, sum(r.r) AS pr_mass
+  FROM r{PR_ITERS} r
+  JOIN read_parquet('{ORACLE_DOCS_PATH}') d USING (doc_id)
+  GROUP BY d.domain_key),
+tot AS (SELECT sum(pr_mass) AS t FROM mass)
+SELECT domain_key, CAST(pr_mass AS BIGINT) AS pr_mass,
+       CAST(({CRAWL_BUDGET_TOTAL} * pr_mass) // (SELECT t FROM tot)
+            AS BIGINT) AS fetch_budget
+FROM mass
+"""
+
+
 def _clusters_oracle_sql() -> str:
     pairs = _minhash_oracle_sql()
     return f"""
@@ -613,11 +672,13 @@ FROM reach GROUP BY node
 """
 
 
-def _pagerank_oracle_sql() -> str:
-    """The same integer-exact iterations as ``pagerank``, unrolled as
-    CTEs over the sequential oracle crawler's docs + edge fixtures —
-    int64 floor division and sums only, so DuckDB's evaluation order
-    cannot diverge from the distributed groupby-sum."""
+def _pagerank_ctes() -> str:
+    """The integer-exact pagerank iterations unrolled as CTEs over the
+    sequential oracle crawler's docs + edge fixtures — int64 floor
+    division and sums only, so DuckDB's evaluation order cannot diverge
+    from the distributed groupby-sum. Ends after ``r{PR_ITERS}`` so
+    consumers (the pagerank oracle itself, the budget allocator) append
+    their own tail."""
     from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
 
     parts = [f"""
@@ -639,10 +700,13 @@ r{i} AS (
   SELECT nodes.doc_id,
          {base} + (85 * coalesce(c{i}.s, 0)) // 100 AS r
   FROM nodes LEFT JOIN c{i} USING (doc_id))""")
-    parts.append(f"""
-SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r{PR_ITERS}
-""")
     return "".join(parts)
+
+
+def _pagerank_oracle_sql() -> str:
+    return _pagerank_ctes() + f"""
+SELECT doc_id, CAST(r AS BIGINT) AS pr FROM r{PR_ITERS}
+"""
 
 
 def crawl_anchor_edges(docs: rd.Dataset, web) -> rd.Dataset:
@@ -1252,7 +1316,8 @@ ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "anchor_text": _anchor_text_oracle_sql(),
               "link_degree": _link_degree_oracle_sql(),
               "link_components": _link_components_oracle_sql(),
-              "host_graph": _host_graph_oracle_sql()}
+              "host_graph": _host_graph_oracle_sql(),
+              "crawl_budget": _crawl_budget_oracle_sql()}
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_bfs": q_link_bfs,
@@ -1262,4 +1327,5 @@ QUERIES = {"neardup_clusters": q_neardup_clusters,
            "anchor_text": q_anchor_text,
            "link_degree": q_link_degree,
            "link_components": q_link_components,
-           "host_graph": q_host_graph}
+           "host_graph": q_host_graph,
+           "crawl_budget": q_crawl_budget}
