@@ -122,7 +122,8 @@ QUERY_NAMES = [
     "quality_classifier", "perplexity_buckets", "media_dedup",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
     "inverted_index", "link_bfs", "link_triangles", "token_entropy",
-    "cross_source_leakage", "cms_heavy_hitters",
+    "cross_source_leakage", "cms_heavy_hitters", "hll_daily",
+    "decontaminate_bloom", "crawl_budget",
 ]
 
 
