@@ -105,6 +105,23 @@ def sql_hex64(expr: str) -> str:
     )
 
 
+def flat_tokens(t: pa.Table, text_col: str = "text"):
+    """Whitespace-tokenize a batch in three Arrow/numpy kernels:
+    returns ``(flat, lens, doc)`` — the flattened token array, per-row
+    token counts, and the row index of every flat token. The shared
+    front half of every token-level batch kernel (df counts, vocab
+    histograms, posting pairs, OOV membership): no Python loop ever
+    touches the token stream."""
+    import numpy as np
+
+    ls = pc.split_pattern(t.column(text_col), " ")
+    lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(ls)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, lens, np.repeat(np.arange(len(lens)), lens)
+
+
 def keyed_repartition(ds: rd.Dataset, keys: list[str],
                       num_partitions: int | None = None) -> rd.Dataset:
     """Hash-shuffle *ds* so every row of a key lands in one block.

@@ -738,7 +738,7 @@ PINNED_QUERIES = frozenset({
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "paragraph_dedup", "media_dedup", "semdedup",
     "robots_rules",
-    "link_pagerank", "link_bfs", "link_triangles",
+    "link_pagerank", "link_bfs", "link_triangles", "crawl_budget",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
     "link_hits", "url_patterns", "mirror_domains",
     "warc_cdx", "warc_readback", "incremental_crawl",

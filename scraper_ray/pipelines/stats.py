@@ -303,12 +303,19 @@ def q_token_df(sf_dir: str) -> rd.Dataset:
     n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
 
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for tok in set(txt.split(" ")):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"token": pa.array(list(counts), pa.string()),
-                         "df": pa.array(list(counts.values()), pa.int64())})
+        # vectorized df partial: flatten once, hash-distinct (token,
+        # row), one value_counts — no Python token loop
+        from .common import flat_tokens
+
+        flat, _, doc = flat_tokens(t)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        dfp = pd.DataFrame({"token": flat.to_pandas().to_numpy(),
+                            "doc": doc}).drop_duplicates()
+        vc = dfp["token"].value_counts(sort=False)
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -354,15 +361,20 @@ def q_inverted_index(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        ids: list[int] = []
-        for did, txt in zip(t.column("doc_id").to_pylist(),
-                            t.column("text").to_pylist()):
-            for tok in set(txt.split(" ")):
-                ids.append(did)
-                toks.append(tok)
-        return pa.table({"token": pa.array(toks, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
+        # vectorized distinct (token, doc) pairs: flatten once,
+        # doc_id via the repeat-built row index, one hash-distinct
+        from .common import flat_tokens
+
+        flat, _, doc = flat_tokens(t)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dfp = pd.DataFrame({"token": flat.to_pandas().to_numpy(),
+                            "doc_id": ids[doc]}).drop_duplicates()
+        return pa.table({
+            "token": pa.array(dfp["token"], pa.string()),
+            "doc_id": pa.array(dfp["doc_id"].to_numpy(), pa.int64())})
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -604,12 +616,19 @@ def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
     n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
 
     def df_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for tok in set(txt.split(" ")):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"token": pa.array(list(counts), pa.string()),
-                         "df": pa.array(list(counts.values()), pa.int64())})
+        # vectorized df partial (the q_token_df kernel): flatten once,
+        # hash-distinct (token, row), one value_counts
+        from .common import flat_tokens
+
+        flat, _, doc = flat_tokens(t)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        dfp = pd.DataFrame({"token": flat.to_pandas().to_numpy(),
+                            "doc": doc}).drop_duplicates()
+        vc = dfp["token"].value_counts(sort=False)
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
 
     df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -707,12 +726,16 @@ def _vocab_topk_ds(sf_dir: str, k: int) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for tok in txt.split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"token": pa.array(list(counts), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        # one split + one value_counts (Arrow C++), no Python token loop
+        from .common import flat_tokens
+
+        flat, _, _ = flat_tokens(t)
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -757,18 +780,22 @@ def q_oov_ratio(sf_dir: str) -> rd.Dataset:
         r["token"] for r in _vocab_topk_ds(sf_dir, OOV_K).take_all())
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
     def f(t: pa.Table) -> pa.Table:
-        n_tok, n_oov = [], []
-        for txt in t.column("text").to_pylist():
-            toks = txt.split(" ")
-            n_tok.append(len(toks))
-            n_oov.append(sum(1 for tk in toks if tk not in vocab))
-        ratio = round_half_away(
-            np.asarray(n_oov) / np.asarray(n_tok, dtype=np.float64), 6)
+        # vectorized OOV: one is_in membership kernel over the flat
+        # token stream, per-doc misses via one bincount on the row index
+        from .common import flat_tokens
+
+        flat, lens, doc = flat_tokens(t)
+        inset = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False)
+        n_oov = np.bincount(doc[~inset], minlength=t.num_rows)
+        ratio = round_half_away(n_oov / lens.astype(np.float64), 6)
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_oov": pa.array(n_oov, pa.int64()),
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
             "oov_ratio": pa.array(ratio, pa.float64()),
         })
 

@@ -167,3 +167,50 @@ def test_mid_crawl_robots_filtering(ray_session, tmp_path):
     for u in priv["url"]:
         parts = urlsplit(u)
         assert pol.allowed(registered_domain(parts.hostname or ""), parts.path)
+
+
+def test_property_random_webs_match_oracle(ray_session, tmp_path):
+    """Property sweep: engine == sequential oracle (seen set, order,
+    span sequences) across randomized web shapes — entity counts, page
+    caps, dup/alias churn, budget tightness, shard counts. Derandomized
+    (fixed example set) so the suite stays deterministic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    runs = [0]
+
+    @settings(max_examples=6, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(seed=st.integers(0, 10_000),
+           ents=st.integers(2, 9),
+           ipp=st.integers(1, 6),
+           cap=st.integers(1, 6),
+           dup=st.floats(0.0, 0.4),
+           alias=st.floats(0.0, 0.4),
+           units=st.integers(4, 24),
+           n_seeds=st.integers(10, 80),
+           shards=st.integers(1, 4))
+    def check(seed, ents, ipp, cap, dup, alias, units, n_seeds, shards):
+        web = WebConfig(seed=seed, n_entities=ents, items_per_page=ipp,
+                        max_pages_cap=cap, dup_rate=dup, alias_rate=alias)
+        pol = default_politeness(web, wave_units=units)
+        seeds = gen_seeds(web, n_seeds)
+        runs[0] += 1
+        out = str(tmp_path / f"docs{runs[0]}")
+        crawl(seeds, CrawlConfig(web=web, politeness=pol, out_dir=out,
+                                 n_seen_shards=shards, n_sched_shards=shards,
+                                 batch_size=128))
+        docs = read_docs(out).to_pandas()
+        oracle = crawl_oracle(seeds, web, pol)
+        assert set(docs["url"]) == oracle.seen
+        es = docs.sort_values(order_key_columns()).reset_index(drop=True)
+        assert es["url"].tolist() == [d["url"] for d in oracle.docs]
+        got_spans = es["spans"].tolist()
+        want = [d["spans"] for d in oracle.docs]
+        for g, w in zip(got_spans, want):
+            assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in g] == \
+                   [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in w]
+
+    check()
