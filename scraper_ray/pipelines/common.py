@@ -105,6 +105,12 @@ def sql_hex64(expr: str) -> str:
     )
 
 
+# keyed_repartition sizing: one hash partition per this many rows
+# (capped at cluster CPUs). See keyed_repartition's docstring for the
+# startup-cost vs downstream-parallelism tradeoff behind the value.
+REPART_ROWS_PER_PART = 16384
+
+
 def flat_tokens(t: pa.Table, text_col: str = "text"):
     """Whitespace-tokenize a batch in three Arrow/numpy kernels:
     returns ``(flat, lens, doc)`` — the flattened token array, per-row
@@ -135,16 +141,26 @@ def keyed_repartition(ds: rd.Dataset, keys: list[str],
     ``batch_size=None`` (the Ray 2.49 default) is load-bearing: blocks
     map whole, so a key's rows never split across batches.
 
-    Partition count defaults to the cluster's CPU count (floor 8) so the
-    shuffle fans out with the cluster instead of a hardcoded constant.
-    Empty blocks are scrubbed on both sides — groupby/aggregate inputs
-    carry schema-less zero-row blocks that crash the hash shuffle."""
+    Partition count defaults to one per ~16k rows, capped at the
+    cluster CPU count — the input is already materialized by the
+    empty-block scrub, so the row count is metadata-only. Two forces:
+    each hash partition spawns a shuffle-aggregator actor whose startup
+    dominates at small scale (measured 4.7 s at 32 partitions vs 2.0 s
+    at 8 for a 256k-row exchange), while the downstream segmented pass
+    parallelizes per PARTITION (blocks map whole under batch_size=None)
+    so too few partitions starve it; ~16k rows/partition balances both
+    at bench scale, and at 100 TB the row term saturates the CPU cap so
+    the shuffle fans out with the cluster. Empty blocks are scrubbed on
+    both sides — groupby/aggregate inputs carry schema-less zero-row
+    blocks that crash the hash shuffle."""
     import ray
     from ray.data.context import ShuffleStrategy
 
-    if num_partitions is None:
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     ds = drop_empty_blocks(ds)
+    if num_partitions is None:
+        cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(2, min(cpus,
+                                    ds.count() // REPART_ROWS_PER_PART + 2))
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return drop_empty_blocks(ds.repartition(num_partitions, keys=keys))
 
