@@ -126,3 +126,24 @@ def test_pii_scrub_batch_planted():
     assert rows[3]["n_redacted"] == 2
     assert rows[4]["clean_text"] == "nothing sensitive here"
     assert rows[4]["n_redacted"] == 0
+
+
+def test_flat_tokens_edges():
+    """Empty batch, empty string, and single-token rows all round-trip:
+    lens match, doc index aligns every flat token to its row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scraper_ray.pipelines.common import flat_tokens
+
+    t = pa.table({"text": pa.array(["a b", "", "xyz"], pa.string())})
+    flat, lens, doc = flat_tokens(t)
+    # "" splits to one empty token (python str.split(" ") parity)
+    assert lens.tolist() == [2, 1, 1]
+    assert flat.to_pylist() == ["a", "b", "", "xyz"]
+    assert doc.tolist() == [0, 0, 1, 2]
+
+    empty = pa.table({"text": pa.array([], pa.string())})
+    flat, lens, doc = flat_tokens(empty)
+    assert len(flat) == 0 and len(lens) == 0 and len(doc) == 0
+    assert isinstance(doc, np.ndarray)
