@@ -97,3 +97,34 @@ def test_wave_lineage_records(tmp_path):
         assert lin["wave"] == int(d.split("=")[1])
     # lineage files must not leak into the doc read
     assert len(read_docs(out).to_pandas()) == stats.docs
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("kill_waves", [(1,), (4,), (1, 3)])
+def test_kill_at_any_wave_and_double_kill(tmp_path, kill_waves):
+    """Resume equality must hold for a kill at ANY wave boundary — and
+    for a resume that is itself killed again (checkpoint-of-checkpoint):
+    the final output equals the uninterrupted run byte-for-byte."""
+    seeds = gen_seeds(CFG, 40)
+    key = order_key_columns()
+    full_out = str(tmp_path / "full")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=full_out,
+                             batch_size=64))
+    full = (read_docs(full_out).to_pandas()
+            .sort_values(key).reset_index(drop=True))
+
+    out, ck = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    first = True
+    for kw in kill_waves:
+        crawl(seeds if first else None,
+              CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                          checkpoint_dir=ck, batch_size=64, max_waves=kw),
+              resume=not first)
+        first = False
+        assert len(read_docs(out).to_pandas()) < len(full)
+    crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                            checkpoint_dir=ck, batch_size=64), resume=True)
+    resumed = (read_docs(out).to_pandas()
+               .sort_values(key).reset_index(drop=True))
+    assert resumed["url"].tolist() == full["url"].tolist()
+    assert resumed["doc_id"].tolist() == full["doc_id"].tolist()
