@@ -266,6 +266,15 @@ def main() -> None:
         _quiet_ray_data()
         web, pol = crawl_bench_config()
         n = int(os.environ.get("GRAFT_ADMIT_SEEDS", "2000000"))
+        # GRAFT_ADMIT_ENTITIES shrinks the domain universe to stress
+        # shard skew: e.g. 3 means ~n/3 seeds per domain, so domain-hash
+        # routing concentrates the stream on <=3 scheduler shards — the
+        # hot-host admission case, vs the default 20k-domain uniform mix
+        n_ents = int(os.environ.get("GRAFT_ADMIT_ENTITIES", "0"))
+        if n_ents:
+            from dataclasses import replace
+
+            web = replace(web, n_entities=n_ents)
         seeds = gen_seeds_dataset(web, n).materialize()
         import ray.data as rd
         rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
@@ -283,6 +292,7 @@ def main() -> None:
             "value": round(n / dt, 1),
             "unit": "rows/sec",
             "seeds": n, "sec": round(dt, 2),
+            "n_entities": web.n_entities,
             "admitted_unique": admitted, "pending": pending,
             "host_probe": probe, "num_cpus": NUM_CPUS,
         }))
