@@ -835,30 +835,51 @@ def candidate_pairs_over(docs: rd.Dataset,
             band_rows.join(multi, join_type="inner", num_partitions=8,
                            on=("band", "bucket")))
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column("doc_id").to_pylist()))
-        a, b = [], []
-        # degenerate buckets (boilerplate text hashing everything
-        # together) would go quadratic — cap and drop, loudly. The SQL
-        # oracle mirrors the cap (HAVING count(*) <= cap)
-        if len(ids) > _BUCKET_CAP:
-            import sys
+    def pairs_batch(df) -> pa.Table:
+        # segmented pair expansion vectorized over BUCKETS (the
+        # cross_source_leakage shape — never one Python dispatch per
+        # bucket): buckets sharing a size k expand together through one
+        # (n_segments, k*(k-1)/2) broadcast. Degenerate buckets
+        # (boilerplate hashing everything together) would go quadratic —
+        # capped and dropped, loudly; the SQL oracle mirrors the cap
+        # (HAVING count(*) <= cap). Arrow output with pinned id types:
+        # schema-less empty blocks break downstream join unification.
+        import sys
 
-            print(f"minhash: dropping overflow bucket ({len(ids)} docs "
-                  f"> cap {_BUCKET_CAP})", file=sys.stderr)
-            ids = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        # arrow in/out with pinned types: pandas-formatted group outputs
-        # leave schema-less empty blocks behind that break the downstream
-        # hash joins' schema unification
-        return pa.table({"doc_a": pa.array(a, id_type),
-                         "doc_b": pa.array(b, id_type)})
+        empty = pa.table({"doc_a": pa.array([], id_type),
+                          "doc_b": pa.array([], id_type)})
+        if not len(df):
+            return empty
+        df = (df.drop_duplicates(["band", "bucket", "doc_id"])
+              .sort_values(["band", "bucket", "doc_id"]))
+        band = df["band"].to_numpy()
+        bucket = df["bucket"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(df)))
+        n_over = int((sizes > _BUCKET_CAP).sum())
+        if n_over:
+            print(f"minhash: dropping {n_over} overflow buckets "
+                  f"(> cap {_BUCKET_CAP})", file=sys.stderr)
+        out_a, out_b = [], []
+        for k in np.unique(sizes):
+            if not 2 <= k <= _BUCKET_CAP:
+                continue
+            iu, ju = np.triu_indices(int(k), 1)
+            seg = starts[sizes == k]
+            out_a.append(ids[(seg[:, None] + iu[None, :]).ravel()])
+            out_b.append(ids[(seg[:, None] + ju[None, :]).ravel()])
+        if not out_a:
+            return empty
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a), id_type),
+                         "doc_b": pa.array(np.concatenate(out_b), id_type)})
 
-    cand = band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pyarrow"
+    from .common import keyed_repartition
+
+    cand = keyed_repartition(band_rows, ["band", "bucket"]).map_batches(
+        pairs_batch, batch_format="pandas"
     )
     # a true near-dup pair surfaces from MANY of the 16 bands (matched
     # signatures collide band after band), so deduping here shrinks the
