@@ -46,6 +46,12 @@ class CrawlConfig:
     out_dir: str
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
+    # retain only this many newest checkpoint waves (0 = keep all):
+    # each checkpoint carries full seen-shard + scheduler dumps, so an
+    # unbounded history costs waves x frontier-state size at 10^10-URL
+    # scale. Resume reads only LATEST; older dirs are pruned AFTER
+    # LATEST advances, so a crash mid-prune leaves extras, never a gap.
+    checkpoint_keep: int = 2
     # None -> derived from the cluster at crawl() start (one shard per
     # ~4 cores, floor 4): a 256-core cluster gets 64 admission points
     # without the caller remembering to size them. On resume, None keeps
@@ -254,6 +260,16 @@ def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
     with open(tmp_latest, "w") as f:
         f.write(str(wave))
     os.replace(tmp_latest, os.path.join(root, "LATEST"))
+    if ccfg.checkpoint_keep:
+        import re
+        import shutil
+
+        waves = sorted(
+            int(m.group(1)) for d in os.listdir(root)
+            if (m := re.fullmatch(r"wave_(\d{5})", d)))
+        for w in waves[:-ccfg.checkpoint_keep]:
+            shutil.rmtree(os.path.join(root, f"wave_{w:05d}"),
+                          ignore_errors=True)
 
 
 def latest_checkpoint(checkpoint_dir: str) -> int | None:

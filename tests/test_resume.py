@@ -128,3 +128,41 @@ def test_kill_at_any_wave_and_double_kill(tmp_path, kill_waves):
                .sort_values(key).reset_index(drop=True))
     assert resumed["url"].tolist() == full["url"].tolist()
     assert resumed["doc_id"].tolist() == full["doc_id"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_gc_keeps_newest_and_resumes(tmp_path):
+    """Checkpoint GC: only ``checkpoint_keep`` newest wave dirs survive
+    (each carries full frontier-state dumps — unbounded history is a
+    storage leak at scale), and resume from the pruned directory still
+    reproduces the uninterrupted run."""
+    import os
+    import re
+
+    seeds = gen_seeds(CFG, 40)
+    key = order_key_columns()
+    full_out = str(tmp_path / "full")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=full_out,
+                             batch_size=64))
+    full = (read_docs(full_out).to_pandas()
+            .sort_values(key).reset_index(drop=True))
+
+    out, ck = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                             checkpoint_dir=ck, batch_size=64, max_waves=4))
+    dirs = [d for d in os.listdir(ck) if re.fullmatch(r"wave_\d{5}", d)]
+    assert len(dirs) == 2                      # default checkpoint_keep
+    assert f"wave_{latest_checkpoint(ck):05d}" in dirs
+    crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                            checkpoint_dir=ck, batch_size=64), resume=True)
+    resumed = (read_docs(out).to_pandas()
+               .sort_values(key).reset_index(drop=True))
+    assert resumed["url"].tolist() == full["url"].tolist()
+
+    # keep-all escape hatch: checkpoint_keep=0 retains every wave
+    out2, ck2 = str(tmp_path / "docs2"), str(tmp_path / "ckpt2")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out2,
+                             checkpoint_dir=ck2, batch_size=64, max_waves=4,
+                             checkpoint_keep=0))
+    dirs2 = [d for d in os.listdir(ck2) if re.fullmatch(r"wave_\d{5}", d)]
+    assert len(dirs2) == 4
