@@ -47,11 +47,20 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
     # retain only this many newest checkpoint waves (0 = keep all):
-    # each checkpoint carries full seen-shard + scheduler dumps, so an
-    # unbounded history costs waves x frontier-state size at 10^10-URL
-    # scale. Resume reads only LATEST; older dirs are pruned AFTER
-    # LATEST advances, so a crash mid-prune leaves extras, never a gap.
+    # each checkpoint carries frontier-state dumps, so an unbounded
+    # history costs waves x frontier-state size at 10^10-URL scale.
+    # Resume reads the chain ending at LATEST; dirs older than both the
+    # keep window and the chain's base are pruned AFTER LATEST advances,
+    # so a crash mid-prune leaves extras, never a gap.
     checkpoint_keep: int = 2
+    # write a FULL seen-set dump every this many waves and DELTAS (only
+    # digests added since the previous snapshot) in between: the seen
+    # set only grows, so base + deltas reconstructs it exactly while the
+    # per-wave checkpoint write stops scaling with total frontier size.
+    # Scheduler dumps stay full every wave (pending state shrinks, and
+    # queues mutate non-monotonically). 1 = full every wave (old
+    # behavior).
+    checkpoint_full_every: int = 5
     # None -> derived from the cluster at crawl() start (one shard per
     # ~4 cores, floor 4): a 256-core cluster gets 64 admission points
     # without the caller remembering to size them. On resume, None keeps
@@ -237,14 +246,25 @@ def _default_shard_count() -> int:
 
 
 def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
-                sched: SchedulerPool, stats: CrawlStats) -> None:
+                sched: SchedulerPool, stats: CrawlStats,
+                seen_base: int | None) -> int:
+    """Write wave *wave*'s checkpoint; returns the (possibly new) base
+    wave of the seen-set snapshot chain. The seen set dumps FULL when
+    the chain is due for re-basing (every ``checkpoint_full_every``
+    waves, or no base yet) and a DELTA otherwise; scheduler dumps are
+    always full."""
     root = ccfg.checkpoint_dir
     wdir = os.path.join(root, f"wave_{wave:05d}")
     os.makedirs(wdir, exist_ok=True)
-    seen.snapshot(wdir)
+    full = (seen_base is None
+            or wave - seen_base >= max(1, ccfg.checkpoint_full_every))
+    seen.snapshot(wdir, mode="full" if full else "delta")
+    if full:
+        seen_base = wave
     sched.snapshot(wdir)
     manifest = {
         "wave": wave,
+        "seen_base_wave": seen_base,
         "n_seen_shards": ccfg.n_seen_shards,
         "n_sched_shards": ccfg.n_sched_shards,
         "docs": stats.docs,
@@ -267,9 +287,15 @@ def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
         waves = sorted(
             int(m.group(1)) for d in os.listdir(root)
             if (m := re.fullmatch(r"wave_(\d{5})", d)))
-        for w in waves[:-ccfg.checkpoint_keep]:
-            shutil.rmtree(os.path.join(root, f"wave_{w:05d}"),
-                          ignore_errors=True)
+        # never prune the delta chain's base or anything after it
+        cut = min(seen_base,
+                  waves[-ccfg.checkpoint_keep] if
+                  len(waves) >= ccfg.checkpoint_keep else waves[0])
+        for w in waves:
+            if w < cut:
+                shutil.rmtree(os.path.join(root, f"wave_{w:05d}"),
+                              ignore_errors=True)
+    return seen_base
 
 
 def latest_checkpoint(checkpoint_dir: str) -> int | None:
@@ -326,9 +352,20 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                           spill_threshold=ccfg.sched_spill_threshold)
     stats = CrawlStats()
     start_wave = 0
+    seen_base: int | None = None   # base wave of the seen snapshot chain
 
     if resume:
-        seen.restore(wdir)
+        seen_base = manifest.get("seen_base_wave", last)
+        # delta-chain restore: full dumps at the base wave plus every
+        # later checkpoint's delta dumps (checkpoint_every may skip
+        # waves — take the dirs that exist). A base == last chain is
+        # just the full restore; restore_chain also resets the shards'
+        # delta journals (everything ingested is already on disk).
+        chain = [os.path.join(ccfg.checkpoint_dir, f"wave_{w:05d}")
+                 for w in range(seen_base, last + 1)
+                 if os.path.isdir(os.path.join(ccfg.checkpoint_dir,
+                                               f"wave_{w:05d}"))]
+        seen.restore_chain(chain)
         sched.restore(wdir)
         stats.docs = manifest["docs"]
         stats.wave_sizes = manifest["wave_sizes"]
@@ -436,7 +473,8 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
             # offer RPCs are awaited inside the wave's discover stage, so
             # at this barrier the shard counters are exactly complete
             stats.counters = sched.counters()
-            _checkpoint(ccfg, wave, seen, sched, stats)
+            seen_base = _checkpoint(ccfg, wave, seen, sched, stats,
+                                    seen_base)
         wave += 1
 
     stats.waves = wave - start_wave

@@ -156,6 +156,11 @@ class SeenShardState:
     def __init__(self, capacity: int = 1 << 16):
         self.filter = CuckooFilter(capacity)
         self.exact: set[bytes] = set()
+        # digests inserted since the last dump/dump_delta — the delta
+        # snapshot payload (seen sets only ever GROW, so a checkpoint
+        # chain of one full dump + per-wave deltas reconstructs the
+        # state at a fraction of the full-dump-per-wave write cost)
+        self.new_since_dump: list[bytes] = []
 
     def add_if_new(self, digests: list[bytes]) -> list[bool]:
         n = len(digests)
@@ -177,6 +182,7 @@ class SeenShardState:
             exact.add(d)
             seen_in_batch.add(d)
             out[i] = True
+        self.new_since_dump.extend(seen_in_batch)
         return out.tolist()
 
     def contains_batch(self, digests: list[bytes]) -> list[bool]:
@@ -189,6 +195,7 @@ class SeenShardState:
 
     # -- checkpoint -------------------------------------------------------
     def dump(self) -> bytes:
+        self.new_since_dump = []
         return pickle.dumps(
             {
                 "table": self.filter.table,
@@ -200,6 +207,21 @@ class SeenShardState:
             },
             protocol=pickle.HIGHEST_PROTOCOL,
         )
+
+    def dump_delta(self) -> bytes:
+        """Digests added since the previous dump/dump_delta — the
+        incremental checkpoint payload (full state = the chain's base
+        full dump plus every delta since, applied in any order: set
+        union is commutative and the filter is rebuilt by insert)."""
+        delta = sorted(set(self.new_since_dump))
+        self.new_since_dump = []
+        return pickle.dumps({"delta": delta},
+                            protocol=pickle.HIGHEST_PROTOCOL)
+
+    def reset_delta(self) -> None:
+        """Clear the delta journal — called after a restore, whose
+        ingested digests are already durable in the on-disk chain."""
+        self.new_since_dump = []
 
     @classmethod
     def load(cls, blob: bytes) -> "SeenShardState":
@@ -213,4 +235,5 @@ class SeenShardState:
         f.n_items = d["n_items"]
         st.filter = f
         st.exact = set(d["exact"])
+        st.new_since_dump = []
         return st

@@ -44,6 +44,12 @@ class SeenShard:
     def dump(self) -> bytes:
         return self.state.dump()
 
+    def dump_delta(self) -> bytes:
+        return self.state.dump_delta()
+
+    def reset_delta(self) -> None:
+        self.state.reset_delta()
+
     def restore(self, blob: bytes) -> None:
         self.state = SeenShardState.load(blob)
 
@@ -117,14 +123,25 @@ class ShardedSeen:
         return int(sum(ray.get([a.size.remote() for a in self.actors])))
 
     # -- checkpoint -------------------------------------------------------
-    def snapshot(self, directory: str) -> None:
+    def snapshot(self, directory: str, mode: str = "full") -> None:
+        """Write shard dumps. ``mode='full'`` persists whole shard states
+        (``seen_shard_*.bin``); ``mode='delta'`` persists only digests
+        added since the previous snapshot of either kind
+        (``seen_delta_*.bin``) — the seen set only grows, so a chain of
+        one full dump plus every later delta reconstructs it exactly,
+        and per-wave checkpoint writes stop scaling with total frontier
+        size."""
         os.makedirs(directory, exist_ok=True)
-        blobs = ray.get([a.dump.remote() for a in self.actors])
+        if mode == "delta":
+            method, stem = "dump_delta", "seen_delta"
+        else:
+            method, stem = "dump", "seen_shard"
+        blobs = ray.get([getattr(a, method).remote() for a in self.actors])
         for i, blob in enumerate(blobs):
-            tmp = os.path.join(directory, f".seen_shard_{i:04d}.tmp")
+            tmp = os.path.join(directory, f".{stem}_{i:04d}.tmp")
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.replace(tmp, os.path.join(directory, f"seen_shard_{i:04d}.bin"))
+            os.replace(tmp, os.path.join(directory, f"{stem}_{i:04d}.bin"))
 
     def restore(self, directory: str) -> None:
         """Restore from shard dumps. When the dump count equals this
@@ -168,6 +185,38 @@ class ShardedSeen:
                     self.actors[int(s)].ingest.remote(digs[off:off + 65536])
                     for off in range(0, len(digs), 65536))
             ray.get(refs)
+
+    def restore_chain(self, dirs: list[str]) -> None:
+        """Restore from a checkpoint chain: ``dirs[0]`` holds the full
+        shard dumps (base), every later dir holds delta dumps. Deltas
+        are ROUTED, not positional — a digest's owning shard is a pure
+        function of (digest, n_shards) — so the same apply path serves
+        matching and re-sharded restores. The delta journals are reset
+        afterwards: everything just ingested is already durable in the
+        on-disk chain."""
+        import glob
+        import pickle
+
+        self.restore(dirs[0])
+        for d in dirs[1:]:
+            files = sorted(glob.glob(os.path.join(d, "seen_delta_*.bin")))
+            digs: list[bytes] = []
+            for path in files:
+                with open(path, "rb") as f:
+                    digs.extend(pickle.loads(f.read())["delta"])
+            if not digs:
+                continue
+            arr = np.asarray(digs, dtype="S20")
+            sh = shards_of_np(arr, self.n_shards)
+            refs = []
+            for s in np.unique(sh):
+                ix = np.flatnonzero(sh == s)
+                part = [digs[i] for i in ix]
+                refs.extend(
+                    self.actors[int(s)].ingest.remote(part[off:off + 65536])
+                    for off in range(0, len(part), 65536))
+            ray.get(refs)
+        ray.get([a.reset_delta.remote() for a in self.actors])
 
     def shutdown(self) -> None:
         """Terminate the shard actors (end-of-run cleanup)."""

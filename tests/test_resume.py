@@ -149,7 +149,8 @@ def test_checkpoint_gc_keeps_newest_and_resumes(tmp_path):
 
     out, ck = str(tmp_path / "docs"), str(tmp_path / "ckpt")
     crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
-                             checkpoint_dir=ck, batch_size=64, max_waves=4))
+                             checkpoint_dir=ck, batch_size=64, max_waves=4,
+                             checkpoint_full_every=1))
     dirs = [d for d in os.listdir(ck) if re.fullmatch(r"wave_\d{5}", d)]
     assert len(dirs) == 2                      # default checkpoint_keep
     assert f"wave_{latest_checkpoint(ck):05d}" in dirs
@@ -166,3 +167,46 @@ def test_checkpoint_gc_keeps_newest_and_resumes(tmp_path):
                              checkpoint_keep=0))
     dirs2 = [d for d in os.listdir(ck2) if re.fullmatch(r"wave_\d{5}", d)]
     assert len(dirs2) == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delta_chain_resume_identical(tmp_path):
+    """Seen-set delta snapshots: with a full dump only at the base wave
+    and deltas after, (a) the delta files actually replace the full
+    dumps on non-base waves, (b) GC never prunes the chain's base, and
+    (c) a resume through the chain — including onto a DIFFERENT shard
+    count (delta routing is digest-pure) — reproduces the uninterrupted
+    run."""
+    import glob
+    import os
+
+    seeds = gen_seeds(CFG, 40)
+    key = order_key_columns()
+    full_out = str(tmp_path / "full")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=full_out,
+                             batch_size=64))
+    full = (read_docs(full_out).to_pandas()
+            .sort_values(key).reset_index(drop=True))
+
+    out, ck = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    crawl(seeds, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                             checkpoint_dir=ck, batch_size=64, max_waves=4,
+                             n_seen_shards=3, n_sched_shards=2,
+                             checkpoint_full_every=10))
+    # base wave 0 holds full dumps and survives GC; later waves hold
+    # deltas only
+    assert glob.glob(os.path.join(ck, "wave_00000", "seen_shard_*.bin"))
+    last = latest_checkpoint(ck)
+    ldir = os.path.join(ck, f"wave_{last:05d}")
+    assert glob.glob(os.path.join(ldir, "seen_delta_*.bin"))
+    assert not glob.glob(os.path.join(ldir, "seen_shard_*.bin"))
+
+    # resume on MORE seen shards than the checkpoint (re-shard + chain)
+    crawl(None, CrawlConfig(web=CFG, politeness=POL, out_dir=out,
+                            checkpoint_dir=ck, batch_size=64,
+                            n_seen_shards=5, n_sched_shards=2),
+          resume=True)
+    resumed = (read_docs(out).to_pandas()
+               .sort_values(key).reset_index(drop=True))
+    assert resumed["url"].tolist() == full["url"].tolist()
+    assert resumed["doc_id"].tolist() == full["doc_id"].tolist()
