@@ -258,8 +258,8 @@ def _checkpoint(ccfg: CrawlConfig, wave: int, seen: ShardedSeen,
     os.makedirs(wdir, exist_ok=True)
     full = (seen_base is None
             or wave - seen_base >= max(1, ccfg.checkpoint_full_every))
-    seen.snapshot(wdir, mode="full" if full else "delta")
-    if full:
+    written = seen.snapshot(wdir, mode="full" if full else "delta")
+    if written == "full":
         seen_base = wave
     sched.snapshot(wdir)
     manifest = {
@@ -345,7 +345,11 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         n_sched_shards=ccfg.n_sched_shards or (
             manifest.get("n_sched_shards", 4) if manifest
             else _default_shard_count()))
-    seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard)
+    # journal deltas only when checkpoints will consume them — an
+    # un-checkpointed crawl must not grow a shadow copy of the seen set
+    seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard,
+                       track_deltas=bool(ccfg.checkpoint_dir)
+                       and ccfg.checkpoint_full_every > 1)
     sched = SchedulerPool(ccfg.politeness, ccfg.n_sched_shards,
                           level_sync=ccfg.level_sync, seen=seen,
                           spill_dir=ccfg.sched_spill_dir,

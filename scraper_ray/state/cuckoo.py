@@ -153,14 +153,22 @@ class SeenShardState:
     which runs once per genuinely-new digest over the whole crawl.
     """
 
-    def __init__(self, capacity: int = 1 << 16):
+    # journal bound: past this many un-snapshotted digests the journal
+    # is dropped and the next snapshot escalates to a full dump — the
+    # journal must never rival the exact set's own memory
+    DELTA_CAP = 1 << 22
+
+    def __init__(self, capacity: int = 1 << 16, track_deltas: bool = False):
         self.filter = CuckooFilter(capacity)
         self.exact: set[bytes] = set()
         # digests inserted since the last dump/dump_delta — the delta
         # snapshot payload (seen sets only ever GROW, so a checkpoint
         # chain of one full dump + per-wave deltas reconstructs the
-        # state at a fraction of the full-dump-per-wave write cost)
+        # state at a fraction of the full-dump-per-wave write cost).
+        # Opt-in: un-checkpointed runs must not grow a shadow journal.
+        self.track_deltas = track_deltas
         self.new_since_dump: list[bytes] = []
+        self.delta_overflow = False
 
     def add_if_new(self, digests: list[bytes]) -> list[bool]:
         n = len(digests)
@@ -182,7 +190,11 @@ class SeenShardState:
             exact.add(d)
             seen_in_batch.add(d)
             out[i] = True
-        self.new_since_dump.extend(seen_in_batch)
+        if self.track_deltas and not self.delta_overflow:
+            self.new_since_dump.extend(seen_in_batch)
+            if len(self.new_since_dump) > self.DELTA_CAP:
+                self.new_since_dump = []
+                self.delta_overflow = True
         return out.tolist()
 
     def contains_batch(self, digests: list[bytes]) -> list[bool]:
@@ -196,6 +208,7 @@ class SeenShardState:
     # -- checkpoint -------------------------------------------------------
     def dump(self) -> bytes:
         self.new_since_dump = []
+        self.delta_overflow = False
         return pickle.dumps(
             {
                 "table": self.filter.table,
@@ -208,11 +221,15 @@ class SeenShardState:
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
-    def dump_delta(self) -> bytes:
+    def dump_delta(self) -> bytes | None:
         """Digests added since the previous dump/dump_delta — the
         incremental checkpoint payload (full state = the chain's base
         full dump plus every delta since, applied in any order: set
-        union is commutative and the filter is rebuilt by insert)."""
+        union is commutative and the filter is rebuilt by insert).
+        Returns None when the journal overflowed (or tracking is off):
+        the caller must escalate this snapshot to a full dump."""
+        if self.delta_overflow or not self.track_deltas:
+            return None
         delta = sorted(set(self.new_since_dump))
         self.new_since_dump = []
         return pickle.dumps({"delta": delta},
@@ -222,9 +239,11 @@ class SeenShardState:
         """Clear the delta journal — called after a restore, whose
         ingested digests are already durable in the on-disk chain."""
         self.new_since_dump = []
+        self.delta_overflow = False
 
     @classmethod
-    def load(cls, blob: bytes) -> "SeenShardState":
+    def load(cls, blob: bytes,
+             track_deltas: bool = False) -> "SeenShardState":
         d = pickle.loads(blob)
         st = cls.__new__(cls)
         f = CuckooFilter.__new__(CuckooFilter)
@@ -235,5 +254,7 @@ class SeenShardState:
         f.n_items = d["n_items"]
         st.filter = f
         st.exact = set(d["exact"])
+        st.track_deltas = track_deltas
         st.new_since_dump = []
+        st.delta_overflow = False
         return st

@@ -29,8 +29,9 @@ class SeenShard:
     """One seen-set shard. ``num_cpus=0``: membership work is tiny per
     batch and must never starve fetch tasks of CPU slots."""
 
-    def __init__(self, capacity: int = 1 << 16):
-        self.state = SeenShardState(capacity)
+    def __init__(self, capacity: int = 1 << 16, track_deltas: bool = False):
+        self.track_deltas = track_deltas
+        self.state = SeenShardState(capacity, track_deltas=track_deltas)
 
     def add_if_new(self, digests: list[bytes]) -> np.ndarray:
         return np.asarray(self.state.add_if_new(digests), dtype=bool)
@@ -51,7 +52,8 @@ class SeenShard:
         self.state.reset_delta()
 
     def restore(self, blob: bytes) -> None:
-        self.state = SeenShardState.load(blob)
+        self.state = SeenShardState.load(blob,
+                                         track_deltas=self.track_deltas)
 
     def ingest(self, digests: list[bytes]) -> int:
         """Bulk-load digests (re-shard restore path). Same insert path as
@@ -82,10 +84,11 @@ class ShardedSeen:
     """Client over the shard actor pool. Serializable; safe inside tasks."""
 
     def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16,
-                 actors: list | None = None):
+                 actors: list | None = None, track_deltas: bool = False):
         self.n_shards = n_shards
         self.actors = actors or [
-            SeenShard.remote(capacity_per_shard) for _ in range(n_shards)
+            SeenShard.remote(capacity_per_shard, track_deltas=track_deltas)
+            for _ in range(n_shards)
         ]
 
     def _fanout(self, method: str, digests: list[bytes]) -> np.ndarray:
@@ -123,25 +126,32 @@ class ShardedSeen:
         return int(sum(ray.get([a.size.remote() for a in self.actors])))
 
     # -- checkpoint -------------------------------------------------------
-    def snapshot(self, directory: str, mode: str = "full") -> None:
-        """Write shard dumps. ``mode='full'`` persists whole shard states
+    def snapshot(self, directory: str, mode: str = "full") -> str:
+        """Write shard dumps; returns the mode actually written.
+        ``mode='full'`` persists whole shard states
         (``seen_shard_*.bin``); ``mode='delta'`` persists only digests
         added since the previous snapshot of either kind
         (``seen_delta_*.bin``) — the seen set only grows, so a chain of
         one full dump plus every later delta reconstructs it exactly,
         and per-wave checkpoint writes stop scaling with total frontier
-        size."""
+        size. A delta request ESCALATES to full when any shard's journal
+        overflowed its bound (or tracking is off) — the full dump
+        supersedes every drained journal, so nothing is lost."""
         os.makedirs(directory, exist_ok=True)
+        blobs, stem = None, "seen_shard"
         if mode == "delta":
-            method, stem = "dump_delta", "seen_delta"
-        else:
-            method, stem = "dump", "seen_shard"
-        blobs = ray.get([getattr(a, method).remote() for a in self.actors])
+            deltas = ray.get([a.dump_delta.remote() for a in self.actors])
+            if all(b is not None for b in deltas):
+                blobs, stem = deltas, "seen_delta"
+        if blobs is None:
+            blobs, mode = ray.get([a.dump.remote()
+                                   for a in self.actors]), "full"
         for i, blob in enumerate(blobs):
             tmp = os.path.join(directory, f".{stem}_{i:04d}.tmp")
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, os.path.join(directory, f"{stem}_{i:04d}.bin"))
+        return mode
 
     def restore(self, directory: str) -> None:
         """Restore from shard dumps. When the dump count equals this

@@ -100,3 +100,31 @@ def test_cuckoo_hypothesis_vs_set_model():
         assert st2.add_if_new(probe) == [d not in model for d in probe]
 
     check()
+
+
+def test_delta_journal_opt_in_and_overflow(monkeypatch):
+    """Delta journaling is opt-in (un-checkpointed runs grow no shadow
+    set), and a journal past DELTA_CAP drops itself and forces the next
+    snapshot to escalate to a full dump."""
+    from scraper_ray.state.cuckoo import SeenShardState
+
+    off = SeenShardState(1 << 10)
+    off.add_if_new([bytes([i]) * 20 for i in range(8)])
+    assert off.new_since_dump == [] and off.dump_delta() is None
+
+    on = SeenShardState(1 << 10, track_deltas=True)
+    on.add_if_new([bytes([i]) * 20 for i in range(8)])
+    blob = on.dump_delta()
+    assert blob is not None
+    import pickle
+
+    assert len(pickle.loads(blob)["delta"]) == 8
+    assert on.new_since_dump == []          # journal drained
+
+    monkeypatch.setattr(SeenShardState, "DELTA_CAP", 4)
+    on.add_if_new([bytes([100 + i]) * 20 for i in range(6)])
+    assert on.delta_overflow and on.dump_delta() is None
+    # a full dump re-arms journaling
+    on.dump()
+    on.add_if_new([bytes([200]) * 20])
+    assert pickle.loads(on.dump_delta())["delta"] == [bytes([200]) * 20]
