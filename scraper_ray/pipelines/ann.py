@@ -319,45 +319,70 @@ def q_semdedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset
                              for r in embs.astype(np.float32)], pa.binary()),
         })
 
-    def prune(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order].astype(np.int64)
-        cid = int(g.column("cid")[0].as_py())
-        if n > SEMDEDUP_CLUSTER_CAP:
-            import sys
+    def prune_batch(t: pa.Table) -> pa.Table:
+        # segmented in-cluster prune, vectorized over CLUSTERS (the
+        # embedding-near-dup verify shape — never one Python dispatch per
+        # cid group): one sort makes clusters contiguous runs with
+        # ascending vec_id, clusters sharing a size expand together
+        # through one triu broadcast, and ONE einsum scores every pair.
+        # Per-row normalization and the per-pair einsum are elementwise,
+        # so floats are bit-identical to the old per-group path (and to
+        # DuckDB's list_cosine_similarity; a BLAS matmul could reorder
+        # the additions). Clusters past the cap keep all members, loudly.
+        import sys
 
-            print(f"semdedup: cluster {cid} past cap ({n} > "
-                  f"{SEMDEDUP_CLUSTER_CAP}), keeping all members",
-                  file=sys.stderr)
-            keep = np.ones(n, dtype=np.int64)
-        else:
-            v = np.frombuffer(b"".join(g.column("emb").to_pylist()),
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.int64())})
+        t = t.sort_by([("cid", "ascending"), ("vec_id", "ascending")])
+        cid = t.column("cid").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        over = sizes > SEMDEDUP_CLUSTER_CAP
+        if over.any():
+            for s, z in zip(starts[over], sizes[over]):
+                print(f"semdedup: cluster {int(cid[s])} past cap ({int(z)} "
+                      f"> {SEMDEDUP_CLUSTER_CAP}), keeping all members",
+                      file=sys.stderr)
+        ia_parts, ib_parts = [], []
+        for k in np.unique(sizes):
+            if not 2 <= k <= SEMDEDUP_CLUSTER_CAP:
+                continue
+            iu, ju = np.triu_indices(int(k), 1)
+            seg = starts[sizes == k]
+            ia_parts.append((seg[:, None] + iu[None, :]).ravel())
+            ib_parts.append((seg[:, None] + ju[None, :]).ravel())
+        dup = np.zeros(n, dtype=bool)
+        if ia_parts:
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            v = np.frombuffer(b"".join(t.column("emb").to_pylist()),
                               dtype=np.float32).reshape(n, -1).astype(
-                np.float64)[order]
+                np.float64)
             norms = np.linalg.norm(v, axis=1)
             norms[norms == 0] = 1.0
             vn = v / norms[:, None]
-            # same pairwise einsum kernel as the embedding near-dup
-            # verify (bit-identical to DuckDB's list_cosine_similarity;
-            # a BLAS matmul could reorder the additions)
-            ia, ib = np.triu_indices(n, k=1)
             sims = np.einsum("ij,ij->i", vn[ia], vn[ib])
-            dup = np.zeros(n, dtype=bool)
             hit = sims >= threshold
-            # dropped when ANY lower-id member is >= threshold
+            # dropped when ANY lower-id member is >= threshold (segments
+            # are disjoint index ranges, so one flat scatter covers all)
             np.logical_or.at(dup, ib[hit], True)
-            keep = (~dup).astype(np.int64)
         return pa.table({"vec_id": pa.array(ids),
-                         "cid": pa.array(np.full(n, cid, dtype=np.int64)),
-                         "keep": pa.array(keep)})
+                         "cid": pa.array(cid.astype(np.int64)),
+                         "keep": pa.array((~dup).astype(np.int64))})
 
-    return (
-        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cid")
-        .map_groups(prune, batch_format="pyarrow")
-    )
+    from .common import keyed_repartition
+
+    return keyed_repartition(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["cid"],
+    ).map_batches(prune_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def semdedup_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",

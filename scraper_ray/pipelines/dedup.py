@@ -1386,29 +1386,57 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
             "emb": pa.array(blob * _EMB_BANDS, pa.binary()),
         })
 
-    def bucket_verify(g: pa.Table) -> pa.Table:
+    def verify_batch(t: pa.Table) -> pa.Table:
+        # segmented in-bucket verify, vectorized over BUCKETS (the
+        # candidate_pairs_over shape — never one Python dispatch per
+        # (band, bucket) group): the keyed repartition co-located each
+        # bucket's rows, one sort makes buckets contiguous runs with
+        # ascending vec_id (vec_a < vec_b by construction), buckets
+        # sharing a size expand together through one triu broadcast, and
+        # ONE einsum scores every surviving pair in the batch. Per-row
+        # normalization and the per-pair einsum are elementwise, so the
+        # floats are bit-identical to the old per-group path and the SQL
+        # oracle. Overflow buckets (> cap) are dropped loudly as before.
+        import sys
+
         empty = pa.table({"vec_a": pa.array([], pa.int64()),
                           "vec_b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
-        n = g.num_rows
+        n = t.num_rows
         if n < 2:
             return empty
-        if n > _BUCKET_CAP:
-            import sys
-
-            print(f"embedding_neardup: dropping overflow bucket "
-                  f"({n} vecs > cap {_BUCKET_CAP})", file=sys.stderr)
+        t = t.sort_by([("band", "ascending"), ("bucket", "ascending"),
+                       ("vec_id", "ascending")])
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        n_over = int((sizes > _BUCKET_CAP).sum())
+        if n_over:
+            print(f"embedding_neardup: dropping {n_over} overflow "
+                  f"buckets (> cap {_BUCKET_CAP})", file=sys.stderr)
+        ia_parts, ib_parts = [], []
+        for k in np.unique(sizes):
+            if not 2 <= k <= _BUCKET_CAP:
+                continue
+            iu, ju = np.triu_indices(int(k), 1)
+            seg = starts[sizes == k]
+            ia_parts.append((seg[:, None] + iu[None, :]).ravel())
+            ib_parts.append((seg[:, None] + ju[None, :]).ravel())
+        if not ia_parts:
             return empty
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)          # (vec_a < vec_b) by construction
-        ids = ids[order].astype(np.int64)
-        blobs = g.column("emb").to_pylist()
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        blobs = t.column("emb").to_pylist()
         v = np.frombuffer(b"".join(blobs), dtype=np.float32).reshape(
-            n, -1).astype(np.float64)[order]
+            n, -1).astype(np.float64)
         norms = np.linalg.norm(v, axis=1)
         norms[norms == 0] = 1.0
         vn = v / norms[:, None]
-        ia, ib = np.triu_indices(n, k=1)
         # same einsum kernel as the former join-side verify — float
         # results are bit-identical to the SQL oracle's
         sims = np.einsum("ij,ij->i", vn[ia], vn[ib])
@@ -1421,11 +1449,14 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
     from ray.data.aggregate import Max
 
-    verified = (
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_verify, batch_format="pyarrow")
-    )
+    from .common import keyed_repartition
+
+    verified = keyed_repartition(
+        ds.map_batches(band_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["band", "bucket"],
+    ).map_batches(verify_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
     # a pair sharing buckets in k bands verifies to k identical rows —
     # one aggregate over the small surviving set dedupes them (deduping
     # candidates PRE-verify measured 19 s for 138k tiny groups)
