@@ -128,6 +128,44 @@ def flat_tokens(t: pa.Table, text_col: str = "text"):
     return flat, lens, np.repeat(np.arange(len(lens)), lens)
 
 
+def flat_spans(t: pa.Table):
+    """Explode a crawl-doc batch's ``spans`` column (the interleaved
+    ``list<struct<kind,text,media_ref,offset>>`` payload) in three Arrow
+    kernels: returns ``(flat, parents)`` — the flattened StructArray and
+    the int64 row index of every flat span. Flatten preserves in-list
+    order, so a doc's spans stay in offset order within its run. The
+    shared front half of every span-level batch kernel (text rollup,
+    paragraph rows, media-asset pairs, composition rollups): no Python
+    loop ever touches the span stream."""
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    return pc.list_flatten(spans), pc.list_parent_indices(spans)
+
+
+def span_content_bodies(t: pa.Table) -> pa.Array:
+    """Per-doc content-fingerprint body: each span rendered as
+    ``kind|text|media_ref`` and the doc's lines joined by newline, all
+    in four Arrow kernels (flatten preserves the parse stage's offset
+    order — the same invariant ``rollup_texts`` leans on). Callers md5
+    the bodies (one C call per doc); the serialization is mirrored
+    verbatim by the DuckDB oracles' ``string_agg(... ORDER BY
+    offset)``."""
+    import numpy as np
+
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    lines = pc.binary_join_element_wise(
+        pc.struct_field(flat, "kind"), pc.struct_field(flat, "text"),
+        pc.struct_field(flat, "media_ref"), "|")
+    lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
+    return pc.binary_join(lists, "\n")
+
+
 def keyed_repartition(ds: rd.Dataset, keys: list[str],
                       num_partitions: int | None = None) -> rd.Dataset:
     """Hash-shuffle *ds* so every row of a key lands in one block.

@@ -26,16 +26,32 @@ def rollup_texts(docs: rd.Dataset) -> rd.Dataset:
     order from the parse stage — asserted, not re-sorted)."""
 
     def f(t: pa.Table) -> pa.Table:
-        ids, texts, ntok = [], [], []
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            parts = [s["text"] for s in spans if s["kind"] == "text"]
-            txt = " ".join(parts)
-            ids.append(did)
-            texts.append(txt)
-            ntok.append(len(txt.split(" ")) if txt else 0)
-        return pa.table({"doc_id": pa.array(ids, pa.string()),
-                         "text": pa.array(texts, pa.string()),
+        # vectorized: flatten the span lists once, filter to text spans,
+        # rebuild per-doc lists from bincounted parent indices, and join
+        # each doc's parts with ONE pc.binary_join — no Python loop over
+        # spans. n_tokens = spaces + 1 on the joined text (empty -> 0),
+        # exactly len(txt.split(" ")).
+        import numpy as np
+
+        from .common import flat_spans
+
+        n = t.num_rows
+        flat, parents = flat_spans(t)
+        mask = pc.equal(pc.struct_field(flat, "kind"), "text")
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        kept_par = parents.to_numpy(zero_copy_only=False)[mask_np]
+        kept_txt = pc.struct_field(flat, "text").filter(mask)
+        counts = np.bincount(kept_par, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         kept_txt)
+        joined = pc.binary_join(lists, " ")
+        spaces = pc.count_substring(joined, " ").to_numpy(
+            zero_copy_only=False)
+        nonempty = pc.not_equal(joined, "").to_numpy(zero_copy_only=False)
+        ntok = np.where(nonempty, spaces + 1, 0).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": joined,
                          "n_tokens": pa.array(ntok, pa.int64())})
 
     return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -181,22 +197,28 @@ def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
     docs = _run_crawl(sf_dir).select_columns(["doc_id", "spans"])
 
     def pars(t: pa.Table) -> pa.Table:
-        ids, offs, texts, hs, ks = [], [], [], [], []
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            for s in spans:
-                if s["kind"] != "text":
-                    continue
-                ids.append(did)
-                offs.append(s["offset"])
-                texts.append(s["text"])
-                hs.append(hashlib.md5(s["text"].encode()).hexdigest())
-                ks.append(f"{did}:{s['offset']:08d}")
-        return pa.table({"doc_id": pa.array(ids, pa.string()),
-                         "offset": pa.array(offs, pa.int64()),
-                         "text": pa.array(texts, pa.string()),
-                         "h": pa.array(hs, pa.string()),
-                         "k": pa.array(ks, pa.string())})
+        # vectorized span explosion (flat_spans) + Arrow-kernel key
+        # build; only the md5 itself stays a per-paragraph C call (the
+        # 32-hex hash is the shuffle key — lighter than shipping the
+        # paragraph text through the winner groupby's hash).
+        from .common import flat_spans
+
+        flat, parents = flat_spans(t)
+        mask = pc.equal(pc.struct_field(flat, "kind"), "text")
+        flat = flat.filter(mask)
+        par = parents.filter(mask)
+        ids = pc.take(t.column("doc_id"), par)
+        offs = pc.cast(pc.struct_field(flat, "offset"), pa.int64())
+        texts = pc.struct_field(flat, "text")
+        hs = pa.array([hashlib.md5(x.encode()).hexdigest()
+                       for x in texts.to_pylist()], pa.string())
+        ks = pc.binary_join_element_wise(
+            ids, pc.utf8_lpad(pc.cast(offs, pa.string()), 8, "0"), ":")
+        return pa.table({"doc_id": ids,
+                         "offset": offs,
+                         "text": texts,
+                         "h": hs,
+                         "k": ks})
 
     keyed = drop_empty_blocks(
         docs.map_batches(pars, batch_format="pyarrow", zero_copy_batch=True)
@@ -258,25 +280,35 @@ def q_media_dedup(sf_dir: str) -> rd.Dataset:
     docs = _run_crawl(sf_dir).select_columns(["doc_id", "spans"])
 
     def partial(t: pa.Table) -> pa.Table:
-        agg: dict[tuple[str, str], list] = {}
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            for s in spans:
-                if s["kind"] != "media":
-                    continue
-                k = f"{did}|{s['offset']:010d}"
-                cur = agg.get((s["media_ref"], did))
-                if cur is None:
-                    agg[(s["media_ref"], did)] = [1, k]
-                else:
-                    cur[0] += 1
-                    if k < cur[1]:
-                        cur[1] = k
-        keys = list(agg)
+        # vectorized: flatten spans once, filter to media, build the
+        # sortable doc|offset key with Arrow kernels, and fold the
+        # per-(media_ref, doc) partial (count + min key) through ONE
+        # pandas groupby — no Python loop over spans. A doc's spans land
+        # whole in its batch, so each (ref, doc) pair yields exactly one
+        # partial row globally (the downstream Count counts docs).
+        from .common import flat_spans
+
+        empty = pa.table({"media_ref": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "k": pa.array([], pa.string())})
+        flat, parents = flat_spans(t)
+        mask = pc.equal(pc.struct_field(flat, "kind"), "media")
+        flat = flat.filter(mask)
+        par = parents.filter(mask)
+        if len(par) == 0:
+            return empty
+        did = pc.take(t.column("doc_id"), par)
+        offs = pc.cast(pc.struct_field(flat, "offset"), pa.int64())
+        k = pc.binary_join_element_wise(
+            did, pc.utf8_lpad(pc.cast(offs, pa.string()), 10, "0"), "|")
+        df = pa.table({"media_ref": pc.struct_field(flat, "media_ref"),
+                       "doc_id": did, "k": k}).to_pandas()
+        g = (df.groupby(["media_ref", "doc_id"], sort=False)
+             .agg(n=("k", "size"), k=("k", "min")).reset_index())
         return pa.table({
-            "media_ref": pa.array([r for r, _ in keys], pa.string()),
-            "n": pa.array([agg[k][0] for k in keys], pa.int64()),
-            "k": pa.array([agg[k][1] for k in keys], pa.string())})
+            "media_ref": pa.array(g["media_ref"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "k": pa.array(g["k"], pa.string())})
 
     pairs = drop_empty_blocks(
         docs.map_batches(partial, batch_format="pyarrow",

@@ -13,6 +13,7 @@ import os
 import tempfile
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..crawl import CrawlConfig, crawl, read_docs
@@ -76,21 +77,18 @@ def q_crawl_spans(sf_dir: str) -> rd.Dataset:
     docs = _run_crawl(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, kinds, texts, refs, offs = [], [], [], [], []
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            for s in spans:
-                ids.append(did)
-                kinds.append(s["kind"])
-                texts.append(s["text"])
-                refs.append(s["media_ref"])
-                offs.append(s["offset"])
+        # vectorized: one list_flatten + parent-index take — no Python
+        # loop over spans (flatten preserves in-list order, so spans
+        # stay in offset order within each doc's run)
+        from .common import flat_spans
+
+        flat, parents = flat_spans(t)
         return pa.table({
-            "doc_id": pa.array(ids, pa.string()),
-            "kind": pa.array(kinds, pa.string()),
-            "text": pa.array(texts, pa.string()),
-            "media_ref": pa.array(refs, pa.string()),
-            "offset": pa.array(offs, pa.int32()),
+            "doc_id": pc.take(t.column("doc_id"), parents),
+            "kind": pc.struct_field(flat, "kind"),
+            "text": pc.struct_field(flat, "text"),
+            "media_ref": pc.struct_field(flat, "media_ref"),
+            "offset": pc.cast(pc.struct_field(flat, "offset"), pa.int32()),
         })
 
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -106,24 +104,41 @@ def q_span_stats(sf_dir: str) -> rd.Dataset:
     docs = _run_crawl(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        n_sp, n_tx, n_md, chars, nref = [], [], [], [], []
-        for spans in t.column("spans").to_pylist():
-            tx = sum(1 for s in spans if s["kind"] == "text")
-            n_sp.append(len(spans))
-            n_tx.append(tx)
-            n_md.append(len(spans) - tx)
-            chars.append(sum(len(s["text"]) for s in spans
-                             if s["kind"] == "text"))
-            nref.append(len({s["media_ref"] for s in spans
-                             if s["kind"] == "media"}))
+        # vectorized: one flatten, per-doc counts via bincount over the
+        # parent indices, text chars via utf8_length weights, distinct
+        # media refs via dictionary-encode + np.unique on a fused
+        # (doc, ref-code) int64 key — no Python loop over spans
+        import numpy as np
+
+        from .common import flat_spans
+
+        n = t.num_rows
+        flat, parents = flat_spans(t)
+        par = parents.to_numpy(zero_copy_only=False)
+        is_tx = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(
+            zero_copy_only=False)
+        n_sp = np.bincount(par, minlength=n)
+        n_tx = np.bincount(par[is_tx], minlength=n)
+        tlen = pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(
+            zero_copy_only=False)
+        chars = np.bincount(par[is_tx], weights=tlen[is_tx],
+                            minlength=n).astype(np.int64)
+        md_par = par[~is_tx]
+        refs = pc.struct_field(flat, "media_ref").filter(
+            pa.array(~is_tx))
+        codes = pc.dictionary_encode(refs).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        fused = np.unique(md_par * (codes.max() + 1 if len(codes) else 1)
+                          + codes)
+        nref = np.bincount(fused // (codes.max() + 1 if len(codes) else 1),
+                           minlength=n)
         return pa.table({
-            "doc_id": ids,
-            "n_spans": pa.array(n_sp, pa.int64()),
-            "n_text": pa.array(n_tx, pa.int64()),
-            "n_media": pa.array(n_md, pa.int64()),
-            "text_chars": pa.array(chars, pa.int64()),
-            "n_media_refs": pa.array(nref, pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "n_spans": pa.array(n_sp.astype(np.int64)),
+            "n_text": pa.array(n_tx.astype(np.int64)),
+            "n_media": pa.array((n_sp - n_tx).astype(np.int64)),
+            "text_chars": pa.array(chars),
+            "n_media_refs": pa.array(nref.astype(np.int64)),
         })
 
     return docs.select_columns(["doc_id", "spans"]).map_batches(
@@ -138,14 +153,13 @@ def _content_sigs(docs: rd.Dataset, sig_col: str) -> rd.Dataset:
     ``string_agg(... ORDER BY offset)``."""
     import hashlib
 
+    from .common import span_content_bodies
+
     def sig(t: pa.Table) -> pa.Table:
-        sigs = []
-        for spans in t.column("spans").to_pylist():
-            body = "\n".join(f"{s['kind']}|{s['text']}|{s['media_ref']}"
-                             for s in sorted(spans, key=lambda s: s["offset"]))
-            sigs.append(hashlib.md5(body.encode()).hexdigest())
-        return pa.table({"url": t.column("url"),
-                         sig_col: pa.array(sigs, pa.string())})
+        bodies = span_content_bodies(t)
+        sigs = pa.array([hashlib.md5(b.encode()).hexdigest()
+                         for b in bodies.to_pylist()], pa.string())
+        return pa.table({"url": t.column("url"), sig_col: sigs})
 
     return docs.select_columns(["url", "spans"]).map_batches(
         sig, batch_format="pyarrow", zero_copy_batch=True)
@@ -465,12 +479,13 @@ def q_mirror_domains(sf_dir: str) -> rd.Dataset:
 
     def sig(t: pa.Table) -> pa.Table:
         import hashlib
-        sigs = []
-        for spans in t.column("spans").to_pylist():
-            body = "\n".join(f"{s['kind']}|{s['text']}|{s['media_ref']}"
-                             for s in sorted(spans, key=lambda s: s["offset"]))
-            sigs.append(hashlib.md5(body.encode()).hexdigest())
-        return pa.table({"sig": pa.array(sigs, pa.string()),
+
+        from .common import span_content_bodies
+
+        bodies = span_content_bodies(t)
+        sigs = pa.array([hashlib.md5(b.encode()).hexdigest()
+                         for b in bodies.to_pylist()], pa.string())
+        return pa.table({"sig": sigs,
                          "domain_key": t.column("domain_key")})
 
     # distinct (sig, domain): a page duplicated inside one domain counts once
