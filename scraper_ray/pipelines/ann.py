@@ -379,9 +379,15 @@ def q_semdedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset
 
     from .common import keyed_repartition
 
+    # sized to the QUADRATIC prune (pairs per row): ~512 rows/partition
+    # keeps the einsum spread across cores instead of the default ~16k
+    # heuristic's couple of straggler tasks; CPU cap bounds aggregator
+    # startup (same discipline as q_embedding_neardup's verify)
+    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = min(cpus, max(2, ds.count() // 512))
     return keyed_repartition(
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
-        ["cid"],
+        ["cid"], num_partitions=n_parts,
     ).map_batches(prune_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -1451,10 +1451,17 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
     from .common import keyed_repartition
 
+    # partition count sized to the QUADRATIC verify (pairs per row, not
+    # rows): the default ~16k-rows/partition heuristic leaves a 16k-row
+    # exchange on 2 tasks while each task burns ~1 s of einsum — ~2k
+    # band rows per partition keeps every core busy (measured 3.6->2.2 s
+    # at sf0.1), and the CPU cap still bounds aggregator startup
+    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = min(cpus, max(2, (ds.count() * _EMB_BANDS) // 2048))
     verified = keyed_repartition(
         ds.map_batches(band_rows, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["band", "bucket"],
+        ["band", "bucket"], num_partitions=n_parts,
     ).map_batches(verify_batch, batch_format="pyarrow",
                   zero_copy_batch=True)
     # a pair sharing buckets in k bands verifies to k identical rows —
