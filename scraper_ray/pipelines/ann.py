@@ -305,16 +305,25 @@ def q_semdedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset
     degenerate clusters past the cap keep all members, loudly (pruning
     them would need an unbounded pairwise pass; SQL mirrors the skip)."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(ds.count()))
+    n_vecs = ds.count()
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(n_vecs))
     c_ref = ray.put(cents)
+    # part count sized to the QUADRATIC prune (pairs per row, not rows);
+    # a cid always lands whole in one part, so the groupby("part") hands
+    # the segmented prune whole clusters through the task-based sort
+    # shuffle (no hash-shuffle aggregator-actor startup per query)
+    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = min(cpus, max(2, n_vecs // 512))
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         embs = embs_to_numpy(t.column("embedding"))
         d = -2.0 * (embs @ c.T) + (c * c).sum(axis=1)[None, :]
+        cid = np.argmin(d, axis=1).astype("int64")
         return pa.table({
             "vec_id": pa.compute.cast(t.column("vec_id"), pa.int64()),
-            "cid": pa.array(np.argmin(d, axis=1).astype("int64")),
+            "cid": pa.array(cid),
+            "part": pa.array((cid * 1000003) % n_parts),
             "emb": pa.array([r.tobytes()
                              for r in embs.astype(np.float32)], pa.binary()),
         })
@@ -377,18 +386,11 @@ def q_semdedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD) -> rd.Dataset
                          "cid": pa.array(cid.astype(np.int64)),
                          "keep": pa.array((~dup).astype(np.int64))})
 
-    from .common import keyed_repartition
-
-    # sized to the QUADRATIC prune (pairs per row): ~512 rows/partition
-    # keeps the einsum spread across cores instead of the default ~16k
-    # heuristic's couple of straggler tasks; CPU cap bounds aggregator
-    # startup (same discipline as q_embedding_neardup's verify)
-    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    n_parts = min(cpus, max(2, ds.count() // 512))
-    return keyed_repartition(
-        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
-        ["cid"], num_partitions=n_parts,
-    ).map_batches(prune_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(prune_batch, batch_format="pyarrow")
+    )
 
 
 def semdedup_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",

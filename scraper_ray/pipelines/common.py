@@ -109,6 +109,9 @@ def sql_hex64(expr: str) -> str:
 # (capped at cluster CPUs). See keyed_repartition's docstring for the
 # startup-cost vs downstream-parallelism tradeoff behind the value.
 REPART_ROWS_PER_PART = 16384
+# keyed_repartition routes exchanges at or below this row count through
+# the task-based sort shuffle (see its docstring); above it, hash shuffle
+SORT_COLOCATE_CUTOFF = 4_000_000
 
 
 def flat_tokens(t: pa.Table, text_col: str = "text"):
@@ -195,10 +198,37 @@ def keyed_repartition(ds: rd.Dataset, keys: list[str],
     from ray.data.context import ShuffleStrategy
 
     ds = drop_empty_blocks(ds)
+    n = ds.count()
     if num_partitions is None:
         cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        num_partitions = max(2, min(cpus,
-                                    ds.count() // REPART_ROWS_PER_PART + 2))
+        num_partitions = max(2, min(cpus, n // REPART_ROWS_PER_PART + 2))
+    if n <= SORT_COLOCATE_CUTOFF:
+        # small exchange: hash-shuffle aggregator actors cost seconds of
+        # per-query startup that dwarf the data movement. Co-locate by a
+        # coarse __part column instead and route through the TASK-based
+        # sort shuffle: groupby(__part).map_groups emits whole groups,
+        # so every row of a key still lands in one block and downstream
+        # map_batches(batch_size=None) sees keys whole. Above the
+        # cutoff the hash shuffle wins (actor startup amortizes and the
+        # sort's sample pass stops being free) — at 100 TB every wide
+        # exchange takes that path, so the scale story is unchanged.
+        import pandas as pd
+
+        np_parts = int(num_partitions)
+
+        def add_part(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.select(keys).to_pandas(), index=False).to_numpy()
+            return strip_schema_metadata(t).append_column(
+                "__part", pa.array((h % np_parts).astype("int64")))
+
+        def strip(t: pa.Table) -> pa.Table:
+            return t.drop_columns(["__part"])
+
+        return (ds.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("__part")
+                .map_groups(strip, batch_format="pyarrow"))
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return drop_empty_blocks(ds.repartition(num_partitions, keys=keys))
 

@@ -1358,9 +1358,14 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
     exchange instead of three."""
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
-    n_planes = _emb_planes_for(ds.count())   # metadata-only for parquet
+    n_vecs = ds.count()                      # metadata-only for parquet
+    n_planes = _emb_planes_for(n_vecs)
     planes_ref = ray.put(_emb_planes(dim, n_planes))
     w = 1 << np.arange(n_planes, dtype=np.int64)
+    # part count sized to the QUADRATIC verify (pairs per row, not rows):
+    # ~2k band rows per part keeps every core busy on the einsum
+    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    n_parts = min(cpus, max(2, (n_vecs * _EMB_BANDS) // 2048))
 
     def band_rows(t: pa.Table) -> pa.Table:
         from .common import embs_to_numpy
@@ -1378,11 +1383,19 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
         # float32 row bytes (lossless: the source column is float32);
         # list-repeat matches the band-major np.tile/np.repeat layout
         blob = [r.tobytes() for r in embs.astype(np.float32)]
+        bands = np.repeat(np.arange(_EMB_BANDS), n).astype(np.int64)
+        buckets = keys.astype(np.int64)
+        # coarse co-location key: a (band, bucket) always lands whole in
+        # one part, so the downstream groupby("part") hands the segmented
+        # verify whole buckets — n_parts Python dispatches total through
+        # the task-based sort shuffle (no per-query hash-shuffle
+        # aggregator-actor startup, measured ~4 s cold at bench scale)
+        part = ((buckets * 1000003) ^ bands) % n_parts
         return pa.table({
             "vec_id": pa.array(np.tile(ids_np, _EMB_BANDS).astype("int64")),
-            "band": pa.array(np.repeat(np.arange(_EMB_BANDS), n)
-                             .astype("int32")),
-            "bucket": pa.array(keys.astype("int64")),
+            "band": pa.array(bands.astype("int32")),
+            "bucket": pa.array(buckets),
+            "part": pa.array(part.astype("int64")),
             "emb": pa.array(blob * _EMB_BANDS, pa.binary()),
         })
 
@@ -1449,21 +1462,19 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
 
     from ray.data.aggregate import Max
 
-    from .common import keyed_repartition
-
-    # partition count sized to the QUADRATIC verify (pairs per row, not
-    # rows): the default ~16k-rows/partition heuristic leaves a 16k-row
-    # exchange on 2 tasks while each task burns ~1 s of einsum — ~2k
-    # band rows per partition keeps every core busy (measured 3.6->2.2 s
-    # at sf0.1), and the CPU cap still bounds aggregator startup
-    cpus = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    n_parts = min(cpus, max(2, (ds.count() * _EMB_BANDS) // 2048))
-    verified = keyed_repartition(
+    # coarse-part sort-shuffle (the stats.py shard-rank shape): the
+    # groupby("part") co-locates whole buckets through the task-based
+    # sort shuffle and hands the SEGMENTED verify one part at a time —
+    # n_parts Python dispatches total, each a vectorized pass over many
+    # buckets. This beat both the per-bucket map_groups (Python dispatch
+    # per bucket at scale) and the hash-shuffle keyed repartition (~4 s
+    # of per-query aggregator-actor startup at bench scale).
+    verified = (
         ds.map_batches(band_rows, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["band", "bucket"], num_partitions=n_parts,
-    ).map_batches(verify_batch, batch_format="pyarrow",
-                  zero_copy_batch=True)
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(verify_batch, batch_format="pyarrow")
+    )
     # a pair sharing buckets in k bands verifies to k identical rows —
     # one aggregate over the small surviving set dedupes them (deduping
     # candidates PRE-verify measured 19 s for 138k tiny groups)

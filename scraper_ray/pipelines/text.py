@@ -53,20 +53,31 @@ def q_doc_stats(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        texts = t.column("text").to_pylist()
-        n_tok, n_dis, n_stop = [], [], []
-        for x in texts:
-            toks = x.split(" ")
-            n_tok.append(len(toks))
-            n_dis.append(len(set(toks)))
-            n_stop.append(sum(1 for w in toks if w in _STOPWORDS))
+        # vectorized: one flat tokenize; stopword membership via
+        # pc.is_in on the flat stream; per-doc distinct via
+        # dictionary-encode + np.unique on a fused (doc, code) key — no
+        # Python loop over docs or tokens
+        import numpy as np
+
+        from .common import flat_tokens
+
+        flat, lens, doc = flat_tokens(t)
+        n = t.num_rows
+        isstop = pc.is_in(
+            flat, value_set=pa.array(sorted(_STOPWORDS), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(doc[isstop], minlength=n)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        width = (codes.max() + 1) if len(codes) else 1
+        n_dis = np.bincount(np.unique(doc * width + codes) // width,
+                            minlength=n)
         return pa.table({
-            "doc_id": ids,
+            "doc_id": t.column("doc_id"),
             "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_distinct": pa.array(n_dis, pa.int64()),
-            "n_stop": pa.array(n_stop, pa.int64()),
+            "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
+            "n_distinct": pa.array(n_dis.astype(np.int64), pa.int64()),
+            "n_stop": pa.array(n_stop.astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -112,12 +123,23 @@ def q_gopher_rules(sf_dir: str) -> rd.Dataset:
         nt = np.asarray(pc.cast(
             pc.add(pc.count_substring(text, " "), 1), pa.float64()))
         mean_len = (nc - (nt - 1.0)) / nt
-        n_num = np.empty(len(nt))
-        n_dis = np.empty(len(nt))
-        for i, x in enumerate(text.to_pylist()):
-            toks = x.split(" ")
-            n_num[i] = sum(1 for w in toks if _NUM_RE.fullmatch(w))
-            n_dis[i] = len(set(toks))
+        # vectorized numeric/distinct token counts: one flat tokenize,
+        # RE2 full-match on the flat stream (anchored — same semantics
+        # as re.fullmatch of [0-9]+), per-doc distinct via
+        # dictionary-encode + np.unique on a fused (doc, code) key — no
+        # Python loop over docs or tokens
+        from .common import flat_tokens
+
+        flat, _lens, doc = flat_tokens(t)
+        isnum = pc.match_substring_regex(flat, r"^[0-9]+$").to_numpy(
+            zero_copy_only=False)
+        n_num = np.bincount(doc[isnum], minlength=len(nt)).astype(
+            np.float64)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        width = (codes.max() + 1) if len(codes) else 1
+        n_dis = np.bincount(np.unique(doc * width + codes) // width,
+                            minlength=len(nt)).astype(np.float64)
         numeric_frac = n_num / nt
         dup_frac = (nt - n_dis) / nt
         keep = ((nt >= _GOPHER_MIN_TOK) & (nt <= _GOPHER_MAX_TOK)
