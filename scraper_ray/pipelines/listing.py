@@ -20,7 +20,6 @@ re-expresses that tail as Ray Data stages over the crawl's doc table:
 
 from __future__ import annotations
 
-import re
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -44,69 +43,108 @@ def split_detail_info(docs: rd.Dataset, stamp: str = "2024-01-01"
     """Crawl docs -> (detail, info) datasets, reference semantics."""
 
     def detail_rows(t: pa.Table) -> pa.Table:
-        cols = {k: [] for k in
-                ("source_id", "entity", "property_id", "title", "photo",
-                 "n_text_spans", "timestamp", "crawl_path", "extras")}
-        for r in t.to_pylist():
-            if r["page_type"] != "detail":
-                continue
-            item_id = r["url"].rstrip("/").rsplit("/", 1)[-1]
-            texts = [s["text"] for s in r["spans"] if s["kind"] == "text"]
-            media = [s["media_ref"] for s in r["spans"] if s["kind"] == "media"]
-            cols["source_id"].append(f"{r['entity']}_{item_id}")
-            cols["entity"].append(r["entity"])
-            cols["property_id"].append(r["parent_id"])     # J1 propagation
-            cols["title"].append(texts[0] if texts else "")
-            cols["photo"].append(media[0] if media else "")
-            cols["n_text_spans"].append(len(texts))
-            cols["timestamp"].append(stamp)                # M8 stamping
-            cols["crawl_path"].append(r["path"])
-            # open-ended scraped attributes in one packed string column —
-            # the fixed-schema answer to the reference's NVARCHAR schema
-            # evolution (db.py:108-119). A plain string (not map<k,v>):
-            # map columns defeat Ray's schema dedup (hash spam) and SQL
-            # comparators; 'k=v;k=v' keeps keys open and stays comparable
-            cols["extras"].append(
-                ";".join(f"f{i}={txt}" for i, txt in enumerate(texts[1:])))
+        # vectorized: filter to detail pages, flatten spans once, and
+        # derive every column with Arrow kernels + bincount — no Python
+        # loop over rows or spans
+        import numpy as np
+
+        from .common import flat_spans
+
+        t = t.filter(pc.equal(t.column("page_type"), "detail"))
+        n = t.num_rows
+        # item_id = url.rstrip("/").rsplit("/", 1)[-1]
+        item = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"(?P<i>[^/]+)/*$"), "i")
+        source_id = pc.binary_join_element_wise(
+            t.column("entity"), item, "_")
+        flat, parents = flat_spans(t)
+        par = parents.to_numpy(zero_copy_only=False)
+        is_tx = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(
+            zero_copy_only=False)
+        tx_par = par[is_tx]
+        tx_txt = pc.struct_field(flat, "text").filter(pa.array(is_tx))
+        n_tx = np.bincount(tx_par, minlength=n)
+        # within-doc rank of each text span (parents ascend, so rank =
+        # position minus the doc's first position)
+        starts = np.concatenate(([0], np.cumsum(n_tx)))[:-1]
+        rank = np.arange(len(tx_par)) - starts[tx_par] if len(tx_par) \
+            else np.array([], dtype=np.int64)
+        # title = first text span (docs with none -> "")
+        title = np.full(n, "", dtype=object)
+        first = rank == 0
+        title[tx_par[first]] = np.asarray(
+            tx_txt.to_numpy(zero_copy_only=False))[first]
+        # photo = first media span's ref
+        md_par = par[~is_tx]
+        md_ref = pc.struct_field(flat, "media_ref").filter(
+            pa.array(~is_tx))
+        n_md = np.bincount(md_par, minlength=n)
+        md_first = (np.arange(len(md_par))
+                    - np.concatenate(([0], np.cumsum(n_md)))[:-1][md_par]
+                    == 0) if len(md_par) else np.array([], dtype=bool)
+        photo = np.full(n, "", dtype=object)
+        photo[md_par[md_first]] = np.asarray(
+            md_ref.to_numpy(zero_copy_only=False))[md_first]
+        # open-ended scraped attributes in one packed string column —
+        # the fixed-schema answer to the reference's NVARCHAR schema
+        # evolution (db.py:108-119). A plain string (not map<k,v>):
+        # map columns defeat Ray's schema dedup (hash spam) and SQL
+        # comparators; 'k=v;k=v' keeps keys open and stays comparable.
+        # Built vectorized: 'f{rank-1}={text}' parts for rank >= 1,
+        # regrouped into per-doc lists and joined with ';'
+        tail = rank >= 1
+        idx_str = pc.cast(pa.array((rank[tail] - 1).astype(np.int64)),
+                          pa.string())
+        kv = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(pa.scalar("f"), idx_str,
+                                        pa.scalar("")),
+            tx_txt.filter(pa.array(tail)),
+            "=")
+        tail_counts = np.bincount(tx_par[tail], minlength=n)
+        offs = np.concatenate(([0], np.cumsum(tail_counts))).astype(
+            np.int32)
+        extras = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kv), ";")
         return clamp_strings(pa.table({
-            "source_id": pa.array(cols["source_id"], pa.string()),
-            "entity": pa.array(cols["entity"], pa.string()),
-            "property_id": pa.array(cols["property_id"], pa.string()),
-            "title": pa.array(cols["title"], pa.string()),
-            "photo": pa.array(cols["photo"], pa.string()),
-            "n_text_spans": pa.array(cols["n_text_spans"], pa.int32()),
-            "timestamp": pa.array(cols["timestamp"], pa.string()),
-            "crawl_path": pa.array(cols["crawl_path"], pa.string()),
-            "extras": pa.array(cols["extras"], pa.string()),
+            "source_id": source_id,
+            "entity": t.column("entity"),
+            "property_id": t.column("parent_id"),   # J1 propagation
+            "title": pa.array(title, pa.string()),
+            "photo": pa.array(photo, pa.string()),
+            "n_text_spans": pa.array(n_tx.astype(np.int32), pa.int32()),
+            "timestamp": pa.array([stamp] * n, pa.string()),  # M8
+            "crawl_path": t.column("path"),
+            "extras": extras,
         }))
 
     def info_rows(t: pa.Table) -> pa.Table:
-        cols = {k: [] for k in
-                ("source_id", "entity", "page_url", "page_no", "n_items",
-                 "timestamp")}
-        for r in t.to_pylist():
-            if r["page_type"] != "list":
-                continue
-            # entity-level key: pages of the same entity COLLIDE here, so
-            # dedupe_last_wins keeps the newest page per property — the
-            # reference's one-info-row-per-property upsert (db.py:38-54)
-            cols["source_id"].append(r["entity"])
-            cols["entity"].append(r["entity"])
-            cols["page_url"].append(r["url"])
-            # numeric page for 'newest page wins' ordering — lexicographic
-            # page_url breaks at p10 ('p9/' > 'p10/')
-            m = re.search(r"p(\d+)/$", r["url"])
-            cols["page_no"].append(int(m.group(1)) if m else 0)
-            cols["n_items"].append(
-                sum(1 for s in r["spans"] if s["kind"] == "text"))
-            cols["timestamp"].append(stamp)
+        # vectorized: filter to list pages, regex-extract the numeric
+        # page (lexicographic page_url breaks at p10: 'p9/' > 'p10/'),
+        # count text spans per doc via bincount — no Python row loop.
+        # entity-level key: pages of the same entity COLLIDE here, so
+        # dedupe_last_wins keeps the newest page per property — the
+        # reference's one-info-row-per-property upsert (db.py:38-54)
+        import numpy as np
+
+        from .common import flat_spans
+
+        t = t.filter(pc.equal(t.column("page_type"), "list"))
+        n = t.num_rows
+        no = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"p(?P<no>\d+)/$"), "no")
+        page_no = pc.fill_null(pc.cast(no, pa.int32()), 0)
+        flat, parents = flat_spans(t)
+        is_tx = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(
+            zero_copy_only=False)
+        n_items = np.bincount(
+            parents.to_numpy(zero_copy_only=False)[is_tx], minlength=n)
         return clamp_strings(pa.table({
-            "source_id": pa.array(cols["source_id"], pa.string()),
-            "entity": pa.array(cols["entity"], pa.string()),
-            "page_url": pa.array(cols["page_url"], pa.string()),
-            "page_no": pa.array(cols["page_no"], pa.int32()),
-            "n_items": pa.array(cols["n_items"], pa.int32()),
-            "timestamp": pa.array(cols["timestamp"], pa.string()),
+            "source_id": t.column("entity"),
+            "entity": t.column("entity"),
+            "page_url": t.column("url"),
+            "page_no": page_no,
+            "n_items": pa.array(n_items.astype(np.int32), pa.int32()),
+            "timestamp": pa.array([stamp] * n, pa.string()),
         }))
 
     detail = docs.map_batches(detail_rows, batch_format="pyarrow",
