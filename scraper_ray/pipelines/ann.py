@@ -614,7 +614,6 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
     bit-for-bit) with neighbor-id tie-break, so ranks are deterministic
     across engines."""
     import pandas as pd
-    from ray.data.context import ShuffleStrategy
 
     from .common import drop_empty_blocks, strip_schema_metadata
     from .dedup import q_embedding_neardup
@@ -637,11 +636,12 @@ def q_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
         return strip_schema_metadata(pa.Table.from_pandas(
             df.groupby("vec_id", sort=False).head(k), preserve_index=False))
 
+    from .common import keyed_repartition
+
     partial = drop_empty_blocks(
         pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(topk_pass, batch_format="pandas"))
-    partial.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    co = drop_empty_blocks(partial.repartition(8, keys=["vec_id"]))
+    co = keyed_repartition(partial, ["vec_id"])
 
     def final(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values(["vec_id", "cosine", "neighbor"],

@@ -189,7 +189,6 @@ def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
     when every paragraph was someone else's boilerplate)."""
     import pandas as pd
     from ray.data.aggregate import Min
-    from ray.data.context import ShuffleStrategy
 
     from .common import drop_empty_blocks, strip_schema_metadata
     from .crawl_queries import _run_crawl
@@ -236,10 +235,11 @@ def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
                       "text": t.column("text"),
                       "kept": kept}))
 
+    from .common import keyed_repartition
+
     rows = drop_empty_blocks(
         flagged.map_batches(flag, batch_format="pyarrow"))
-    rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    co = drop_empty_blocks(rows.repartition(8, keys=["doc_id"]))
+    co = keyed_repartition(rows, ["doc_id"])
 
     def rebuild(df: "pd.DataFrame") -> pa.Table:
         df = df.sort_values(["doc_id", "offset"], kind="mergesort")

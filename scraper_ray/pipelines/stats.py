@@ -608,7 +608,6 @@ def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
     top-k — no per-group Python dispatch on either path. Ties break by
     token ascending; both paths and the SQL oracle share the order."""
     import ray
-    from ray.data.context import ShuffleStrategy
 
     from .common import drop_empty_blocks
 
@@ -684,8 +683,9 @@ def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
         tf_rows, batch_format="pyarrow", zero_copy_batch=True))
     joined = drop_empty_blocks(tfr.join(
         df_tbl, join_type="inner", num_partitions=16, on=("token",)))
-    joined.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    by_doc = drop_empty_blocks(joined.repartition(16, keys=["doc_id"]))
+    from .common import keyed_repartition
+
+    by_doc = keyed_repartition(joined, ["doc_id"])
 
     def topk_batch(t: pa.Table) -> pa.Table:
         idf = round_half_away(
