@@ -117,7 +117,8 @@ QUERY_NAMES = [
     "vocab_topk", "bm25_search", "global_shuffle", "text_normalize",
     "oov_ratio", "dup_spans", "boilerplate", "link_pagerank", "link_hits",
     "url_patterns", "mirror_domains", "top_terms", "dedup_rate",
-    "gopher_rules", "regex_tokens", "embedding_quantize", "budget_select",
+    "gopher_rules", "repetition_scores", "regex_tokens",
+    "embedding_quantize", "budget_select",
     "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
     "quality_classifier", "perplexity_buckets", "media_dedup",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",

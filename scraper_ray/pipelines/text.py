@@ -157,6 +157,69 @@ def q_gopher_rules(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_repetition_scores(sf_dir: str) -> rd.Dataset:
+    """Gopher-style WITHIN-doc repetition signals (Rae et al. 2021
+    §A1.1, the 'repetitious text' gates): per-doc 2-/3-gram totals and
+    distincts plus the top-2-gram multiplicity — the filter that
+    catches looping generators and templated pages that token-level
+    stats miss. Columns are INTEGER-exact (consumers derive the
+    fractions), so the distributed result hash-matches DuckDB bit for
+    bit; ``keep_flag`` mirrors 'dup-2-gram fraction <= 0.2 AND
+    top-2-gram fraction <= 0.2' in cross-multiplied integer arithmetic
+    (no float compare on either side).
+
+    Scale shape: pure map, no shuffle — docs land whole in their batch;
+    grams come from the q_bpe_pairs join-against-shifted-self Arrow
+    kernels, per-doc counts from bincount/np.unique over fused
+    (doc, gram-code) keys. No Python loop over docs or grams."""
+    import numpy as np
+
+    from .common import flat_tokens
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, _lens, doc = flat_tokens(t)
+
+        def gram_stats(gn: int):
+            mm = len(flat) - gn + 1
+            if mm <= 0:
+                z = np.zeros(n, dtype=np.int64)
+                return z, z.copy(), z.copy()
+            g = pc.binary_join_element_wise(
+                *(flat.slice(i, mm) for i in range(gn)), " ")
+            mask = doc[:mm] == doc[gn - 1:]
+            g = g.filter(pa.array(mask))
+            docg = doc[:mm][mask]
+            total = np.bincount(docg, minlength=n)
+            codes = pc.dictionary_encode(g).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            width = (codes.max() + 1) if len(codes) else 1
+            uniq, cnts = np.unique(docg * width + codes,
+                                   return_counts=True)
+            distinct = np.bincount(uniq // width, minlength=n)
+            top = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top, uniq // width, cnts)
+            return total, distinct, top
+
+        n2, d2, top2 = gram_stats(2)
+        n3, d3, _ = gram_stats(3)
+        keep = ((n2 == 0)
+                | (((n2 - d2) * 5 <= n2) & (top2 * 5 <= n2)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n2": pa.array(n2.astype(np.int64)),
+            "d2": pa.array(d2.astype(np.int64)),
+            "top2": pa.array(top2.astype(np.int64)),
+            "n3": pa.array(n3.astype(np.int64)),
+            "d3": pa.array(d3.astype(np.int64)),
+            "keep_flag": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # BPE-style pre-tokenizer (the GPT-2 pattern family, simplified to the
 # RE2-compatible subset — no lookahead — so pyarrow's RE2 and DuckDB's
 # RE2 scan identically): runs of letters / digits / punctuation, each
@@ -670,8 +733,41 @@ FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_PAIRS_K}
 
 ORACLE_SQL["quality_classifier"] = _clf_sql()
 
+ORACLE_SQL["repetition_scores"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+a2 AS (
+  SELECT doc_id, count(*) AS n2, count(DISTINCT gram) AS d2
+  FROM g2 GROUP BY doc_id),
+t2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+a3 AS (
+  SELECT doc_id, count(*) AS n3, count(DISTINCT gram) AS d3
+  FROM g3 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n2, 0) AS n2, COALESCE(d2, 0) AS d2,
+       COALESCE(top2, 0) AS top2,
+       COALESCE(n3, 0) AS n3, COALESCE(d3, 0) AS d3,
+       CAST(CASE WHEN COALESCE(n2, 0) = 0 THEN 1
+                 WHEN (n2 - d2) * 5 <= n2 AND top2 * 5 <= n2 THEN 1
+                 ELSE 0 END AS BIGINT) AS keep_flag
+FROM documents d
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+"""
+
 QUERIES = {
     "bpe_pairs": q_bpe_pairs,
+    "repetition_scores": q_repetition_scores,
     "quality_classifier": q_quality_classifier,
     "token_count": q_token_count,
     "regex_tokens": q_regex_tokens,

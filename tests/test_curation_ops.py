@@ -408,3 +408,31 @@ def test_decontaminate_bloom_one_sided_and_consistent(ray_session):
     # canonical decontaminate output
     assert (merged["exact_hit"] == merged["contaminated"]).all()
     assert set(bl["bloom_hit"].unique()) <= {0, 1}
+
+
+def test_repetition_scores_match_naive(ray_session):
+    """The vectorized gram kernels equal a per-doc Python recount."""
+    from collections import Counter
+
+    from scraper_ray.pipelines.text import q_repetition_scores
+
+    df = (q_repetition_scores(SF).to_pandas()
+          .set_index("doc_id").sort_index())
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(60).iterrows():
+        toks = r["text"].split(" ")
+        g2 = Counter(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+        g3 = Counter(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+        row = df.loc[r["doc_id"]]
+        n2 = sum(g2.values())
+        assert row["n2"] == n2
+        assert row["d2"] == len(g2)
+        assert row["top2"] == (max(g2.values()) if g2 else 0)
+        assert row["n3"] == sum(g3.values())
+        assert row["d3"] == len(g3)
+        want_keep = int(n2 == 0 or ((n2 - len(g2)) * 5 <= n2
+                                    and max(g2.values()) * 5 <= n2))
+        assert row["keep_flag"] == want_keep
