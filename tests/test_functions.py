@@ -147,3 +147,47 @@ def test_flat_tokens_edges():
     flat, lens, doc = flat_tokens(empty)
     assert len(flat) == 0 and len(lens) == 0 and len(doc) == 0
     assert isinstance(doc, np.ndarray)
+
+
+def test_keyed_repartition_sort_and_hash_modes_agree(ray_session):
+    """keyed_repartition routes small exchanges through the sort
+    shuffle and big ones through the hash shuffle; both must deliver
+    the same co-location contract (every key's rows whole in one batch)
+    and the same total content. Force each mode on the same input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scraper_ray.pipelines import common
+
+    t = pa.table({
+        "k": pa.array((np.arange(5000) * 7919) % 101),
+        "v": pa.array(np.arange(5000)),
+    })
+    ds = rd.from_arrow(t)
+
+    def collect(out):
+        seen_keys: dict[int, int] = {}
+        total = []
+        for batch in out.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            for k in set(batch.column("k").to_pylist()):
+                seen_keys[k] = seen_keys.get(k, 0) + 1
+            total.extend(batch.column("v").to_pylist())
+        return seen_keys, sorted(total)
+
+    orig = common.SORT_COLOCATE_CUTOFF
+    try:
+        common.SORT_COLOCATE_CUTOFF = 10**9   # force sort mode
+        keys_s, vals_s = collect(common.keyed_repartition(ds, ["k"]))
+        common.SORT_COLOCATE_CUTOFF = -1      # force hash mode
+        keys_h, vals_h = collect(common.keyed_repartition(ds, ["k"]))
+    finally:
+        common.SORT_COLOCATE_CUTOFF = orig
+    # co-location: every key appears in exactly one batch, both modes
+    assert all(c == 1 for c in keys_s.values())
+    assert all(c == 1 for c in keys_h.values())
+    # content equality
+    assert vals_s == vals_h == list(range(5000))
+    # no stray helper column leaks out of the sort mode
+    assert set(keys_s) == set(keys_h)
