@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "embedding_quantize", "budget_select",
     "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
     "quality_classifier", "perplexity_buckets", "media_dedup",
+    "media_alignment",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
     "inverted_index", "link_bfs", "link_triangles", "token_entropy",
     "cross_source_leakage", "cms_heavy_hitters", "hll_daily",

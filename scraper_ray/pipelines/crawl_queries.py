@@ -751,7 +751,8 @@ PINNED_QUERIES = frozenset({
     "crawl_docs", "crawl_spans", "span_stats", "domain_stats",
     "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
-    "corpus_neardedup", "paragraph_dedup", "media_dedup", "semdedup",
+    "corpus_neardedup", "paragraph_dedup", "media_dedup",
+    "media_alignment", "semdedup",
     "robots_rules",
     "link_pagerank", "link_bfs", "link_triangles", "crawl_budget",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",

@@ -298,10 +298,125 @@ FROM (SELECT media_id, n_frames,
 """
 
 
+ALIGN_BUCKETS = 64
+ALIGN_THRESHOLD = 550   # of the 0..1100 int score range
+
+
+class MediaTextAligner:
+    """CLIP-shaped image-text alignment scorer — the actor-pool model
+    pattern (T3) over the INTERLEAVED payload: each media span is scored
+    against its caption context (the nearest preceding text span in the
+    same doc). The 'model' here is a deterministic int64 hash-logit
+    plus a bucket-weight table built once per actor in ``__init__``
+    (exactly the QualityClassifier discipline, text.py) so the DuckDB
+    oracle can recompute every score; a real CLIP swaps in model load
+    here and a batched image/text matmul in ``__call__``."""
+
+    def __init__(self, n_buckets: int = ALIGN_BUCKETS):
+        # "model load": the weight table is built once per actor
+        self.n = n_buckets
+        self.w = [(j * 17) % 101 for j in range(n_buckets)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        ctxs = batch.column("ctx").to_pylist()
+        hs = [int.from_bytes(
+            hashlib.md5((r + "|" + c).encode()).digest()[:8], "big")
+            for r, c in zip(refs, ctxs)]
+        score = np.array([(h % 1000) + self.w[(h // 1024) % self.n]
+                          for h in hs], np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "offset": batch.column("offset"),
+            "score": pa.array(score),
+            "aligned": pa.array((score >= ALIGN_THRESHOLD)
+                                .astype(np.int64)),
+        })
+
+
+def q_media_alignment(sf_dir: str) -> rd.Dataset:
+    """Image-text alignment over the crawl's interleaved spans: media
+    spans paired with their caption context and scored by the
+    actor-pool aligner. Scale shape: one pure vectorized map derives
+    (media span, context) rows — the per-doc 'last text before each
+    media offset' is a segmented maximum.accumulate, no Python span
+    loop — then the aligner pool scores batches; no shuffle anywhere
+    (a doc's spans arrive together by construction)."""
+    import pyarrow.compute as pc
+
+    from .common import flat_spans
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir).select_columns(["doc_id", "spans"])
+
+    def ctx_rows(t: pa.Table) -> pa.Table:
+        flat, parents = flat_spans(t)
+        par = parents.to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        is_tx = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(
+            zero_copy_only=False)
+        pos = np.arange(len(par))
+        # last text position at or before each flat position, globally;
+        # per-doc validity = that position not before the doc's first
+        # span (docs are contiguous runs in flatten order)
+        last_tx = (np.maximum.accumulate(np.where(is_tx, pos, -1))
+                   if len(par) else np.array([], dtype=np.int64))
+        counts = np.bincount(par, minlength=n)
+        doc_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ok = last_tx >= doc_start[par] if len(par) else last_tx
+        texts = pc.struct_field(flat, "text").to_numpy(
+            zero_copy_only=False)
+        ctx = np.where(ok, texts[np.maximum(last_tx, 0)], "")
+        is_md = ~is_tx
+        return pa.table({
+            "doc_id": pc.take(t.column("doc_id"), pa.array(par[is_md])),
+            "media_ref": pc.struct_field(flat, "media_ref").filter(
+                pa.array(is_md)),
+            "offset": pc.struct_field(flat, "offset").filter(
+                pa.array(is_md)),
+            "ctx": pa.array(ctx[is_md], pa.string()),
+        })
+
+    pool = media_pool_size()
+    return (docs.map_batches(ctx_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(MediaTextAligner, batch_format="pyarrow",
+                         batch_size=4096, concurrency=pool,
+                         zero_copy_batch=True))
+
+
+def _media_alignment_oracle_sql() -> str:
+    from .common import sql_hex64
+    from .crawl_queries import ORACLE_SPANS_PATH
+
+    h = sql_hex64("media_ref || '|' || ctx")
+    score = f"(hh % 1000) + ((hh // 1024) % {ALIGN_BUCKETS}) * 17 % 101"
+    return f"""
+WITH spans AS (SELECT * FROM read_parquet('{ORACLE_SPANS_PATH}')),
+m AS (SELECT doc_id, media_ref, "offset" FROM spans WHERE kind = 'media'),
+c AS (
+  SELECT m.doc_id, m.media_ref, m."offset",
+         coalesce((SELECT t.text FROM spans t
+                   WHERE t.doc_id = m.doc_id AND t.kind = 'text'
+                     AND t."offset" < m."offset"
+                   ORDER BY t."offset" DESC LIMIT 1), '') AS ctx
+  FROM m),
+h AS (SELECT *, {h} AS hh FROM c)
+SELECT doc_id, media_ref, "offset",
+       CAST({score} AS BIGINT) AS score,
+       CAST(CASE WHEN {score} >= {ALIGN_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS aligned
+FROM h
+"""
+
+
 ORACLE_SQL = {"media_features": _media_oracle_sql(),
               "media_resize": _media_resize_oracle_sql(),
-              "frame_sample": _frame_sample_oracle_sql()}
+              "frame_sample": _frame_sample_oracle_sql(),
+              "media_alignment": _media_alignment_oracle_sql()}
 
 QUERIES = {"media_features": q_media_features,
            "media_resize": q_media_resize,
-           "frame_sample": q_frame_sample}
+           "frame_sample": q_frame_sample,
+           "media_alignment": q_media_alignment}

@@ -436,3 +436,20 @@ def test_repetition_scores_match_naive(ray_session):
         want_keep = int(n2 == 0 or ((n2 - len(g2)) * 5 <= n2
                                     and max(g2.values()) * 5 <= n2))
         assert row["keep_flag"] == want_keep
+
+
+def test_media_alignment_invariants(ray_session):
+    """One aligned row per media span; scores inside the int logit
+    range; the aligned flag is exactly the threshold comparison."""
+    from scraper_ray.pipelines.media import ALIGN_THRESHOLD, q_media_alignment
+    from scraper_ray.pipelines.crawl_queries import q_crawl_spans
+
+    df = q_media_alignment(SF).to_pandas()
+    spans = q_crawl_spans(SF).to_pandas()
+    media = spans[spans["kind"] == "media"]
+    assert len(df) == len(media)
+    assert set(zip(df["doc_id"], df["offset"])) == set(
+        zip(media["doc_id"], media["offset"]))
+    assert df["score"].between(0, 1100).all()
+    assert (df["aligned"] == (df["score"] >= ALIGN_THRESHOLD)
+            .astype("int64")).all()
