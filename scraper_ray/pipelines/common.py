@@ -169,6 +169,21 @@ def span_content_bodies(t: pa.Table) -> pa.Array:
     return pc.binary_join(lists, "\n")
 
 
+def join_parts(div: int = 4, cap: int = 256) -> int:
+    """Hash-join / groupby fan-out derived from the cluster instead of a
+    constant: ``cpus // div``, floored at 2 and capped. ``div`` encodes
+    the exchange's relative weight — 1 for the widest fact-fact joins,
+    4 (default) for standard joins, 8 for small-side joins. At this
+    sandbox's 32 CPUs the values reproduce the constants they replaced
+    (32 / 8 / 4), and on a real cluster the fan-out grows with the
+    cores; the cap bounds per-join aggregator startup."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return max(2, min(cap, cpus // div))
+
+
 def keyed_repartition(ds: rd.Dataset, keys: list[str],
                       num_partitions: int | None = None) -> rd.Dataset:
     """Hash-shuffle *ds* so every row of a key lands in one block.

@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .common import join_parts
+
 MIN_TOKENS = 4
 
 
@@ -153,10 +155,10 @@ def q_corpus_neardedup(sf_dir: str) -> rd.Dataset:
     non_canonical = drop_empty_blocks(
         clusters.map_batches(losers, batch_format="pyarrow"))
     kept = corpus.join(non_canonical, join_type="left_anti",
-                       num_partitions=8, on=("doc_id",))
+                       num_partitions=join_parts(), on=("doc_id",))
     with_sizes = drop_empty_blocks(kept).join(
         drop_empty_blocks(sizes), join_type="left_outer",
-        num_partitions=8, on=("doc_id",), right_on=("cluster_id",))
+        num_partitions=join_parts(), on=("doc_id",), right_on=("cluster_id",))
 
     def project(t: pa.Table) -> pa.Table:
         n = t.column("count()")
@@ -224,7 +226,7 @@ def q_paragraph_dedup(sf_dir: str) -> rd.Dataset:
     ).materialize()  # feeds both the winner groupby and the join
     winners = drop_empty_blocks(
         keyed.groupby("h").aggregate(Min("k", alias_name="wk")))
-    flagged = keyed.join(winners, join_type="inner", num_partitions=8,
+    flagged = keyed.join(winners, join_type="inner", num_partitions=join_parts(),
                          on=("h",))
 
     def flag(t: pa.Table) -> pa.Table:

@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .common import join_parts
+
 from ..crawl import CrawlConfig, crawl, read_docs
 from ..synthweb import WebConfig, default_politeness, gen_seeds
 
@@ -185,7 +187,7 @@ def q_recrawl_diff(sf_dir: str) -> rd.Dataset:
     s1 = (_content_sigs(_run_crawl(sf_dir, rev=1), "sig1")
           .rename_columns({"url": "url1"}))
     joined = drop_empty_blocks(
-        s0.join(s1, join_type="full_outer", num_partitions=4,
+        s0.join(s1, join_type="full_outer", num_partitions=join_parts(8),
                 on=("url",), right_on=("url1",)))
 
     def classify(t: pa.Table) -> pa.Table:
@@ -286,7 +288,7 @@ def q_revisit_priority(sf_dir: str) -> rd.Dataset:
     doms = (dom0.union(dom1).groupby("url")
             .aggregate(Max("domain_key", alias_name="domain_key")))
     joined = drop_empty_blocks(
-        diff.join(doms, join_type="inner", num_partitions=4, on=("url",)))
+        diff.join(doms, join_type="inner", num_partitions=join_parts(8), on=("url",)))
 
     def partial(t: pa.Table) -> pa.Table:
         status = t.column("status")
@@ -511,10 +513,10 @@ def q_mirror_domains(sf_dir: str) -> rd.Dataset:
         fan.map_batches(keep_multi, batch_format="pyarrow")).materialize()
 
     pairs_left = drop_empty_blocks(sd.join(
-        multi, join_type="inner", num_partitions=8, on=("sig",)))
+        multi, join_type="inner", num_partitions=join_parts(), on=("sig",)))
     right = pairs_left.rename_columns({"domain_key": "domain_b"})
     both = pairs_left.rename_columns({"domain_key": "domain_a"}).join(
-        right, join_type="inner", num_partitions=8, on=("sig",))
+        right, join_type="inner", num_partitions=join_parts(), on=("sig",))
 
     def ordered(t: pa.Table) -> pa.Table:
         m = pc.less(t.column("domain_a"), t.column("domain_b"))

@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .common import join_parts
+
 _N_PERM = 64
 _BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _BANDS
@@ -379,7 +381,7 @@ def q_dup_spans(sf_dir: str) -> rd.Dataset:
 
         flagged = w.map_batches(flag_bcast, batch_format="pyarrow")
     else:
-        joined = w.join(dup_wins, join_type="left_outer", num_partitions=32,
+        joined = w.join(dup_wins, join_type="left_outer", num_partitions=join_parts(1),
                         on=("win",))
 
         def flag_join(t: pa.Table) -> pa.Table:
@@ -486,7 +488,7 @@ def q_boilerplate(sf_dir: str) -> rd.Dataset:
         flagged = g.map_batches(flag_bcast, batch_format="pyarrow")
     else:
         joined = g.join(boiler.select_columns(["source", "gram", "ndocs"]),
-                        join_type="left_outer", num_partitions=32,
+                        join_type="left_outer", num_partitions=join_parts(1),
                         on=("source", "gram"))
 
         def flag_join(t: pa.Table) -> pa.Table:
@@ -832,7 +834,7 @@ def candidate_pairs_over(docs: rd.Dataset,
                                   zero_copy_batch=True))
     else:
         band_rows = drop_empty_blocks(
-            band_rows.join(multi, join_type="inner", num_partitions=8,
+            band_rows.join(multi, join_type="inner", num_partitions=join_parts(),
                            on=("band", "bucket")))
 
     def pairs_batch(df) -> pa.Table:
@@ -1055,10 +1057,10 @@ def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
         # the next join rejects — scrub between stages
         with_a = drop_empty_blocks(
             cand.join(docs.map_batches(rename("a"), batch_format="pyarrow"),
-                      join_type="inner", num_partitions=8, on=("doc_a",)))
+                      join_type="inner", num_partitions=join_parts(), on=("doc_a",)))
         with_ab = drop_empty_blocks(
             with_a.join(docs.map_batches(rename("b"), batch_format="pyarrow"),
-                        join_type="inner", num_partitions=8, on=("doc_b",)))
+                        join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
 
         out = with_ab.map_batches(
             _JaccardVerify, batch_format="pyarrow", concurrency=(1, 8),
@@ -1187,7 +1189,7 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
                 # anti join is a no-op filter when nothing is frequent
                 rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
                                                          pa.string())})))),
-            join_type="left_anti", num_partitions=8, on=("gram",)))
+            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
 
     def rename_b(t: pa.Table) -> pa.Table:
         return pa.table({"gram": t.column("gram"),
@@ -1200,7 +1202,7 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     joined = drop_empty_blocks(
         inc_ok.map_batches(rename_a, batch_format="pyarrow").join(
             inc_ok.map_batches(rename_b, batch_format="pyarrow"),
-            join_type="inner", num_partitions=8, on=("gram",)))
+            join_type="inner", num_partitions=join_parts(), on=("gram",)))
 
     def ordered(t: pa.Table) -> pa.Table:
         m = pc.less(t.column("doc_a"), t.column("doc_b"))
@@ -1242,7 +1244,7 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     nrare = inc_ok.groupby("doc_id").aggregate(Count(alias_name="n_rare"))
     docmeta = drop_empty_blocks(
         drop_empty_blocks(n_tbl).join(drop_empty_blocks(nrare),
-                                      join_type="inner", num_partitions=8,
+                                      join_type="inner", num_partitions=join_parts(),
                                       on=("doc_id",)))
 
     def meta_as(side: str):
@@ -1263,11 +1265,11 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
                 "shared": pc.cast(t.column("shared"), pa.int64())}),
             batch_format="pyarrow")
         .join(docmeta.map_batches(meta_as("a"), batch_format="pyarrow"),
-              join_type="inner", num_partitions=8, on=("doc_a",)))
+              join_type="inner", num_partitions=join_parts(), on=("doc_a",)))
     with_meta = drop_empty_blocks(
         with_meta_a
         .join(docmeta.map_batches(meta_as("b"), batch_format="pyarrow"),
-              join_type="inner", num_partitions=8, on=("doc_b",)))
+              join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
 
     def fast(t: pa.Table) -> pa.Table:
         # exact when either side has no frequent grams: shared rare ==

@@ -34,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .common import join_parts
+
 from .common import drop_empty_blocks
 from .dedup import _minhash_oracle_sql, q_minhash_pairs
 
@@ -547,7 +549,7 @@ def crawl_link_edges(docs: rd.Dataset, web) -> rd.Dataset:
     raw_edges = drop_empty_blocks(
         docs.select_columns(["doc_id", "url"])
         .map_batches(to_edges, batch_format="pyarrow"))
-    internal = raw_edges.join(ids, join_type="left_semi", num_partitions=8,
+    internal = raw_edges.join(ids, join_type="left_semi", num_partitions=join_parts(),
                               on=("dst",), right_on=("doc_id",))
     # distinct (src, dst): parallel edges collapse (mirrored by the
     # fixture writer's set + the oracle's DISTINCT read)
@@ -620,7 +622,7 @@ def q_crawl_budget(sf_dir: str) -> rd.Dataset:
     doms = docs.select_columns(["doc_id", "domain_key"])
     j = drop_empty_blocks(pr.join(
         doms.rename_columns({"doc_id": "d2"}), join_type="inner",
-        num_partitions=8, on=("doc_id",), right_on=("d2",)))
+        num_partitions=join_parts(), on=("doc_id",), right_on=("d2",)))
     mass = drop_empty_blocks(
         j.groupby("domain_key").aggregate(Sum("pr", alias_name="pr_mass")))
     total = int(mass.sum("pr_mass"))
@@ -743,7 +745,7 @@ def crawl_anchor_edges(docs: rd.Dataset, web) -> rd.Dataset:
         docs.select_columns(["doc_id", "url"])
         .map_batches(to_anchor_rows, batch_format="pyarrow"))
     return drop_empty_blocks(
-        raw_rows.join(ids, join_type="left_semi", num_partitions=8,
+        raw_rows.join(ids, join_type="left_semi", num_partitions=join_parts(),
                       on=("dst",), right_on=("doc_id",)))
 
 
@@ -798,7 +800,7 @@ def q_link_degree(sf_dir: str) -> rd.Dataset:
     joined = drop_empty_blocks(
         docs.select_columns(["doc_id"])
         .join(drop_empty_blocks(indeg), join_type="left_outer",
-              num_partitions=8, on=("doc_id",), right_on=("dst",)))
+              num_partitions=join_parts(), on=("doc_id",), right_on=("dst",)))
 
     def fill(t: pa.Table) -> pa.Table:
         return pa.table({"in_degree": pc.cast(
@@ -835,7 +837,7 @@ def q_link_components(sf_dir: str) -> rd.Dataset:
     joined = drop_empty_blocks(
         docs.select_columns(["doc_id"])
         .join(drop_empty_blocks(comp).rename_columns({"doc_id": "node"}),
-              join_type="left_outer", num_partitions=8,
+              join_type="left_outer", num_partitions=join_parts(),
               on=("doc_id",), right_on=("node",)))
 
     def fill(t: pa.Table) -> pa.Table:
@@ -873,10 +875,10 @@ def q_host_graph(sf_dir: str) -> rd.Dataset:
     doms = docs.select_columns(["doc_id", "domain_key"])
     e1 = drop_empty_blocks(edges.join(
         doms.rename_columns({"doc_id": "sdoc", "domain_key": "src_domain"}),
-        join_type="inner", num_partitions=8, on=("src",), right_on=("sdoc",)))
+        join_type="inner", num_partitions=join_parts(), on=("src",), right_on=("sdoc",)))
     e2 = drop_empty_blocks(e1.join(
         doms.rename_columns({"doc_id": "ddoc", "domain_key": "dst_domain"}),
-        join_type="inner", num_partitions=8, on=("dst",), right_on=("ddoc",)))
+        join_type="inner", num_partitions=join_parts(), on=("dst",), right_on=("ddoc",)))
     agg = (e2.groupby(["src_domain", "dst_domain"])
            .aggregate(Count(alias_name="n_links")))
 

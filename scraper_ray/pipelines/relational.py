@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from .common import join_parts
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -281,7 +283,7 @@ def q_join_hash(sf_dir: str) -> rd.Dataset:
     cn_postalcode.py:216) via Ray Data's native shuffle join."""
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner", num_partitions=join_parts(),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def scale(t: pa.Table) -> pa.Table:
@@ -318,7 +320,7 @@ def q_join_left(sf_dir: str) -> rd.Dataset:
     their order counts, zero when none."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
-    joined = cust.join(orders, join_type="left_outer", num_partitions=8,
+    joined = cust.join(orders, join_type="left_outer", num_partitions=join_parts(),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     # count(o_orderkey) == sum of a notnull flag: project the flag in a
@@ -362,7 +364,7 @@ def q_join_anti(sf_dir: str) -> rd.Dataset:
     # native distributed anti join — the done-set never touches the
     # driver (contrast: the reference materializes both entity lists,
     # db.py:191-203)
-    return cust.join(done, join_type="left_anti", num_partitions=4,
+    return cust.join(done, join_type="left_anti", num_partitions=join_parts(8),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -380,7 +382,7 @@ def q_join_semi(sf_dir: str) -> rd.Dataset:
 
     probe = open_orders.map_batches(keys, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return cust.join(probe, join_type="left_semi", num_partitions=4,
+    return cust.join(probe, join_type="left_semi", num_partitions=join_parts(8),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -392,7 +394,7 @@ def q_join_outer(sf_dir: str) -> rd.Dataset:
             .groupby("c_nationkey").aggregate(Count(alias_name="n_cust")))
     supp = (_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
             .groupby("s_nationkey").aggregate(Count(alias_name="n_supp")))
-    joined = cust.join(supp, join_type="full_outer", num_partitions=4,
+    joined = cust.join(supp, join_type="full_outer", num_partitions=join_parts(8),
                        on=("c_nationkey",), right_on=("s_nationkey",))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -36,8 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .common import (int_scaled, read_sf_table as _t, round_half_away,
-                     sql_hex64)
+from .common import (int_scaled, join_parts, read_sf_table as _t,
+                     round_half_away, sql_hex64)
 
 QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.9, 0.99)
 SPLIT_EDGES = (80, 90)  # <80 train, <90 valid, else test
@@ -682,7 +682,7 @@ def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
     tfr = drop_empty_blocks(ds.map_batches(
         tf_rows, batch_format="pyarrow", zero_copy_batch=True))
     joined = drop_empty_blocks(tfr.join(
-        df_tbl, join_type="inner", num_partitions=16, on=("token",)))
+        df_tbl, join_type="inner", num_partitions=join_parts(2), on=("token",)))
     from .common import keyed_repartition
 
     by_doc = keyed_repartition(joined, ["doc_id"])

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from .common import join_parts
 from ray.data.aggregate import Count, Sum
 
 SESSION_GAP_MIN = 30
@@ -434,7 +436,7 @@ def q_asof_join_salted(sf_dir: str) -> rd.Dataset:
         drop_empty_blocks(
             carries.map_batches(c_key, batch_format="pyarrow")).join(
             drop_empty_blocks(per_t.map_batches(p_key, batch_format="pyarrow")),
-            join_type="inner", num_partitions=8, on=("key", "t")))
+            join_type="inner", num_partitions=join_parts(), on=("key", "t")))
 
     def tag(side: str):
         def f(t: pa.Table) -> pa.Table:
