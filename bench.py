@@ -119,7 +119,7 @@ QUERY_NAMES = [
     "url_patterns", "mirror_domains", "top_terms", "dedup_rate",
     "gopher_rules", "repetition_scores", "regex_tokens",
     "embedding_quantize", "budget_select",
-    "bpe_pairs", "dsir_weights", "knn_graph", "paragraph_dedup",
+    "bpe_pairs", "dsir_weights", "lm_score", "knn_graph", "paragraph_dedup",
     "quality_classifier", "perplexity_buckets", "media_dedup",
     "media_alignment",
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",

@@ -1426,3 +1426,155 @@ QUERIES = {
 
 ORACLE_SQL["dsir_weights"] = _dsir_sql()
 ORACLE_SQL["perplexity_buckets"] = _pplx_sql()
+
+
+# ---------------------------------------------------------------------------
+# lm_score — bigram language-model fluency (the CCNet/KenLM move)
+# ---------------------------------------------------------------------------
+
+LM_VOCAB = 256   # model hyperparameter (vocab size before <unk>), not a
+                 # scale knob: the bigram table is structurally capped at
+                 # (LM_VOCAB+1)^2 entries whatever the corpus size
+
+
+def q_lm_score(sf_dir: str) -> rd.Dataset:
+    """Bigram language-model fluency scoring — the REAL version of the
+    CCNet perplexity gate (Wenzek et al. 2020 §4.3; KenLM in the
+    original): train an add-one-smoothed bigram LM on the corpus itself
+    and score every doc by its mean negative log-likelihood. Low nll =
+    fluent/templated, high = rare constructions or noise.
+
+    Three bounded stages, none corpus-sized:
+    (1) vocab = top-``LM_VOCAB`` unigrams (reuses the ``_vocab_topk_ds``
+        bounded plan; ties break by token ascending); everything else
+        maps to one <unk> id.
+    (2) bigram counts AFTER unk-mapping: per-batch fused-id np.unique
+        partials -> one (key, n) groupby-sum whose key domain is
+        STRUCTURALLY capped at (V+1)^2 (the id space, never the corpus)
+        -> a dense (V+1)^2 int64 matrix broadcast once via ``ray.put``.
+        Unigram denominators ride along: vocab counts come from stage 1,
+        the <unk> count is total tokens minus their sum (one Sum
+        aggregate — no extra shuffle).
+    (3) one streaming score map: ids via ``pc.index_in`` against the
+        broadcast vocab, -ln((c2+1)/(c1+V+1)) per bigram, per-doc mean
+        via bincount, rounded to 6 dp (sum-order ulp noise sits far
+        below — the token_entropy convention). Docs with < 2 tokens
+        score 0 with n_bigrams = 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import flat_tokens
+
+    vocab_rows = _vocab_topk_ds(sf_dir, LM_VOCAB).take_all()
+    vocab_arr = pa.array([r["token"] for r in vocab_rows], pa.string())
+    v = len(vocab_rows)           # < LM_VOCAB on tiny corpora
+    unk = v
+    width = v + 1
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(n, pa.int64())).as_py() or 0)], pa.int64())})
+
+    total_tokens = int(
+        ds.map_batches(tok_count, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"))["n"])
+    c1 = np.zeros(width, dtype=np.int64)
+    for j, r in enumerate(vocab_rows):
+        c1[j] = int(r["n"])
+    c1[unk] = total_tokens - int(c1[:v].sum())
+
+    def _ids(t: pa.Table):
+        flat, lens, doc = flat_tokens(t)
+        ids = pc.fill_null(pc.index_in(flat, value_set=vocab_arr), unk)
+        return (ids.to_numpy(zero_copy_only=False).astype(np.int64),
+                lens, doc)
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        ids, _lens, doc = _ids(t)
+        if len(ids) < 2:
+            return empty
+        mask = doc[:-1] == doc[1:]
+        fused = ids[:-1][mask] * width + ids[1:][mask]
+        if not len(fused):
+            return empty
+        u, c = np.unique(fused, return_counts=True)
+        return pa.table({"key": pa.array(u), "n": pa.array(c)})
+
+    from .common import drop_empty_blocks
+
+    bc_rows = drop_empty_blocks(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    ).groupby("key").sum("n").take_all()
+    c2 = np.zeros(width * width, dtype=np.int64)
+    for r in bc_rows:
+        c2[int(r["key"])] = int(r["sum(n)"])
+    c1_ref, c2_ref = ray.put(c1), ray.put(c2)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids, _lens, doc = _ids(t)
+        uni, mat = ray.get(c1_ref), ray.get(c2_ref)
+        if len(ids) >= 2:
+            mask = doc[:-1] == doc[1:]
+            d = doc[:-1][mask]
+            w1 = ids[:-1][mask]
+            fused = w1 * width + ids[1:][mask]
+            nll = -np.log((mat[fused] + 1.0) / (uni[w1] + width + 0.0))
+            sums = np.bincount(d, weights=nll, minlength=n)
+            counts = np.bincount(d, minlength=n)
+        else:
+            sums = np.zeros(n)
+            counts = np.zeros(n, dtype=np.int64)
+        mean = round_half_away(
+            np.where(counts > 0, sums / np.maximum(counts, 1), 0.0), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(counts.astype(np.int64)),
+            "nll": pa.array(mean, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _lm_score_sql() -> str:
+    # chr(1) is the SQL-side <unk> sentinel — it cannot collide with a
+    # space-split token; the engine side uses ids, not strings, so only
+    # the SQL needs a reserved spelling
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (SELECT doc_id, i, t[i] AS w
+         FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+uc AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
+vocab AS (SELECT w FROM uc ORDER BY c DESC, w ASC LIMIT {LM_VOCAB}),
+nv AS (SELECT count(*) AS v FROM vocab),
+mapped AS (SELECT f.doc_id, f.i,
+                  CASE WHEN vb.w IS NULL THEN chr(1) ELSE f.w END AS w
+           FROM flat f LEFT JOIN vocab vb ON f.w = vb.w),
+u1 AS (SELECT w, count(*) AS c1 FROM mapped GROUP BY w),
+big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM mapped a JOIN mapped b ON a.doc_id = b.doc_id
+                                   AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+nll AS (SELECT g.doc_id,
+               -ln((bc.c2 + 1.0)
+                   / (u1.c1 + (SELECT v FROM nv) + 1.0)) AS x
+        FROM big g
+        JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+        JOIN u1 ON u1.w = g.w1),
+per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(x), 6) AS nll
+        FROM nll GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(per.nll, 0.0) AS nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["lm_score"] = q_lm_score
+ORACLE_SQL["lm_score"] = _lm_score_sql()

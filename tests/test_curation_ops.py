@@ -453,3 +453,44 @@ def test_media_alignment_invariants(ray_session):
     assert df["score"].between(0, 1100).all()
     assert (df["aligned"] == (df["score"] >= ALIGN_THRESHOLD)
             .astype("int64")).all()
+
+
+def test_lm_score_matches_naive(ray_session):
+    """The distributed bigram LM equals a single-process recount."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.stats import LM_VOCAB, q_lm_score
+
+    df = q_lm_score(SF).to_pandas().set_index("doc_id").sort_index()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    uni = Counter()
+    for x in docs["text"]:
+        uni.update(x.split(" "))
+    vocab = set(w for w, _ in sorted(uni.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))
+                [:LM_VOCAB])
+    v = len(vocab)
+
+    def mapped(x):
+        return [w if w in vocab else None for w in x.split(" ")]
+
+    u1, bc = Counter(), Counter()
+    for x in docs["text"]:
+        ws = mapped(x)
+        u1.update(ws)
+        bc.update(zip(ws, ws[1:]))
+    for _, r in docs.head(50).iterrows():
+        ws = mapped(r["text"])
+        pairs = list(zip(ws, ws[1:]))
+        row = df.loc[r["doc_id"]]
+        assert row["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert row["nll"] == 0.0
+            continue
+        nll = sum(-math.log((bc[p] + 1.0) / (u1[p[0]] + v + 1.0))
+                  for p in pairs) / len(pairs)
+        assert abs(row["nll"] - nll) < 5e-6
