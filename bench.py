@@ -125,7 +125,7 @@ QUERY_NAMES = [
     "dedup_funnel", "regional_volume", "returned_revenue", "hll_distinct",
     "inverted_index", "link_bfs", "link_triangles", "token_entropy",
     "cross_source_leakage", "cms_heavy_hitters", "hll_daily",
-    "decontaminate_bloom", "crawl_budget",
+    "decontaminate_bloom", "crawl_budget", "curation_verdict",
 ]
 
 

@@ -1437,6 +1437,61 @@ LM_VOCAB = 256   # model hyperparameter (vocab size before <unk>), not a
                  # (LM_VOCAB+1)^2 entries whatever the corpus size
 
 
+def _lm_model(sf_dir: str):
+    """Train the bigram LM (stages 1-2 of ``q_lm_score``); returns
+    ``(vocab_arr, c1_ref, c2_ref, width)`` with the dense count tables
+    already in the object store. Shared by the standalone scorer and
+    the fused curation verdict."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks, flat_tokens
+
+    vocab_rows = _vocab_topk_ds(sf_dir, LM_VOCAB).take_all()
+    vocab_arr = pa.array([r["token"] for r in vocab_rows], pa.string())
+    v = len(vocab_rows)           # < LM_VOCAB on tiny corpora
+    unk = v
+    width = v + 1
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(n, pa.int64())).as_py() or 0)], pa.int64())})
+
+    total_tokens = int(
+        ds.map_batches(tok_count, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"))["n"])
+    c1 = np.zeros(width, dtype=np.int64)
+    for j, r in enumerate(vocab_rows):
+        c1[j] = int(r["n"])
+    c1[unk] = total_tokens - int(c1[:v].sum())
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        flat, _lens, doc = flat_tokens(t)
+        ids = pc.fill_null(pc.index_in(flat, value_set=vocab_arr), unk)
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return empty
+        mask = doc[:-1] == doc[1:]
+        fused = ids[:-1][mask] * width + ids[1:][mask]
+        if not len(fused):
+            return empty
+        u, c = np.unique(fused, return_counts=True)
+        return pa.table({"key": pa.array(u), "n": pa.array(c)})
+
+    bc_rows = drop_empty_blocks(
+        ds.map_batches(bigram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    ).groupby("key").sum("n").take_all()
+    c2 = np.zeros(width * width, dtype=np.int64)
+    for r in bc_rows:
+        c2[int(r["key"])] = int(r["sum(n)"])
+    return vocab_arr, ray.put(c1), ray.put(c2), width
+
+
 def q_lm_score(sf_dir: str) -> rd.Dataset:
     """Bigram language-model fluency scoring — the REAL version of the
     CCNet perplexity gate (Wenzek et al. 2020 §4.3; KenLM in the
@@ -1459,65 +1514,23 @@ def q_lm_score(sf_dir: str) -> rd.Dataset:
         broadcast vocab, -ln((c2+1)/(c1+V+1)) per bigram, per-doc mean
         via bincount, rounded to 6 dp (sum-order ulp noise sits far
         below — the token_entropy convention). Docs with < 2 tokens
-        score 0 with n_bigrams = 0."""
+        score 0 with n_bigrams = 0.
+
+    Training lives in ``_lm_model`` (shared with the fused
+    ``q_curation_verdict``)."""
     import ray
-    from ray.data.aggregate import Sum
 
     from .common import flat_tokens
 
-    vocab_rows = _vocab_topk_ds(sf_dir, LM_VOCAB).take_all()
-    vocab_arr = pa.array([r["token"] for r in vocab_rows], pa.string())
-    v = len(vocab_rows)           # < LM_VOCAB on tiny corpora
-    unk = v
-    width = v + 1
+    vocab_arr, c1_ref, c2_ref, width = _lm_model(sf_dir)
+    unk = width - 1
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def tok_count(t: pa.Table) -> pa.Table:
-        n = pc.add(pc.count_substring(t.column("text"), " "), 1)
-        return pa.table({"n": pa.array(
-            [int(pc.sum(pc.cast(n, pa.int64())).as_py() or 0)], pa.int64())})
-
-    total_tokens = int(
-        ds.map_batches(tok_count, batch_format="pyarrow")
-        .aggregate(Sum("n", alias_name="n"))["n"])
-    c1 = np.zeros(width, dtype=np.int64)
-    for j, r in enumerate(vocab_rows):
-        c1[j] = int(r["n"])
-    c1[unk] = total_tokens - int(c1[:v].sum())
-
-    def _ids(t: pa.Table):
-        flat, lens, doc = flat_tokens(t)
-        ids = pc.fill_null(pc.index_in(flat, value_set=vocab_arr), unk)
-        return (ids.to_numpy(zero_copy_only=False).astype(np.int64),
-                lens, doc)
-
-    def bigram_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"key": pa.array([], pa.int64()),
-                          "n": pa.array([], pa.int64())})
-        ids, _lens, doc = _ids(t)
-        if len(ids) < 2:
-            return empty
-        mask = doc[:-1] == doc[1:]
-        fused = ids[:-1][mask] * width + ids[1:][mask]
-        if not len(fused):
-            return empty
-        u, c = np.unique(fused, return_counts=True)
-        return pa.table({"key": pa.array(u), "n": pa.array(c)})
-
-    from .common import drop_empty_blocks
-
-    bc_rows = drop_empty_blocks(
-        ds.map_batches(bigram_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
-    ).groupby("key").sum("n").take_all()
-    c2 = np.zeros(width * width, dtype=np.int64)
-    for r in bc_rows:
-        c2[int(r["key"])] = int(r["sum(n)"])
-    c1_ref, c2_ref = ray.put(c1), ray.put(c2)
 
     def score(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        ids, _lens, doc = _ids(t)
+        flat, _lens, doc = flat_tokens(t)
+        ids = pc.fill_null(pc.index_in(flat, value_set=vocab_arr), unk)
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
         uni, mat = ray.get(c1_ref), ray.get(c2_ref)
         if len(ids) >= 2:
             mask = doc[:-1] == doc[1:]

@@ -782,3 +782,175 @@ QUERIES = {
     "truncate_tokens": q_truncate_tokens,
     "text_normalize": q_text_normalize,
 }
+
+
+# ---------------------------------------------------------------------------
+# curation verdict — every per-doc quality gate fused into ONE pass
+# ---------------------------------------------------------------------------
+
+LM_NLL_MAX = 3.45  # fluency gate on the bigram-LM mean nll — sits inside
+                   # the corpus nll distribution (sf0.01: mean 3.40,
+                   # p75 3.42) so the gate actually discriminates
+
+
+def q_curation_verdict(sf_dir: str) -> rd.Dataset:
+    """The per-doc curation verdict — every heuristic gate this engine
+    implements (C4-style stopword/length, Gopher §A1.1 token stats,
+    within-doc repetition, bigram-LM fluency) evaluated together with
+    the final keep decision and per-gate reason flags. This is the
+    table a curation run actually materializes: one row per doc, one
+    column per gate, ``keep`` = AND of all four.
+
+    Scale shape: the LM is trained once (``stats._lm_model`` — bounded
+    stages, dense counts broadcast via ray.put), then ONE fused
+    map_batches computes all four gates per batch from a single
+    tokenize — where the standalone queries would be four passes plus
+    three hash joins, the fused verdict touches each doc once and
+    shuffles nothing."""
+    import numpy as np
+
+    from .common import flat_tokens, round_half_away
+    from .stats import _lm_model
+
+    vocab_arr, c1_ref, c2_ref, width = _lm_model(sf_dir)
+    unk = width - 1
+    stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        n = t.num_rows
+        text = t.column("text")
+        flat, lens, doc = flat_tokens(t)
+        nt = lens.astype(np.float64)
+        nc = np.asarray(pc.cast(pc.utf8_length(text), pa.float64()))
+        # C4-style quality gate (quality_filter semantics)
+        isstop = pc.is_in(flat, value_set=stop_arr).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(doc[isstop], minlength=n)
+        q_keep = (lens >= 20) & (n_stop / nt < 0.5)
+        # Gopher gates (gopher_rules semantics)
+        mean_len = (nc - (nt - 1.0)) / nt
+        isnum = pc.match_substring_regex(flat, r"^[0-9]+$").to_numpy(
+            zero_copy_only=False)
+        n_num = np.bincount(doc[isnum], minlength=n)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cw = (codes.max() + 1) if len(codes) else 1
+        n_dis = np.bincount(np.unique(doc * cw + codes) // cw, minlength=n)
+        g_keep = ((lens >= _GOPHER_MIN_TOK) & (lens <= _GOPHER_MAX_TOK)
+                  & (mean_len >= _GOPHER_MIN_LEN)
+                  & (mean_len <= _GOPHER_MAX_LEN)
+                  & (n_num / nt < _GOPHER_MAX_NUM)
+                  & ((nt - n_dis) / nt < _GOPHER_MAX_DUP))
+        # repetition gate (repetition_scores keep semantics, 2-grams)
+        m2 = len(flat) - 1
+        if m2 > 0:
+            g2 = pc.binary_join_element_wise(flat.slice(0, m2),
+                                             flat.slice(1, m2), " ")
+            mask2 = doc[:m2] == doc[1:]
+            g2 = g2.filter(pa.array(mask2))
+            d2p = doc[:m2][mask2]
+            n2 = np.bincount(d2p, minlength=n)
+            gc = pc.dictionary_encode(g2).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            gw = (gc.max() + 1) if len(gc) else 1
+            uniq, cnts = np.unique(d2p * gw + gc, return_counts=True)
+            d2 = np.bincount(uniq // gw, minlength=n)
+            top2 = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top2, uniq // gw, cnts)
+        else:
+            n2 = d2 = top2 = np.zeros(n, dtype=np.int64)
+        r_keep = (n2 == 0) | (((n2 - d2) * 5 <= n2) & (top2 * 5 <= n2))
+        # bigram-LM fluency gate (lm_score semantics)
+        ids = pc.fill_null(pc.index_in(flat, value_set=vocab_arr), unk)
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        uni, mat = ray.get(c1_ref), ray.get(c2_ref)
+        if len(ids) >= 2:
+            maskb = doc[:-1] == doc[1:]
+            db = doc[:-1][maskb]
+            w1 = ids[:-1][maskb]
+            fused = w1 * width + ids[1:][maskb]
+            nllv = -np.log((mat[fused] + 1.0) / (uni[w1] + width + 0.0))
+            sums = np.bincount(db, weights=nllv, minlength=n)
+            counts = np.bincount(db, minlength=n)
+        else:
+            sums = np.zeros(n)
+            counts = np.zeros(n, dtype=np.int64)
+        nll = round_half_away(
+            np.where(counts > 0, sums / np.maximum(counts, 1), 0.0), 6)
+        lm_keep = (counts == 0) | (nll <= LM_NLL_MAX)
+        keep = q_keep & g_keep & r_keep & lm_keep
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "quality_keep": pa.array(q_keep.astype(np.int64)),
+            "gopher_keep": pa.array(g_keep.astype(np.int64)),
+            "rep_keep": pa.array(r_keep.astype(np.int64)),
+            "lm_keep": pa.array(lm_keep.astype(np.int64)),
+            "nll": pa.array(nll, pa.float64()),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _curation_verdict_sql() -> str:
+    from .stats import ORACLE_SQL as STATS_SQL
+
+    lm = STATS_SQL["lm_score"]
+    stop_list = ",".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+WITH lm AS ({lm}),
+base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nt,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({stop_list}))) AS nstop,
+         len(list_filter(string_split(text, ' '),
+             x -> regexp_matches(x, '^[0-9]+$'))) AS nnum,
+         len(list_distinct(string_split(text, ' '))) AS ndis,
+         string_split(text, ' ') AS t
+  FROM documents),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM base, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+a2 AS (
+  SELECT doc_id, count(*) AS n2, count(DISTINCT gram) AS d2
+  FROM g2 GROUP BY doc_id),
+t2 AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id),
+flags AS (
+  SELECT b.doc_id,
+    CAST(b.nt >= 20 AND CAST(b.nstop AS DOUBLE) / b.nt < 0.5
+         AS BIGINT) AS quality_keep,
+    CAST(b.nt >= {_GOPHER_MIN_TOK} AND b.nt <= {_GOPHER_MAX_TOK}
+         AND (CAST(b.nc AS DOUBLE) - (CAST(b.nt AS DOUBLE) - 1.0))
+             / b.nt >= {_GOPHER_MIN_LEN}
+         AND (CAST(b.nc AS DOUBLE) - (CAST(b.nt AS DOUBLE) - 1.0))
+             / b.nt <= {_GOPHER_MAX_LEN}
+         AND CAST(b.nnum AS DOUBLE) / b.nt < {_GOPHER_MAX_NUM}
+         AND (CAST(b.nt AS DOUBLE) - b.ndis) / b.nt < {_GOPHER_MAX_DUP}
+         AS BIGINT) AS gopher_keep,
+    CAST(COALESCE(a2.n2, 0) = 0
+         OR ((a2.n2 - a2.d2) * 5 <= a2.n2 AND t2.top2 * 5 <= a2.n2)
+         AS BIGINT) AS rep_keep,
+    CAST(lm.n_bigrams = 0 OR lm.nll <= {LM_NLL_MAX} AS BIGINT)
+        AS lm_keep,
+    lm.nll AS nll
+  FROM base b
+  LEFT JOIN a2 USING (doc_id)
+  LEFT JOIN t2 USING (doc_id)
+  JOIN lm USING (doc_id))
+SELECT doc_id, quality_keep, gopher_keep, rep_keep, lm_keep, nll,
+       CAST(quality_keep * gopher_keep * rep_keep * lm_keep AS BIGINT)
+           AS keep
+FROM flags
+"""
+
+
+QUERIES["curation_verdict"] = q_curation_verdict
+ORACLE_SQL["curation_verdict"] = _curation_verdict_sql()

@@ -494,3 +494,29 @@ def test_lm_score_matches_naive(ray_session):
         nll = sum(-math.log((bc[p] + 1.0) / (u1[p[0]] + v + 1.0))
                   for p in pairs) / len(pairs)
         assert abs(row["nll"] - nll) < 5e-6
+
+
+def test_curation_verdict_consistent_with_gates(ray_session):
+    """The fused verdict's per-gate flags equal the standalone gate
+    queries' decisions, and keep is their conjunction."""
+    from scraper_ray.pipelines.text import (
+        LM_NLL_MAX, q_curation_verdict, q_gopher_rules, q_quality_filter,
+        q_repetition_scores)
+    from scraper_ray.pipelines.stats import q_lm_score
+
+    v = q_curation_verdict(SF).to_pandas().set_index("doc_id").sort_index()
+    quality = set(q_quality_filter(SF).to_pandas()["doc_id"])
+    gopher = (q_gopher_rules(SF).to_pandas()
+              .set_index("doc_id")["keep_flag"])
+    rep = (q_repetition_scores(SF).to_pandas()
+           .set_index("doc_id")["keep_flag"])
+    lm = q_lm_score(SF).to_pandas().set_index("doc_id")
+    assert (v["quality_keep"] == v.index.isin(quality)
+            .astype("int64")).all()
+    assert (v["gopher_keep"] == gopher.reindex(v.index)).all()
+    assert (v["rep_keep"] == rep.reindex(v.index)).all()
+    lm_keep = ((lm["n_bigrams"] == 0)
+               | (lm["nll"] <= LM_NLL_MAX)).astype("int64")
+    assert (v["lm_keep"] == lm_keep.reindex(v.index)).all()
+    assert (v["keep"] == v["quality_keep"] * v["gopher_keep"]
+            * v["rep_keep"] * v["lm_keep"]).all()
