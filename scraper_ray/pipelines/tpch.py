@@ -125,11 +125,44 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
     def derive(t: pa.Table) -> pa.Table:
+        # pre-join reduction: the supplier->nation broadcast and the
+        # region membership test run HERE, before the fact-fact
+        # exchange — only region-supplier lines (1/|regions| of the
+        # table) enter the join — and a batch-local partial aggregate
+        # per (orderkey, supplier-nation) collapses multi-line orders
+        # (lineitem arrives orderkey-clustered, so the combine is
+        # effective). Item counts ride along so the final Sum matches
+        # the old post-join Count exactly.
+        import numpy as np
+
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "s_nat": pa.array([], pa.int64()),
+                          "rev_c": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        sk, sv = ray.get(supp_ref)
+        region = np.fromiter(sorted(region_nations), dtype=np.int64,
+                             count=len(region_nations))
+        if t.num_rows == 0 or not len(sk):
+            return empty
+        sq = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        si = np.minimum(np.searchsorted(sk, sq), len(sk) - 1)
+        snat = sv[si]
+        mask = (sk[si] == sq) & np.isin(snat, region)
+        if not mask.any():
+            return empty
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "l_suppkey": t.column("l_suppkey"),
-                         "rev_c": _int_scaled(rev, 10_000)})
+        rev_c = np.asarray(_int_scaled(rev, 10_000))[mask]
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)[mask]
+        fused = ok * 64 + snat[mask]          # nationkeys < 64
+        u, inv = np.unique(fused, return_inverse=True)
+        # int sums through float64 bincount stay exact (< 2^53 per cell)
+        sums = np.bincount(inv, weights=rev_c.astype(np.float64))
+        cnt = np.bincount(inv)
+        return pa.table({"l_orderkey": pa.array((u // 64).astype(np.int64)),
+                         "s_nat": pa.array((u % 64).astype(np.int64)),
+                         "rev_c": pa.array(sums.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -138,23 +171,22 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def dims(t: pa.Table) -> pa.Table:
-        # vectorized broadcast-dim application: two searchsorted probes
-        # (customer->nation, supplier->nation), the same-nation equality
-        # mask, then a tiny nation->name take — zero per-row Python
+        # vectorized broadcast-dim application: the customer->nation
+        # probe and the same-nation test against the pre-joined
+        # supplier nation, then a tiny nation->name take
         import numpy as np
 
         ck, cv = ray.get(cust_ref)
-        sk, sv = ray.get(supp_ref)
         names = ray.get(name_ref)
-        if t.num_rows == 0 or not names or not len(ck) or not len(sk):
+        if t.num_rows == 0 or not names or not len(ck):
             return pa.table({"n_name": pa.array([], pa.string()),
-                             "rev_c": pa.array([], pa.int64())})
+                             "rev_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         cq = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        sq = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = t.column("s_nat").to_numpy(zero_copy_only=False)
         ci = np.minimum(np.searchsorted(ck, cq), len(ck) - 1)
-        si = np.minimum(np.searchsorted(sk, sq), len(sk) - 1)
         cn = cv[ci]
-        mask = (ck[ci] == cq) & (sk[si] == sq) & (cn == sv[si])
+        mask = (ck[ci] == cq) & (cn == sn)
         nat_keys = np.fromiter(sorted(names), dtype=np.int64,
                                count=len(names))
         nat_vals = np.array([names[k] for k in sorted(names)], dtype=object)
@@ -165,12 +197,15 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
             "n_name": pa.array(nat_vals[ni][mask2], pa.string()),
             "rev_c": pa.array(
                 t.column("rev_c").to_numpy(zero_copy_only=False)
+                [mask][mask2], pa.int64()),
+            "n": pa.array(
+                t.column("n").to_numpy(zero_copy_only=False)
                 [mask][mask2], pa.int64())})
 
     agg = (joined.map_batches(dims, batch_format="pyarrow")
            .groupby("n_name")
            .aggregate(Sum("rev_c", alias_name="rev_c"),
-                      Count(alias_name="n_items")))
+                      Sum("n", alias_name="n_items")))
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -206,10 +241,26 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
               filter=pds.field("l_returnflag") == "R")
 
     def derive(t: pa.Table) -> pa.Table:
+        # batch-local partial aggregate per orderkey before the
+        # fact-fact exchange (lineitem arrives orderkey-clustered, so
+        # multi-line orders collapse here); the item count rides along
+        # so the final Sum matches the old post-join Count exactly
+        import numpy as np
+
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "rev_c": _int_scaled(rev, 10_000)})
+        rev_c = np.asarray(_int_scaled(rev, 10_000))
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if not len(ok):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=rev_c.astype(np.float64))
+        cnt = np.bincount(inv)
+        return pa.table({"l_orderkey": pa.array(u.astype(np.int64)),
+                         "rev_c": pa.array(sums.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -220,7 +271,7 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
     per_cust = (joined.groupby("o_custkey",
                         num_partitions=_join_parts(sf_dir))
                 .aggregate(Sum("rev_c", alias_name="rev_c"),
-                           Count(alias_name="n_items")))
+                           Sum("n", alias_name="n_items")))
 
     from .common import drop_empty_blocks
     top = (drop_empty_blocks(per_cust)
