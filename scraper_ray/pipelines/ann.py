@@ -715,3 +715,109 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "semdedup": q_semdedup,
 }
+
+
+# ---------------------------------------------------------------------------
+# cluster purity — clustering quality vs the fixture's ground-truth labels
+# ---------------------------------------------------------------------------
+
+def q_cluster_purity(sf_dir: str) -> rd.Dataset:
+    """Clustering-quality evaluation against the embeddings table's
+    ground-truth ``label`` column: every vector is assigned to its
+    deterministic k-means cluster, and each cluster reports its size,
+    majority label (ties break to the smaller label) and the majority
+    count — purity = n_top / n_vecs, the standard external clustering
+    metric, left as integers so the result is exact.
+
+    Scale shape: one assignment map (centroids broadcast via ray.put),
+    per-batch (cid, label) count partials fused into one int64 key, ONE
+    groupby-sum whose key domain is bounded by k x |labels| (never the
+    corpus), then the bounded result flows through the single-group
+    majority pass (the ``_vocab_topk_ds`` tail shape)."""
+    import pandas as pd
+
+    from .common import drop_empty_blocks
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(ds.count()))
+    c_ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cid": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = ray.get(c_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        d = -2.0 * (embs @ c.T) + (c * c).sum(axis=1)[None, :]
+        cid = np.argmin(d, axis=1).astype(np.int64)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        fused = cid * (1 << 32) + lab
+        u, cnt = np.unique(fused, return_counts=True)
+        return pa.table({"cid": pa.array(u >> 32),
+                         "label": pa.array(u & 0xFFFFFFFF),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    ).groupby(["cid", "label"]).sum("n")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("g", pa.array([0] * t.num_rows, pa.int8()))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.rename(columns={"sum(n)": "n"})
+        tot = df.groupby("cid", sort=False)["n"].sum()
+        top = (df.sort_values(["cid", "n", "label"],
+                              ascending=[True, False, True])
+               .groupby("cid", sort=False).head(1))
+        out = top[["cid", "label", "n"]].rename(
+            columns={"label": "top_label", "n": "n_top"})
+        out["n_vecs"] = out["cid"].map(tot)
+        return out[["cid", "n_vecs", "top_label", "n_top"]].astype("int64")
+
+    return (agg.map_batches(tag, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+def cluster_purity_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Generated for the driver-gate tier like ``semdedup_oracle_sql``:
+    inline the deterministic centroids, assign with the same argmin
+    formula, majority label per cluster via a window rank."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(n))
+    c_lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents]
+    norms = [(c * c).sum() for c in cents]
+    dist_list = ", ".join(
+        f"(-2 * list_dot_product(emb, {cl}) + {repr(float(nm))})"
+        for cl, nm in zip(c_lists, norms))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+assigned AS (
+  SELECT vec_id, label,
+         list_position(d, list_min(d)) - 1 AS cid
+  FROM (SELECT vec_id, label, [{dist_list}] AS d FROM e)),
+cl AS (SELECT cid, label, count(*) AS n FROM assigned GROUP BY cid, label),
+tot AS (SELECT cid, sum(n) AS n_vecs FROM cl GROUP BY cid),
+ranked AS (
+  SELECT cid, label, n,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM cl)
+SELECT CAST(r.cid AS BIGINT) AS cid,
+       CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       CAST(r.label AS BIGINT) AS top_label,
+       CAST(r.n AS BIGINT) AS n_top
+FROM ranked r JOIN tot t USING (cid)
+WHERE r.rn = 1
+"""
+
+
+ORACLE_SQL["cluster_purity"] = cluster_purity_oracle_sql()
+QUERIES["cluster_purity"] = q_cluster_purity

@@ -754,7 +754,7 @@ PINNED_QUERIES = frozenset({
     "listing_detail",
     "listing_info", "ann_ivf_topk", "ann_recall", "corpus_build",
     "corpus_neardedup", "paragraph_dedup", "media_dedup",
-    "media_alignment", "semdedup",
+    "media_alignment", "semdedup", "cluster_purity",
     "robots_rules",
     "link_pagerank", "link_bfs", "link_triangles", "crawl_budget",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
