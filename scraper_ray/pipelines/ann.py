@@ -24,6 +24,7 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -821,3 +822,117 @@ WHERE r.rn = 1
 
 ORACLE_SQL["cluster_purity"] = cluster_purity_oracle_sql()
 QUERIES["cluster_purity"] = q_cluster_purity
+
+
+# ---------------------------------------------------------------------------
+# kNN label consistency — classifier-style eval of the neighbor graph
+# ---------------------------------------------------------------------------
+
+def q_knn_label_acc(sf_dir: str) -> rd.Dataset:
+    """kNN label-consistency: predict every vector's label by majority
+    vote over its LSH-kNN neighbors (ties break to the smaller label;
+    vectors with no candidates count as wrong) and report per-label
+    totals and correct counts — the standard embedding-quality probe
+    against the fixture's ground-truth ``label`` column, integers only.
+
+    Scale shape: the kNN graph comes from ``q_knn_graph`` (exact within
+    LSH candidate buckets, never all-pairs); neighbor labels attach via
+    ONE hash join against the embeddings table (cluster-derived
+    fan-out, no corpus-sized broadcast); per-batch fused (vec, label)
+    vote partials -> one groupby-sum; the majority pick is a keyed
+    segmented pass; own labels attach via a second hash join; the
+    per-label rollup is a bounded groupby-sum."""
+    import pandas as pd
+
+    from .common import drop_empty_blocks, join_parts, keyed_repartition
+
+    knn = q_knn_graph(sf_dir).select_columns(["vec_id", "neighbor"])
+    labels = _t(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def lab_tbl(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lvec": pc.cast(t.column("vec_id"), pa.int64()),
+            "label": pc.cast(t.column("label"), pa.int64())})
+
+    lab = labels.map_batches(lab_tbl, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    votes_raw = drop_empty_blocks(knn).join(
+        lab, join_type="inner", num_partitions=join_parts(),
+        on=("neighbor",), right_on=("lvec",))
+
+    def vote_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nlabel": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        l = t.column("label").to_numpy(zero_copy_only=False)
+        u, c = np.unique(v * (1 << 32) + l, return_counts=True)
+        return pa.table({"vec_id": pa.array(u >> 32),
+                         "nlabel": pa.array(u & 0xFFFFFFFF),
+                         "n": pa.array(c.astype(np.int64))})
+
+    votes = drop_empty_blocks(
+        votes_raw.map_batches(vote_partial, batch_format="pyarrow")
+    ).groupby(["vec_id", "nlabel"]).sum("n")
+
+    def majority(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.rename(columns={"sum(n)": "n"})
+        df = df.sort_values(["vec_id", "n", "nlabel"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("vec_id", sort=False).head(1)
+        return top[["vec_id", "nlabel"]].rename(columns={"nlabel": "pred"})
+
+    pred = keyed_repartition(votes, ["vec_id"]).map_batches(
+        majority, batch_format="pandas")
+    scored = drop_empty_blocks(lab).join(
+        drop_empty_blocks(pred), join_type="left_outer",
+        num_partitions=join_parts(), on=("lvec",), right_on=("vec_id",))
+
+    def per_label(t: pa.Table) -> pa.Table:
+        lbl = t.column("label").to_numpy(zero_copy_only=False)
+        pr = t.column("pred").to_numpy(zero_copy_only=False)
+        correct = (pr == lbl) & ~pc.is_null(t.column("pred")).to_numpy(
+            zero_copy_only=False)
+        u, tot = np.unique(lbl, return_counts=True)
+        ok = np.bincount(
+            np.searchsorted(u, lbl[correct]), minlength=len(u))
+        return pa.table({"label": pa.array(u.astype(np.int64)),
+                         "n_vecs": pa.array(tot.astype(np.int64)),
+                         "n_correct": pa.array(ok.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return (drop_empty_blocks(
+        scored.map_batches(per_label, batch_format="pyarrow"))
+        .groupby("label")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("n_correct", alias_name="n_correct")))
+
+
+def knn_label_acc_oracle_sql() -> str:
+    knn = knn_graph_oracle_sql()
+    return f"""
+WITH knn AS ({knn}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+votes AS (
+  SELECT k.vec_id, l2.label AS nlabel, count(*) AS n
+  FROM knn k JOIN lab l2 ON l2.vec_id = k.neighbor
+  GROUP BY k.vec_id, l2.label),
+pred AS (
+  SELECT vec_id, nlabel AS pred
+  FROM (SELECT vec_id, nlabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY n DESC, nlabel ASC) AS rn
+        FROM votes)
+  WHERE rn = 1)
+SELECT l.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) FILTER (p.pred = l.label) AS BIGINT) AS n_correct
+FROM lab l LEFT JOIN pred p USING (vec_id)
+GROUP BY l.label
+"""
+
+
+ORACLE_SQL["knn_label_acc"] = knn_label_acc_oracle_sql()
+QUERIES["knn_label_acc"] = q_knn_label_acc
