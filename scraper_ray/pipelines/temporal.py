@@ -533,3 +533,75 @@ QUERIES = {
     "sessions_salted": q_sessions_salted,
     "asof_join_salted": q_asof_join_salted,
 }
+
+
+# ---------------------------------------------------------------------------
+# event funnel — ordered multi-step conversion over the event stream
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str) -> rd.Dataset:
+    """Strict ordered funnel over the event stream: per user, how far
+    through view -> click -> purchase did they get, where each step
+    must happen STRICTLY AFTER the earliest completion of the previous
+    one (the product-analytics conversion funnel). Output: one row per
+    user with ``step_reached`` 0..3 — integers, exact.
+
+    Scale shape: ONE keyed repartition co-locates each user's events,
+    then a single vectorized pass per block — per-user earliest-step
+    timestamps via three ``np.minimum.at`` scatters over factorized
+    user ids; no sort, no per-user Python dispatch."""
+    import numpy as np
+
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    co = keyed_repartition(ds, ["user_id"])
+    big = np.iinfo(np.int64).max
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "step_reached": pd.Series([], dtype="int64")})
+        uid, users = pd.factorize(df["user_id"], sort=True)
+        ts = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        ev = df["event_type"].to_numpy()
+        k = len(users)
+        prev = np.full(k, -big, dtype=np.int64)   # "step 0 at -inf"
+        reached = np.zeros(k, dtype=np.int64)
+        for step, name in enumerate(FUNNEL_STEPS, start=1):
+            cur = np.full(k, big, dtype=np.int64)
+            m = (ev == name) & (ts > prev[uid])
+            np.minimum.at(cur, uid[m], ts[m])
+            hit = cur < big
+            reached[hit] = step
+            prev = np.where(hit, cur, big)   # unreached users block later steps
+        return pd.DataFrame({"user_id": users.astype("int64"),
+                             "step_reached": reached})
+
+    return co.map_batches(funnel, batch_format="pandas")
+
+
+ORACLE_SQL["event_funnel"] = """
+WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS step_reached
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+"""
+
+QUERIES["event_funnel"] = q_event_funnel
