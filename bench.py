@@ -126,7 +126,7 @@ QUERY_NAMES = [
     "inverted_index", "link_bfs", "link_triangles", "token_entropy",
     "cross_source_leakage", "cms_heavy_hitters", "hll_daily",
     "decontaminate_bloom", "crawl_budget", "curation_verdict",
-    "cluster_purity", "knn_label_acc", "event_funnel",
+    "cluster_purity", "knn_label_acc", "event_funnel", "retention_cohorts",
 ]
 
 

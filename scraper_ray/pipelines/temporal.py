@@ -605,3 +605,88 @@ LEFT JOIN t3 USING (user_id)
 """
 
 QUERIES["event_funnel"] = q_event_funnel
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts — signup-week cohort x week-offset active users
+# ---------------------------------------------------------------------------
+
+def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Weekly retention triangle: users cohorted by the ISO week of
+    their first ``signup`` event, counted once per later week they were
+    active (any event type) — (cohort_week, week_offset, n_users), the
+    classic product-retention rollup. Integers + week timestamps only.
+
+    Scale shape: ONE keyed repartition co-locates each user's events
+    (a user's cohort and activity weeks then resolve inside one batch —
+    distinct (user, week) via np.unique on fused codes, cohort via one
+    minimum scatter), and the per-batch (cohort, offset) partial counts
+    are additive because a user lives in exactly one batch; ONE bounded
+    groupby-sum (weeks x offsets, never users) finishes."""
+    import numpy as np
+
+    from .common import keyed_repartition
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    co = keyed_repartition(ds, ["user_id"])
+    big = np.iinfo(np.int64).max
+    week_ns = 7 * 86400 * 1_000_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_week": pa.array([], pa.timestamp("ns")),
+            "week_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        wk = pc.cast(pc.floor_temporal(t.column("ts"), unit="week"),
+                     pa.timestamp("ns"))   # parquet ts is us — pin ns
+        wk_ns = pc.cast(wk, pa.int64()).to_numpy(zero_copy_only=False)
+        # Monday-aligned week index (injective: consecutive Mondays are
+        # exactly one week_ns apart, whatever the epoch offset)
+        wk_idx = wk_ns // week_ns
+        uid_arr = t.column("user_id").to_numpy(zero_copy_only=False)
+        users, uid = np.unique(uid_arr, return_inverse=True)
+        is_su = pc.equal(t.column("event_type"), "signup").to_numpy(
+            zero_copy_only=False)
+        cohort_ns = np.full(len(users), big, dtype=np.int64)
+        np.minimum.at(cohort_ns, uid[is_su], wk_ns[is_su])
+        # distinct (user, activity week) at or after the cohort week
+        uw = np.unique(np.stack([uid.astype(np.int64), wk_idx], axis=1),
+                       axis=0)
+        fu, fw = uw[:, 0], uw[:, 1]
+        have = cohort_ns[fu] < big
+        cidx = cohort_ns[fu] // week_ns
+        keep = have & (fw >= cidx)
+        cw = cohort_ns[fu[keep]]
+        off = fw[keep] - cidx[keep]
+        pair, n = np.unique(np.stack([cw, off], axis=1), axis=0,
+                            return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(pair[:, 0].astype("datetime64[ns]")),
+            "week_offset": pa.array(pair[:, 1].astype(np.int64)),
+            "n_users": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks
+
+    return (drop_empty_blocks(
+        co.map_batches(partial, batch_format="pyarrow"))
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+ORACLE_SQL["retention_cohorts"] = """
+WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+j AS (SELECT su.cw,
+             CAST(datediff('week', su.cw, act.w) AS BIGINT) AS off
+      FROM su JOIN act USING (user_id) WHERE act.w >= su.cw)
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY cw, off
+"""
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
