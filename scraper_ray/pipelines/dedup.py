@@ -187,6 +187,22 @@ def _batch_shingle_hashes(texts: list[str],
     return out, g_off[:-1]
 
 
+def _per_doc_unique(flat: np.ndarray,
+                    off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Dedupe each doc's shingle hashes in one batch-wide pass: a
+    (doc, hash) lexsort + boundary compare, instead of one Python
+    ``set()`` per doc. *off* is ``_batch_shingle_hashes``'s starts-only
+    offsets. Returns (unique hashes, their doc indices), doc-major."""
+    n = len(off)
+    tag = np.repeat(np.arange(n),
+                    np.diff(np.concatenate((off, [len(flat)]))))
+    order = np.lexsort((flat, tag))
+    hs, ds = flat[order], tag[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+    return hs[first], ds[first]
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -342,21 +358,67 @@ def q_dup_spans(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        wins: list[str] = []
-        for did, tx in zip(t.column("doc_id").to_pylist(),
-                           t.column("text").to_pylist()):
-            n = len(tx)
-            if n < _SPAN_K:
+        """Distinct per-doc strided windows without a per-window Python
+        loop: ASCII docs concatenate into one byte buffer, every
+        window's 32 bytes gather in a single fancy-index (O(total
+        windows)), and per-doc distinctness is a C-level group_by.
+        Non-ASCII docs (byte length != char length, where byte slicing
+        would split a codepoint) fall back to the exact Python loop."""
+        ids_col = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "win": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        raw = [tx.encode() for tx in texts]
+        slow_i = [i for i, (tx, b) in enumerate(zip(texts, raw))
+                  if len(b) != len(tx)]
+        slow = set(slow_i)
+        lens = np.fromiter(
+            (0 if i in slow else len(b) for i, b in enumerate(raw)),
+            np.int64, n)
+        counts = np.where(lens >= _SPAN_K,
+                          (lens - _SPAN_K) // _SPAN_STRIDE + 1, 0)
+        total = int(counts.sum())
+        parts = []
+        if total:
+            buf = np.frombuffer(
+                b"".join(b for i, b in enumerate(raw) if i not in slow)
+                if slow else b"".join(raw), np.uint8)
+            kept = np.array([i for i in range(n) if i not in slow],
+                            np.int64) if slow else np.arange(n)
+            klens = lens[kept]
+            doc_off = np.zeros(len(kept) + 1, np.int64)
+            np.cumsum(klens, out=doc_off[1:])
+            kcounts = counts[kept]
+            w_off = np.concatenate(([0], np.cumsum(kcounts)))
+            starts = np.repeat(doc_off[:-1], kcounts)
+            widx = (starts + (np.arange(total)
+                              - np.repeat(w_off[:-1], kcounts))
+                    * _SPAN_STRIDE)
+            w = buf[widx[:, None] + np.arange(_SPAN_K)]
+            wins = pc.cast(
+                pa.array(np.ascontiguousarray(w).view(f"S{_SPAN_K}")
+                         .ravel()), pa.string())
+            doc_idx = pa.array(np.repeat(kept, kcounts))
+            parts.append(pa.table({
+                "doc_id": pc.take(ids_col, doc_idx), "win": wins}))
+        for i in slow_i:                       # exact per-doc fallback
+            tx = texts[i]
+            m = len(tx)
+            if m < _SPAN_K:
                 continue
-            seen: set[str] = set()
-            for i in range((n - _SPAN_K) // _SPAN_STRIDE + 1):
-                off = i * _SPAN_STRIDE
-                seen.add(tx[off:off + _SPAN_K])
-            ids.extend([did] * len(seen))
-            wins.extend(sorted(seen))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "win": pa.array(wins, pa.string())})
+            ws = [tx[j * _SPAN_STRIDE: j * _SPAN_STRIDE + _SPAN_K]
+                  for j in range((m - _SPAN_K) // _SPAN_STRIDE + 1)]
+            parts.append(pa.table({
+                "doc_id": pa.array([ids_col[i].as_py()] * len(ws),
+                                   ids_col.type),
+                "win": pa.array(ws, pa.string())}))
+        if not parts:
+            return empty
+        out = pa.concat_tables(parts)
+        return out.group_by(["doc_id", "win"]).aggregate([])
 
     w = ds.map_batches(windows, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
@@ -440,23 +502,40 @@ def q_boilerplate(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def grams(t: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        srcs: list[str] = []
-        gs: list[str] = []
-        for did, tx, src in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist(),
-                                t.column("source").to_pylist()):
-            toks = tx.split(" ")
-            if len(toks) < _BOILER_N:
-                continue
-            seen = {" ".join(toks[i:i + _BOILER_N])
-                    for i in range(len(toks) - _BOILER_N + 1)}
-            ids.extend([did] * len(seen))
-            srcs.extend([src] * len(seen))
-            gs.extend(sorted(seen))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "source": pa.array(srcs, pa.string()),
-                         "gram": pa.array(gs, pa.string())})
+        """Distinct (doc, source, gram) rows, no per-doc Python loop:
+        the batch's tokens flatten once, every gram materializes via
+        ONE Arrow ``binary_join_element_wise`` over _BOILER_N shifted
+        takes, and per-doc distinctness is a C-level hash group_by."""
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "gram": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        tok_lists = [x.split(" ") for x in texts]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64, n)
+        flat: list[str] = []
+        for toks in tok_lists:
+            flat.extend(toks)
+        tok_off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        counts = np.maximum(lens - (_BOILER_N - 1), 0)  # short docs: 0
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        g_off = np.concatenate(([0], np.cumsum(counts)))
+        starts = np.repeat(tok_off[:-1], counts)
+        pos = starts + (np.arange(total) - np.repeat(g_off[:-1], counts))
+        fa = pa.array(flat, pa.string())
+        parts = [fa.take(pa.array(pos + j)) for j in range(_BOILER_N)]
+        gram = pc.binary_join_element_wise(*parts, " ")
+        doc_idx = pa.array(np.repeat(np.arange(n), counts))
+        out = pa.table({
+            "doc_id": pc.take(t.column("doc_id"), doc_idx),
+            "source": pc.take(t.column("source"), doc_idx),
+            "gram": gram})
+        return out.group_by(["doc_id", "source", "gram"]).aggregate([])
 
     g = ds.map_batches(grams, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
@@ -905,49 +984,70 @@ def candidate_pairs(sf_dir: str) -> rd.Dataset:
 
 
 class _JaccardVerify:
-    """Actor-pool Jaccard verifier with a per-actor shingle cache.
+    """Actor-pool Jaccard verifier, fully vectorized per batch.
 
-    A document participates in many candidate pairs, and pairs arrive
-    hash-partitioned by doc key from the upstream join — so each actor
-    re-shingles a given text once instead of once per pair (measured
-    ~8x on the sf0.1 ngram path, where 5k docs span >1M pairs). The
-    cache is bounded: it holds hash SETS (~50 ints/doc), and clears
-    wholesale past the bound rather than tracking LRU order.
-    """
-
-    _CACHE_MAX = 200_000
+    A document participates in many candidate pairs, so the batch's
+    UNIQUE docs are shingled once (one ``_batch_shingle_hashes`` pass),
+    deduped to hash SETS with one lexsort, and every pair's
+    intersection is counted in one more pair-tagged lexsort (a hash
+    appearing twice under one pair tag is a common element — shingle
+    sets are per-doc unique by construction). No Python loop over
+    pairs; replaces the old per-pair frozenset intersection (and its
+    per-actor cache — the unique-doc pass makes it redundant)."""
 
     def __init__(self, threshold: float, id_type: pa.DataType):
         self.threshold = threshold
         self.id_type = id_type
-        self.cache: dict[object, frozenset] = {}
-
-    def _shingles(self, key: object, text: str) -> frozenset:
-        s = self.cache.get(key)
-        if s is None:
-            if len(self.cache) > self._CACHE_MAX:
-                self.cache.clear()
-            s = frozenset(_shingle_hashes(text).tolist())
-            self.cache[key] = s
-        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keep_a, keep_b, jac = [], [], []
-        for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
-                                batch.column("doc_b").to_pylist(),
-                                batch.column("text_a").to_pylist(),
-                                batch.column("text_b").to_pylist()):
-            sa = self._shingles(a, ta)
-            sb = self._shingles(b, tb)
-            inter = len(sa & sb)
-            j = inter / max(1, len(sa) + len(sb) - inter)
-            if j >= self.threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                jac.append(float(round_half_away(j)))
-        return pa.table({"doc_a": pa.array(keep_a, self.id_type),
-                         "doc_b": pa.array(keep_b, self.id_type),
-                         "jaccard": pa.array(jac, pa.float64())})
+        empty = pa.table({"doc_a": pa.array([], self.id_type),
+                          "doc_b": pa.array([], self.id_type),
+                          "jaccard": pa.array([], pa.float64())})
+        n_pairs = batch.num_rows
+        if n_pairs == 0:
+            return empty
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        keys: dict[object, int] = {}
+        texts: list[str] = []
+        for k_, t_ in zip(a + b, ta + tb):
+            if k_ not in keys:
+                keys[k_] = len(texts)
+                texts.append(t_)
+        flat, off = _batch_shingle_hashes(texts)
+        m = len(texts)
+        hu, du = _per_doc_unique(flat, off)
+        sizes = np.bincount(du, minlength=m)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        ai = np.fromiter((keys[x] for x in a), np.int64, n_pairs)
+        bi = np.fromiter((keys[x] for x in b), np.int64, n_pairs)
+        la, lb = sizes[ai], sizes[bi]
+        # gather each pair's two hash sets into one flat run
+        seg_starts = np.empty(2 * n_pairs, np.int64)
+        seg_starts[0::2], seg_starts[1::2] = starts[ai], starts[bi]
+        seg_lens = np.empty(2 * n_pairs, np.int64)
+        seg_lens[0::2], seg_lens[1::2] = la, lb
+        seg_off = np.concatenate(([0], np.cumsum(seg_lens)))
+        total = int(seg_off[-1])
+        idx = (np.repeat(seg_starts, seg_lens)
+               + (np.arange(total) - np.repeat(seg_off[:-1], seg_lens)))
+        vals = hu[idx]
+        ptag = np.repeat(np.arange(n_pairs), la + lb)
+        o2 = np.lexsort((vals, ptag))
+        vs, ps = vals[o2], ptag[o2]
+        dup = (vs[1:] == vs[:-1]) & (ps[1:] == ps[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=n_pairs)
+        j = inter / np.maximum(1, la + lb - inter)
+        keep = j >= self.threshold
+        mask = pa.array(keep)
+        return pa.table({
+            "doc_a": pc.cast(batch.column("doc_a").filter(mask),
+                             self.id_type),
+            "doc_b": pc.cast(batch.column("doc_b").filter(mask),
+                             self.id_type),
+            "jaccard": pa.array(round_half_away(j[keep]), pa.float64())})
 
 
 def jaccard_verify_pairs(cand: rd.Dataset, docs: rd.Dataset,
@@ -1159,16 +1259,20 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def incidence(t: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, text in zip(t.column("doc_id").to_pylist(),
-                             t.column("text").to_pylist()):
-            for h in set(_shingle_hashes(text).tolist()):
-                ids.append(did)
-                # decimal-string key: the gram hash is uint64 and the SQL
-                # oracle recomputes it as HUGEINT — strings join exactly
-                grams.append(str(h))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        # one batch-wide shingle pass + lexsort dedupe — no per-doc
+        # Python set loop. Decimal-string gram key: the hash is uint64
+        # and the SQL oracle recomputes it as HUGEINT — strings join
+        # exactly (numpy astype(U20) renders the decimals in C).
+        flat, off = _batch_shingle_hashes(texts)
+        hu, du = _per_doc_unique(flat, off)
+        return pa.table({
+            "doc_id": pc.take(t.column("doc_id"),
+                              pa.array(du, pa.int64())),
+            "gram": pa.array(hu.astype("U20"))})
 
     # scrub + materialize once: both the df aggregate and the anti-join
     # probe side read this, and a lazy dataset would re-run the
@@ -1310,34 +1414,88 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
 # SimHash
 # ---------------------------------------------------------------------------
 
+class _SimHasher:
+    """Actor-pool SimHash: one vectorized pass per doc-chunk.
+
+    Tokens are md5-hashed once per UNIQUE token with a per-actor cache
+    (the vocab repeats heavily across docs and batches); all unique
+    token hashes unpack to their 64 bit-columns in one
+    ``np.unpackbits``, and the per-doc ±1 bit sums reduce over
+    doc-sorted runs with one ``np.add.reduceat`` per chunk. Replaces
+    ~64 numpy ops PER TOKEN (plus an md5 per token occurrence) with
+    three array ops per 2048-doc chunk. Chunking bounds the gathered
+    (pairs × 64) bit matrix to ~tens of MB regardless of block size."""
+
+    _CACHE_MAX = 1 << 21
+    _CHUNK = 2048
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        sims = np.zeros(n, np.uint64)
+        cache = self.cache
+        for lo in range(0, n, self._CHUNK):
+            chunk = texts[lo:lo + self._CHUNK]
+            counts = np.empty(len(chunk), np.int64)
+            tok_ids: list[int] = []     # per (doc, unique-token) pair
+            uniq: dict[str, int] = {}
+            hvals: list[int] = []
+            for i, text in enumerate(chunk):
+                s = set(text.split(" "))
+                counts[i] = len(s)      # >= 1: "".split(" ") == [""]
+                for tok in s:
+                    k = uniq.get(tok)
+                    if k is None:
+                        k = len(hvals)
+                        uniq[tok] = k
+                        h = cache.get(tok)
+                        if h is None:
+                            if len(cache) > self._CACHE_MAX:
+                                cache.clear()
+                            h = int.from_bytes(
+                                hashlib.md5(tok.encode()).digest()[:8],
+                                "big")
+                            cache[tok] = h
+                        hvals.append(h)
+                    tok_ids.append(k)
+            H = np.array(hvals, dtype=np.uint64)
+            # (U, 64) bit matrix; little-endian view + bitorder="little"
+            # makes column k exactly (h >> k) & 1
+            B = np.unpackbits(H[:, None].view(np.uint8), axis=1,
+                              bitorder="little")
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ones = np.add.reduceat(
+                B[np.asarray(tok_ids, np.int64)].astype(np.int32),
+                starts, axis=0)
+            acc = 2 * ones - counts[:, None]    # ones - zeros
+            sims[lo:lo + len(chunk)] = (
+                (acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array([format(int(s), "016x") for s in sims],
+                                pa.string()),
+            "bucket": pa.array((sims >> np.uint64(48)).astype(np.int64),
+                               pa.int64())})
+
+
 def q_simhash(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per document + 16-bit prefix bucket (near-dup
     blocking key). Pure map — no shuffle. Token hashes are the first 64
-    bits of md5 so the DuckDB oracle recomputes them (common.sql_hex64)."""
+    bits of md5 so the DuckDB oracle recomputes them (common.sql_hex64);
+    the kernel itself is the vectorized ``_SimHasher`` actor pool (the
+    token-hash cache is per-actor state, init-once)."""
+    import ray
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sims: list[int] = []
-        buckets: list[int] = []
-        for text in t.column("text").to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(text.split(" ")):
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big"
-                ))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == np.uint64(1), 1, -1)
-            bits = (acc > 0)[::-1]
-            sim = int.from_bytes(np.packbits(bits).tobytes(), "big")
-            sims.append(sim)
-            buckets.append(sim >> 48)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "simhash": pa.array([format(s, "016x") for s in sims],
-                                             pa.string()),
-                         "bucket": pa.array(buckets, pa.int64())})
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return ds.map_batches(_SimHasher, concurrency=(1, max(4, cpus // 2)),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -45,17 +45,22 @@ HLL_M = 1 << HLL_P
 
 
 def _hll_partial(keys: list) -> np.ndarray:
-    """Fold string keys into one (HLL_M,) register vector."""
+    """Fold string keys into one (HLL_M,) register vector. One md5 per
+    key is inherent (the SQL oracle recomputes it), but the digest→
+    (bucket, rank) math is batch numpy: bucket = first digest byte,
+    x = bytes 1..4 big-endian, rank = 33 - bit_length(x) via frexp
+    (exact for 32-bit ints in float64)."""
     regs = np.zeros(HLL_M, dtype=np.int64)
     if not keys:
         return regs
-    bucket = np.empty(len(keys), np.int64)
-    rank = np.empty(len(keys), np.int64)
-    for i, k in enumerate(keys):
-        h = hashlib.md5(str(k).encode()).hexdigest()
-        bucket[i] = int(h[:2], 16)
-        x = int(h[2:10], 16)
-        rank[i] = 33 - x.bit_length()   # x == 0 -> 33
+    digs = b"".join(hashlib.md5(str(k).encode()).digest() for k in keys)
+    arr = np.frombuffer(digs, np.uint8).reshape(-1, 16)
+    bucket = arr[:, 0].astype(np.int64)
+    x = (arr[:, 1:5].astype(np.uint64)
+         << np.array([24, 16, 8, 0], np.uint64)).sum(
+             axis=1, dtype=np.uint64)
+    _, e = np.frexp(x.astype(np.float64))
+    rank = np.where(x == 0, 33, 33 - e).astype(np.int64)
     np.maximum.at(regs, bucket, rank)
     return regs
 

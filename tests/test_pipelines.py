@@ -240,3 +240,95 @@ def test_ngram_jaccard_frequent_gram_slow_path(ray_session, tmp_path):
                  for r in got.itertuples()}
     assert (0, 500) in expect and (600, 601) in expect  # test is non-trivial
     assert got_pairs == expect
+
+
+def test_jaccard_verify_distributed_path_matches_inline(
+        ray_session, tmp_path, monkeypatch):
+    """The hash-join + actor-pool verify path (the 100 TB fallback past
+    _VERIFY_BROADCAST_CAP) must emit exactly the inline broadcast
+    path's pairs. Forces the join path by zeroing the cap — this is the
+    branch small-fixture oracle runs never reach, where a vectorization
+    bug once hid (starts-only offsets fed to np.diff)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scraper_ray.pipelines import dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=40))
+        texts.append(" ".join(words))
+        ids.append(i)
+        if i % 3 == 0:                      # planted near-dup
+            mutated = words[:]
+            mutated[5] = "zz" + str(i)
+            texts.append(" ".join(mutated))
+            ids.append(1000 + i)
+    texts += ["hi", ""]                     # sub-k-token edge docs
+    ids += [2000, 2001]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    cand = dedup.candidate_pairs_over(docs, pa.int64())
+
+    inline = dedup.jaccard_verify_pairs(
+        cand, docs, 0.5, assume_unique=False).to_pandas()
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_CAP", 0)
+    joined = dedup.jaccard_verify_pairs(
+        cand, docs, 0.5, assume_unique=False).to_pandas()
+
+    key = ["doc_a", "doc_b"]
+    inline = inline.sort_values(key).reset_index(drop=True)
+    joined = joined.sort_values(key).reset_index(drop=True)
+    assert len(inline) > 0                  # planted dups must verify
+    assert inline.equals(joined), (inline, joined)
+
+
+def test_dup_spans_vectorized_kernel_edge_docs(ray_session, tmp_path):
+    """The flat-bytes window gather must agree with a sequential
+    reference on edge docs: empty, shorter than K, exactly K, K±1, and
+    non-ASCII docs (which take the exact Python fallback because byte
+    slicing would split codepoints)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import _SPAN_K, _SPAN_STRIDE, q_dup_spans
+
+    rng = np.random.default_rng(1)
+    texts = ["".join(rng.choice(list("abcdef "), size=int(L)))
+             for L in rng.integers(0, 200, size=40)]
+    texts += ["", "short", "x" * _SPAN_K, "y" * (_SPAN_K - 1),
+              "z" * (_SPAN_K + 1), "née-déjà-vu " * 10,
+              "日本語テキスト" * 20, "rep " * 16]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "spans"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = (q_dup_spans(str(d)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # sequential reference: per-doc distinct strided windows
+    import pandas as pd
+    rows = []
+    for did, tx in zip(ids, texts):
+        if len(tx) < _SPAN_K:
+            continue
+        seen = {tx[i * _SPAN_STRIDE: i * _SPAN_STRIDE + _SPAN_K]
+                for i in range((len(tx) - _SPAN_K) // _SPAN_STRIDE + 1)}
+        rows += [(did, w) for w in seen]
+    ref = pd.DataFrame(rows, columns=["doc_id", "win"])
+    cnt = ref.groupby("win")["doc_id"].nunique()
+    dupset = set(cnt[cnt >= 2].index)
+    ref = (ref.assign(dup=ref["win"].isin(dupset).astype("int64"), one=1)
+           .groupby("doc_id", as_index=False)
+           .agg(n_windows=("one", "sum"), n_dup_windows=("dup", "sum"))
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got[["doc_id", "n_windows", "n_dup_windows"]].astype("int64") \
+        .equals(ref.astype("int64"))
