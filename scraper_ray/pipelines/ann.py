@@ -470,6 +470,184 @@ def q_embedding_quantize(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# ann_pq — product quantization (the IVF-PQ storage/search compression)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8     # subspaces
+PQ_K = 16    # centroids per subspace codebook
+PQ_DIM = 8   # dims per subspace (embeddings are PQ_M * PQ_DIM = 64-d)
+
+
+def _pq_codebooks(sf_dir: str) -> list[np.ndarray]:
+    """Per-subspace codebooks from the SAME deterministic, driver-capped
+    train sample as IVF (``_ivf_train_set``): codebook m is Lloyd's
+    k-means over the sample's m-th 8-dim slice, first-k init, first
+    index wins ties — re-derivable by the oracle generator."""
+    train = _ivf_train_set(sf_dir)
+    return [train_centroids(train[:, m * PQ_DIM:(m + 1) * PQ_DIM], PQ_K)
+            for m in range(PQ_M)]
+
+
+def q_ann_pq(sf_dir: str) -> rd.Dataset:
+    """Product-quantization encoding of the embedding corpus — the
+    compression step an IVF-PQ index applies before a 100 TB corpus fits
+    in memory (Jégou et al. 2011): each vector's 8 subspaces are each
+    assigned to the nearest of 16 codebook centroids, giving a 8-byte
+    code (here also packed into one int64 ``pq_key``, code0 most
+    significant).
+
+    Engine shape: codebooks train once on the driver-capped sample and
+    broadcast via ``ray.put``; encoding is a pure vectorized map (one
+    (batch × 16) matmul per subspace), no shuffle at any scale. Output
+    is all-integer, so hash-exactness needs no float discipline beyond
+    the assignment argmin the IVF path already mirrors."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books_ref = ray.put(_pq_codebooks(sf_dir))
+
+    def assign(t: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        cols: dict = {"vec_id": pa.compute.cast(t.column("vec_id"),
+                                                pa.int64())}
+        key = np.zeros(max(len(embs), 0), np.int64)
+        for m, c in enumerate(books):
+            x = embs[:, m * PQ_DIM:(m + 1) * PQ_DIM]
+            d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            code = np.argmin(d, axis=1).astype(np.int64)
+            cols[f"code{m}"] = pa.array(code)
+            key = key * PQ_K + code
+        cols["pq_key"] = pa.array(key)
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def ann_pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Generated like ``ivf_oracle_sql``: retrain the deterministic
+    per-subspace codebooks, inline them as DOUBLE[] literals, and assign
+    with the identical ``-2*dot + |c|^2`` argmin (first index wins) over
+    ``list_slice`` subvectors of the pinned tier's embeddings."""
+    code_exprs = []
+    for m, cents in enumerate(_pq_codebooks(sf_dir)):
+        lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]"
+                 for c in cents]
+        norms = [(c * c).sum() for c in cents]
+        sub = f"list_slice(emb, {m * PQ_DIM + 1}, {(m + 1) * PQ_DIM})"
+        dlist = ", ".join(
+            f"(-2 * list_dot_product({sub}, {cl}) + {repr(float(nm))})"
+            for cl, nm in zip(lists, norms))
+        code_exprs.append(
+            f"list_position([{dlist}], list_min([{dlist}])) - 1 AS code{m}")
+    key_expr = " + ".join(
+        f"CAST(code{m} AS BIGINT) * {PQ_K ** (PQ_M - 1 - m)}"
+        for m in range(PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+coded AS (SELECT vec_id, {', '.join(code_exprs)} FROM e)
+SELECT vec_id, {', '.join(f'code{m}' for m in range(PQ_M))},
+       CAST({key_expr} AS BIGINT) AS pq_key
+FROM coded
+"""
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives — contrastive pair mining over an anchor set
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 8     # anchor vectors (vec_id < HN_ANCHORS)
+HN_K = 5           # hard negatives kept per anchor
+HN_DUP_COS = 0.9   # at/above this cosine a candidate is a near-dup
+                   # (likely positive), not a negative — excluded
+
+
+def q_hard_negatives(sf_dir: str, n_anchors: int = HN_ANCHORS,
+                     k: int = HN_K) -> rd.Dataset:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANN-mined negatives of DPR, SimCSE, CLIP-style pipelines): for each
+    anchor, the top-k most-similar vectors that are NOT near-duplicates
+    (rounded cosine < HN_DUP_COS) and not the anchor itself — similar
+    enough to be hard, distinct enough to be true negatives.
+
+    Engine shape: the anchor matrix broadcasts once via ``ray.put``;
+    each batch scores against ALL anchors in one matmul and emits only
+    its per-(batch, anchor) top-k via a segmented lexsort (partial
+    top-k — k*A rows leave each task regardless of batch size); the
+    final exact rank is one tiny groupby over A anchors. The dup-gate
+    compares the ROUNDED cosine exactly like the SQL mirror."""
+    import pyarrow.parquet as pq
+
+    at = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_anchors)])
+    order = pa.compute.sort_indices(at, sort_keys=[("vec_id", "ascending")])
+    at = at.take(order)
+    anchors = embs_to_numpy(at.column("embedding"))
+    a_ids = at.column("vec_id").to_numpy().astype(np.int64)
+    norms = np.linalg.norm(anchors, axis=1)
+    norms[norms == 0] = 1.0
+    a_ref = ray.put((anchors / norms[:, None], a_ids))
+
+    def score(t: pa.Table) -> pa.Table:
+        an, aid = ray.get(a_ref)
+        embs = embs_to_numpy(t.column("embedding"))
+        vn = np.linalg.norm(embs, axis=1)
+        vn[vn == 0] = 1.0
+        sims = round_half_away((embs / vn[:, None]) @ an.T)   # (n, A)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        n, a = sims.shape
+        anchor_l = np.repeat(aid, n)
+        vec_l = np.tile(ids, a)
+        cos_l = sims.T.ravel()
+        keep = (vec_l != anchor_l) & (cos_l < HN_DUP_COS)
+        anchor_l, vec_l, cos_l = anchor_l[keep], vec_l[keep], cos_l[keep]
+        # segmented partial top-k: one lexsort, rank within anchor runs
+        o = np.lexsort((vec_l, -cos_l, anchor_l))
+        anchor_l, vec_l, cos_l = anchor_l[o], vec_l[o], cos_l[o]
+        new = np.ones(len(anchor_l), dtype=bool)
+        new[1:] = anchor_l[1:] != anchor_l[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(anchor_l)) - starts[seg]
+        top = rank < k
+        return pa.table({
+            "anchor_id": pa.array(anchor_l[top], pa.int64()),
+            "vec_id": pa.array(vec_l[top], pa.int64()),
+            "cosine": pa.array(cos_l[top], pa.float64())})
+
+    def final_rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cosine", "vec_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("anchor_id")              # A groups — tiny
+            .map_groups(final_rank, batch_format="pandas"))
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, emb AS ae FROM e
+      WHERE vec_id < {HN_ANCHORS}),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         round(list_cosine_similarity(e.emb, a.ae), 4) AS cosine
+  FROM e JOIN a ON e.vec_id <> a.anchor_id),
+ranked AS (
+  SELECT anchor_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored WHERE cosine < {HN_DUP_COS})
+SELECT anchor_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {HN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
 
@@ -705,8 +883,12 @@ FROM s
 }
 
 ORACLE_SQL["knn_graph"] = knn_graph_oracle_sql()
+ORACLE_SQL["ann_pq"] = ann_pq_oracle_sql()
+ORACLE_SQL["hard_negatives"] = _HARD_NEG_SQL
 
 QUERIES = {
+    "ann_pq": q_ann_pq,
+    "hard_negatives": q_hard_negatives,
     "knn_graph": q_knn_graph,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,

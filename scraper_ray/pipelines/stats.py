@@ -1237,7 +1237,56 @@ FROM bk JOIN r USING (bkt) GROUP BY bk.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# temperature_mix — multinomial source-sampling weights p ∝ n^α
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7          # sampling temperature (GPT-3/PaLM-style mixing)
+MIX_BUDGET = 100_000     # docs drawn per epoch
+
+
+def q_temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-scaled source mixing weights (the multilingual /
+    multi-source sampling rule of GPT-3 / PaLM / XLM-R: p_s ∝ n_s^α,
+    α < 1 up-weights small curated sources against bulk crawl), plus
+    each source's integer draw allocation for a fixed per-epoch budget.
+
+    Engine shape: ONE groupby-count shuffle to O(sources) rows; the
+    weight normalization runs on the driver over that tiny table (the
+    same O(groups) discipline as ``q_crawl_budget``). Weights round to
+    6 dp before the floor so both sides allocate from the identical
+    double; per-source pow() is elementwise (glibc pow on both sides).
+    At 100 TB the only data-sized work is the count shuffle."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    counts = ds.groupby("source").count()
+    rows = sorted((r["source"], int(r["count()"]))
+                  for r in counts.take_all())   # O(sources), bounded
+    p = [math.pow(n, MIX_ALPHA) for _, n in rows]
+    z = sum(p)
+    w6 = [round_half_away(x / z, 6) for x in p]
+    return rd.from_arrow(pa.table({
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "n_docs": pa.array([n for _, n in rows], pa.int64()),
+        "weight": pa.array(w6, pa.float64()),
+        "alloc": pa.array([int(math.floor(MIX_BUDGET * w)) for w in w6],
+                          pa.int64()),
+    }))
+
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z FROM s)
+SELECT source, n_docs,
+       round(pow(n_docs, {MIX_ALPHA}) / (SELECT z FROM tot), 6) AS weight,
+       CAST(floor({MIX_BUDGET}
+            * round(pow(n_docs, {MIX_ALPHA}) / (SELECT z FROM tot), 6))
+            AS BIGINT) AS alloc
+FROM s
+"""
+
+
 ORACLE_SQL = {
+    "temperature_mix": _TEMPERATURE_MIX_SQL,
     "quantiles": _quantiles_sql(),
     "group_quantiles": _group_quantiles_sql(),
     "price_histogram": f"""
@@ -1420,6 +1469,7 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "length_band_filter": q_length_band_filter,
     "source_mix": q_source_mix,
+    "temperature_mix": q_temperature_mix,
     "dsir_weights": q_dsir_weights,
     "perplexity_buckets": q_perplexity_buckets,
 }
