@@ -553,6 +553,124 @@ FROM coded
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_pq_topk — IVF coarse probe + PQ asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def _pq_lut(sf_dir: str, q: np.ndarray) -> np.ndarray:
+    """(PQ_M, PQ_K) asymmetric-distance lookup table: squared L2 from
+    each query subvector to every codebook centroid. Computed ONCE on
+    the driver; the engine broadcasts this exact array and the oracle
+    inlines its repr literals, so both sides sum identical doubles —
+    bit-exact with no float-association caveat."""
+    books = _pq_codebooks(sf_dir)
+    lut = np.empty((PQ_M, PQ_K), np.float64)
+    for m, c in enumerate(books):
+        diff = c - q[m * PQ_DIM:(m + 1) * PQ_DIM][None, :]
+        lut[m] = (diff * diff).sum(axis=1)
+    return lut
+
+
+def q_ann_ivf_pq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                      nprobe: int = IVF_NPROBE) -> rd.Dataset:
+    """IVF-PQ search (Jégou et al. 2011, the memory-bound 100 TB ANN
+    design): probe the ``nprobe`` IVF cells nearest the query, and rank
+    their members by PQ asymmetric distance — each candidate costs 8
+    int lookups into the query's LUT instead of a 64-dim float dot, and
+    at scale the codes (8 B/vector) live in RAM where raw vectors
+    can't.
+
+    Engine shape: centroids + codebooks + LUT broadcast once; per batch
+    one matmul per subspace assigns codes, the ADC sum is a left-fold
+    over the 8 LUT columns (matching the oracle's explicit + chain),
+    and only the per-batch top-k leaves each task. Final exact top-k is
+    a k-row sort."""
+    q = _query_vector(sf_dir, query_vec_id)
+    cents = train_centroids(_ivf_train_set(sf_dir),
+                            ivf_k(_t(sf_dir, "embeddings",
+                                     ["vec_id"]).count()))
+    d = -2.0 * (cents @ q) + (cents * cents).sum(axis=1)
+    probes = set(int(x) for x in np.argsort(d, kind="stable")[:nprobe])
+    ctx = ray.put((cents, _pq_codebooks(sf_dir), _pq_lut(sf_dir, q),
+                   probes))
+
+    def score(t: pa.Table) -> pa.Table:
+        cents_, books, lut, probes_ = ray.get(ctx)
+        embs = embs_to_numpy(t.column("embedding"))
+        dd = -2.0 * (embs @ cents_.T) + (cents_ * cents_).sum(axis=1)[None, :]
+        cid = np.argmin(dd, axis=1)
+        keep = np.isin(cid, list(probes_))
+        embs = embs[keep]
+        ids = t.column("vec_id").to_numpy()[keep].astype(np.int64)
+        adc = np.zeros(len(embs), np.float64)
+        for m, c in enumerate(books):
+            x = embs[:, m * PQ_DIM:(m + 1) * PQ_DIM]
+            dm = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            code = np.argmin(dm, axis=1)
+            adc = adc + lut[m][code]          # left-fold, oracle order
+        out = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "adc": pa.array(round_half_away(adc, 6),
+                                        pa.float64())})
+        order = pa.compute.sort_indices(
+            out, sort_keys=[("adc", "ascending"), ("vec_id", "ascending")])
+        return out.take(order[: min(k, out.num_rows)])
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["adc", "vec_id"], descending=[False, False])
+            .limit(k))
+
+
+def ann_ivf_pq_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                          k: int = 10, nprobe: int = IVF_NPROBE) -> str:
+    """Generated like ``ivf_oracle_sql``: the IVF assign + probe filter,
+    then PQ codes via the inlined codebooks and the ADC sum via the
+    inlined LUT literals (identical doubles to the engine broadcast)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    cents = train_centroids(_ivf_train_set(sf_dir), ivf_k(n))
+    q = _query_vector(sf_dir, 0)
+    d = -2.0 * (cents @ q) + (cents * cents).sum(axis=1)
+    probes = ", ".join(str(int(c))
+                       for c in np.argsort(d, kind="stable")[:nprobe])
+    c_lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]"
+               for c in cents]
+    norms = [(c * c).sum() for c in cents]
+    dist_list = ", ".join(
+        f"(-2 * list_dot_product(emb, {cl}) + {repr(float(nm))})"
+        for cl, nm in zip(c_lists, norms))
+    lut = _pq_lut(sf_dir, q)
+    code_exprs, adc_terms = [], []
+    for m, cb in enumerate(_pq_codebooks(sf_dir)):
+        lists = ["[" + ", ".join(repr(float(x)) for x in c) + "]"
+                 for c in cb]
+        nms = [(c * c).sum() for c in cb]
+        sub = f"list_slice(emb, {m * PQ_DIM + 1}, {(m + 1) * PQ_DIM})"
+        dl = ", ".join(
+            f"(-2 * list_dot_product({sub}, {cl}) + {repr(float(nm))})"
+            for cl, nm in zip(lists, nms))
+        code_exprs.append(
+            f"list_position([{dl}], list_min([{dl}])) - 1 AS code{m}")
+        lut_lit = "[" + ", ".join(repr(float(x)) for x in lut[m]) + "]"
+        adc_terms.append(f"list_extract({lut_lit}, code{m} + 1)")
+    adc_expr = " + ".join(adc_terms)     # left-assoc, engine order
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+assigned AS (
+  SELECT vec_id, emb,
+         list_position(d, list_min(d)) - 1 AS cid
+  FROM (SELECT vec_id, emb, [{dist_list}] AS d FROM e)),
+coded AS (
+  SELECT vec_id, {', '.join(code_exprs)}
+  FROM assigned WHERE cid IN ({probes}))
+SELECT vec_id, round({adc_expr}, 6) AS adc
+FROM coded ORDER BY adc ASC, vec_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # hard_negatives — contrastive pair mining over an anchor set
 # ---------------------------------------------------------------------------
 
@@ -884,10 +1002,12 @@ FROM s
 
 ORACLE_SQL["knn_graph"] = knn_graph_oracle_sql()
 ORACLE_SQL["ann_pq"] = ann_pq_oracle_sql()
+ORACLE_SQL["ann_ivf_pq_topk"] = ann_ivf_pq_oracle_sql()
 ORACLE_SQL["hard_negatives"] = _HARD_NEG_SQL
 
 QUERIES = {
     "ann_pq": q_ann_pq,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     "hard_negatives": q_hard_negatives,
     "knn_graph": q_knn_graph,
     "ann_topk": q_ann_topk,

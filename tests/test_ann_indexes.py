@@ -92,3 +92,50 @@ def test_ann_recall_bounds_and_planted_hits(tmp_path):
     assert row["recall"] == row["n_hits"] / 5
     # query vec 0 and its planted twins sit in the probed cell on both sides
     assert row["n_hits"] >= 3
+
+
+def test_hard_negatives_excludes_near_dups(ray_session, tmp_path):
+    """A planted exact duplicate of an anchor (cosine 1.0 >= the dup
+    gate) must NOT appear among its hard negatives; a moderately
+    similar vector must. Rank is dense 1..k per anchor."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.ann import HN_DUP_COS, q_hard_negatives
+
+    rng = np.random.default_rng(3)
+    dim = 64
+    base = rng.normal(size=dim)
+    vecs = [base]                      # anchor 0
+    vecs.append(base * 2.0)            # vec 1: exact dup direction (cos 1)
+    near = base + 0.5 * rng.normal(size=dim)   # similar but below gate
+    vecs.append(near)
+    vecs += [rng.normal(size=dim) for _ in range(30)]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))})
+    d = tmp_path / "hn"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    out = q_hard_negatives(str(d), n_anchors=1, k=5).to_pandas()
+    a0 = out[out["anchor_id"] == 0]
+    assert 1 not in set(a0["vec_id"]), a0        # dup excluded
+    assert (a0["cosine"] < HN_DUP_COS).all()
+    assert sorted(a0["rank"]) == list(range(1, len(a0) + 1))
+    assert 2 in set(a0["vec_id"])                # similar-but-distinct kept
+
+
+def test_pq_key_packs_codes(ray_session):
+    """pq_key must equal the big-endian base-16 packing of code0..7."""
+    from scraper_ray.pipelines.ann import PQ_K, PQ_M, q_ann_pq
+
+    df = q_ann_pq("/root/testdata/sf0.001").to_pandas()
+    key = df["code0"].astype("int64")
+    for m in range(1, PQ_M):
+        key = key * PQ_K + df[f"code{m}"]
+    assert (df["pq_key"] == key).all()
+    assert ((df[[f"code{m}" for m in range(PQ_M)]] >= 0).all().all()
+            and (df[[f"code{m}" for m in range(PQ_M)]] < PQ_K).all().all())
