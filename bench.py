@@ -127,7 +127,7 @@ QUERY_NAMES = [
     "cross_source_leakage", "cms_heavy_hitters", "hll_daily",
     "decontaminate_bloom", "crawl_budget", "curation_verdict",
     "cluster_purity", "knn_label_acc", "event_funnel", "retention_cohorts",
-    "ann_pq", "hard_negatives", "temperature_mix",
+    "ann_pq", "hard_negatives", "temperature_mix", "bpe_encode",
 ]
 
 

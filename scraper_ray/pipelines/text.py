@@ -723,6 +723,108 @@ def q_bpe_pairs(sf_dir: str) -> rd.Dataset:
             .groupby("g").map_groups(final, batch_format="pandas"))
 
 
+# ---------------------------------------------------------------------------
+# bpe_encode — train merges on a capped sample, apply corpus-wide
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8                 # merge rules learned
+BPE_TRAIN_CAP = 1 << 14        # max docs read for merge training
+_BPE_JOIN = "·"           # merged-token joiner (absent from corpus)
+
+
+def _bpe_train_merges(sf_dir: str, n_merges: int = BPE_MERGES) -> list[str]:
+    """Iterative BPE merge training on a deterministic driver-capped
+    sample (the IVF-centroid pattern: real tokenizers train on a
+    sample, then encode the whole corpus). Each round counts adjacent
+    pairs on the CURRENT sample (re-counted after every merge — true
+    BPE, not one-pass ranking), picks the (count DESC, pair ASC) best,
+    and applies it as a string-level leftmost-nonoverlapping replace —
+    the exact semantics both the engine's Arrow ``replace_substring``
+    and the oracle's nested ``replace()`` apply at encode time."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    parts, rows = [], 0
+    for rg in range(f.num_row_groups):
+        parts.append(f.read_row_group(rg, columns=["doc_id", "text"]))
+        rows += parts[-1].num_rows
+        if rows >= BPE_TRAIN_CAP:
+            break
+    t = pa.concat_tables(parts).slice(0, BPE_TRAIN_CAP)
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    sample = t.column("text").to_pylist()
+    merges: list[str] = []
+    for _ in range(n_merges):
+        counts: dict[str, int] = {}
+        for tx in sample:
+            toks = tx.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                p = a + " " + b
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best.replace(" ", _BPE_JOIN)
+        sample = [tx.replace(best, joined) for tx in sample]
+    return merges
+
+
+def q_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Apply the trained BPE merge table to every document (the encode
+    half of tokenizer training: merges learned once on the sample,
+    rolled out corpus-wide). Per doc: base token count, encoded token
+    count after the in-order merges, and how many merges fired.
+
+    Engine shape: the merge list (8 strings) closes over a pure
+    vectorized map — one Arrow ``replace_substring`` per merge rule per
+    batch, one ``split_pattern`` length per side; no shuffle at any
+    scale. String-level replace is leftmost-nonoverlapping on BOTH
+    sides (Arrow and DuckDB ``replace``), so the oracle mirrors the
+    application exactly; the merge table itself is re-derived by the
+    oracle generator from the same pinned sample."""
+    merges = _bpe_train_merges(sf_dir)
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_base = pc.cast(pc.list_value_length(
+            pc.split_pattern(text, " ")), pa.int64())
+        enc = text
+        for m in merges:
+            enc = pc.replace_substring(
+                enc, pattern=m, replacement=m.replace(" ", _BPE_JOIN))
+        n_enc = pc.cast(pc.list_value_length(
+            pc.split_pattern(enc, " ")), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_base": n_base,
+            "n_enc": n_enc,
+            "n_merged": pc.subtract(n_base, n_enc)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_encode_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Generated: re-derive the merge table from the pinned sample and
+    mirror the in-order application as nested ``replace()`` calls."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    enc = "text"
+    for m in _bpe_train_merges(sf_dir):
+        enc = (f"replace({enc}, '{esc(m)}', "
+               f"'{esc(m.replace(' ', _BPE_JOIN))}')")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_base,
+       CAST(len(string_split({enc}, ' ')) AS BIGINT) AS n_enc,
+       CAST(len(string_split(text, ' '))
+            - len(string_split({enc}, ' ')) AS BIGINT) AS n_merged
+FROM read_parquet('{sf_dir}/documents.parquet')
+"""
+
+
 ORACLE_SQL["bpe_pairs"] = f"""
 WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
 p AS (SELECT l[i] || ' ' || l[i + 1] AS pair
@@ -765,8 +867,11 @@ LEFT JOIN t2 USING (doc_id)
 LEFT JOIN a3 USING (doc_id)
 """
 
+ORACLE_SQL["bpe_encode"] = bpe_encode_oracle_sql()
+
 QUERIES = {
     "bpe_pairs": q_bpe_pairs,
+    "bpe_encode": q_bpe_encode,
     "repetition_scores": q_repetition_scores,
     "quality_classifier": q_quality_classifier,
     "token_count": q_token_count,
