@@ -603,6 +603,107 @@ GROUP BY g.doc_id
 """
 
 
+_WINNOW_W = 4   # winnowing window (consecutive grams per min-selection)
+
+
+def q_winnow(sf_dir: str) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): slide a W-gram window over each doc's
+    ORDERED shingle-hash sequence and select every window's minimum —
+    the guarantee q_fingerprint's single global min lacks: any shared
+    run of >= W+k-1 tokens contributes at least one shared fingerprint,
+    so partial overlaps are detectable, with density 2/(W+1) instead of
+    one-hash-per-window sampling. Docs shorter than W grams select
+    their global min. Output per doc: gram count, distinct selected
+    fingerprints, and the min fingerprint (decimal string, HUGEINT-
+    mirrorable).
+
+    Engine shape: pure map — the batch's grams come from the shared
+    ``_batch_shingle_hashes`` kernel, window minima are one
+    ``np.minimum.reduce`` over W shifted gathers (within-doc window
+    starts built with the repeat/arange trick), and per-doc distinct +
+    min fall out of one lexsort. No shuffle at any scale."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_fp": pa.array([], pa.int64()),
+                             "min_fp": pa.array([], pa.string())})
+        flat, off = _batch_shingle_hashes(texts)
+        counts = np.diff(np.concatenate((off, [len(flat)])))
+        long = counts >= _WINNOW_W
+        # long docs: within-doc window starts, min over W shifted reads
+        wc = counts[long] - _WINNOW_W + 1
+        w_off = np.concatenate(([0], np.cumsum(wc)))
+        pos = (np.repeat(off[long], wc)
+               + (np.arange(int(wc.sum())) - np.repeat(w_off[:-1], wc)))
+        vals_long = np.minimum.reduce(
+            [flat[pos + j] for j in range(_WINNOW_W)]) if len(pos) else \
+            np.empty(0, flat.dtype)
+        tags_long = np.repeat(np.flatnonzero(long), wc)
+        # short docs: one fingerprint = the doc's global min
+        seg_min = np.minimum.reduceat(flat, off) if len(flat) else \
+            np.empty(0, flat.dtype)
+        short_idx = np.flatnonzero(~long)
+        vals = np.concatenate((vals_long, seg_min[short_idx]))
+        tags = np.concatenate((tags_long, short_idx))
+        order = np.lexsort((vals, tags))
+        vs, ds_ = vals[order], tags[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = (vs[1:] != vs[:-1]) | (ds_[1:] != ds_[:-1])
+        doc_first = np.ones(len(vs), dtype=bool)
+        doc_first[1:] = ds_[1:] != ds_[:-1]
+        n_fp = np.bincount(ds_[first], minlength=n)
+        min_fp = np.zeros(n, flat.dtype)
+        min_fp[ds_[doc_first]] = vs[doc_first]   # vals asc within doc
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": pa.array(counts, pa.int64()),
+            "n_fp": pa.array(n_fp.astype(np.int64), pa.int64()),
+            "min_fp": pa.array(min_fp.astype("U20"))})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _winnow_oracle_sql() -> str:
+    from .common import sql_hex64
+
+    mask = "18446744073709551615::HUGEINT"
+    c1, c2, c3 = (f"{int(c)}::HUGEINT" for c in _SHINGLE_C)
+    w = _WINNOW_W
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+th AS (
+  SELECT doc_id, text, len(toks) AS n,
+         list_transform(toks, t -> {sql_hex64('t')}) AS ht
+  FROM docs),
+hso AS (
+  SELECT doc_id,
+         CASE WHEN n >= 3 THEN
+           list_transform(range(1, n - 1), i ->
+             (ht[i] * {c1} + ht[i+1] * {c2} + ht[i+2] * {c3}) & {mask})
+         ELSE [{sql_hex64('text')}] END AS h
+  FROM th),
+g AS (SELECT doc_id, len(h) AS n_grams, h FROM hso),
+sel AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN n_grams >= {w} THEN
+           list_transform(range(1, n_grams - {w - 2}), i ->
+             list_min(list_slice(h, i, i + {w - 1})))
+         ELSE [list_min(h)] END AS s
+  FROM g)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(s)) AS BIGINT) AS n_fp,
+       CAST(list_min(s) AS VARCHAR) AS min_fp
+FROM sel
+"""
+
+
 def _gram_hash_ctes(source: str) -> str:
     """The shared docs -> hs CTE prefix: tokenized docs, per-token md5
     hashes, and the k-gram linear combine — the SQL mirror of
@@ -1707,9 +1808,11 @@ FROM (
 
 
 ORACLE_SQL["dedup_funnel"] = _funnel_sql()
+ORACLE_SQL["winnow"] = _winnow_oracle_sql()
 
 QUERIES = {
     "dedup_funnel": q_dedup_funnel,
+    "winnow": q_winnow,
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
     "incremental_dedup": q_incremental_dedup,

@@ -332,3 +332,44 @@ def test_dup_spans_vectorized_kernel_edge_docs(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got[["doc_id", "n_windows", "n_dup_windows"]].astype("int64") \
         .equals(ref.astype("int64"))
+
+
+def test_winnow_matches_sequential_reference(ray_session, tmp_path):
+    """Winnowing's segmented window-min kernel vs a per-doc sequential
+    reference, over docs around every boundary: 0/1/2/3 tokens (single
+    whole-text gram), exactly W grams, W-1 and W+1 grams."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import (
+        _WINNOW_W, _shingle_hashes, q_winnow)
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = ["", "one", "one two", "one two three"]
+    for g in (_WINNOW_W - 1, _WINNOW_W, _WINNOW_W + 1, 40):
+        texts.append(" ".join(rng.choice(vocab, size=g + 2)))  # g grams
+    texts.append("rep " * 20 + "rep")     # every gram identical -> 1 fp
+    ids = list(range(len(texts)))
+    d = tmp_path / "win"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(d / "documents.parquet"))
+
+    got = (q_winnow(str(d)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    for i, tx in enumerate(texts):
+        # ordered, NON-distinct gram hashes; short docs -> whole-text
+        h = list(_shingle_hashes(tx))
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_grams"] == len(h)
+        if len(h) >= _WINNOW_W:
+            sel = {min(h[j:j + _WINNOW_W])
+                   for j in range(len(h) - _WINNOW_W + 1)}
+        else:
+            sel = {min(h)}
+        assert row["n_fp"] == len(sel), (i, tx)
+        assert row["min_fp"] == str(min(sel))
