@@ -761,6 +761,10 @@ PINNED_QUERIES = frozenset({
     "link_hits", "url_patterns", "mirror_domains",
     "warc_cdx", "warc_readback", "incremental_crawl",
     "revisit_priority", "link_components", "host_graph",
+    # generated oracles whose inlined constants (PQ codebooks, the
+    # IVF-PQ LUT, the BPE merge table) derive from the gate tier's
+    # fixture files — tier-pinned like ann_ivf_topk/semdedup
+    "ann_pq", "ann_ivf_pq_topk", "bpe_encode",
 })
 ORACLE_DOCS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/docs.parquet"
 ORACLE_SPANS_PATH = f"{_ORACLE_ROOT}/{_ORACLE_TIER}/spans.parquet"

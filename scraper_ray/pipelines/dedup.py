@@ -603,6 +603,58 @@ GROUP BY g.doc_id
 """
 
 
+def q_dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    """Normalize-then-dedup keeping the BEST copy, not the min-id one:
+    docs that normalize to the same canonical text (lowercase,
+    non-alphanumerics to spaces, collapsed whitespace) form one group,
+    and the survivor is the longest RAW copy (tie: lowest doc_id) — the
+    policy real curation pipelines use, where formatting variants of
+    one page should yield the richest original, not an arbitrary id.
+
+    Engine shape: normalization is three RE2 kernels per batch (the
+    pinned ``q_text_normalize`` pair), the per-group argmax rides the
+    existing ``keep_max_by`` machinery (per-batch partial keep-max, ONE
+    hash repartition, second partial — never a per-key dispatch) with
+    the (n_chars DESC, doc_id ASC) order packed into one unique int64
+    score: ``n_chars * 2^40 - doc_id``."""
+    from .relational import keep_max_by
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column("text"))
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim(x, " ")
+        keys = [hashlib.md5(s.encode()).hexdigest()
+                for s in x.to_pylist()]           # md5: oracle parity
+        did = pc.cast(t.column("doc_id"), pa.int64())
+        nch = pc.cast(t.column("n_chars"), pa.int64())
+        score = pc.subtract(
+            pc.multiply(nch, pa.scalar(1 << 40, pa.int64())), did)
+        return pa.table({"norm_key": pa.array(keys, pa.string()),
+                         "doc_id": did, "n_chars": nch, "score": score})
+
+    kept = keep_max_by(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       zero_copy_batch=True), "norm_key", "score")
+    return kept.drop_columns(["score"])
+
+
+_KEEP_BEST_SQL = """
+WITH n AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' ')) AS norm_key
+  FROM documents)
+SELECT norm_key, doc_id, n_chars FROM (
+  SELECT norm_key, doc_id, n_chars,
+         row_number() OVER (PARTITION BY norm_key
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM n) WHERE rn = 1
+"""
+
+
 _WINNOW_W = 4   # winnowing window (consecutive grams per min-selection)
 
 
@@ -1809,10 +1861,12 @@ FROM (
 
 ORACLE_SQL["dedup_funnel"] = _funnel_sql()
 ORACLE_SQL["winnow"] = _winnow_oracle_sql()
+ORACLE_SQL["dedup_keep_best"] = _KEEP_BEST_SQL
 
 QUERIES = {
     "dedup_funnel": q_dedup_funnel,
     "winnow": q_winnow,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
     "incremental_dedup": q_incremental_dedup,

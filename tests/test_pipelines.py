@@ -373,3 +373,33 @@ def test_winnow_matches_sequential_reference(ray_session, tmp_path):
             sel = {min(h)}
         assert row["n_fp"] == len(sel), (i, tx)
         assert row["min_fp"] == str(min(sel))
+
+
+def test_dedup_keep_best_keeps_longest_raw_copy(ray_session, tmp_path):
+    """Formatting variants that normalize identically must collapse to
+    ONE survivor: the longest raw text, tie broken by lowest doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import q_dedup_keep_best
+
+    texts = {
+        10: "Hello,   World! This is DOC one.",   # richest variant
+        11: "hello world this is doc one",         # normalized twin
+        12: "HELLO WORLD THIS IS DOC ONE",          # same norm, shorter
+        20: "an unrelated document",
+        30: "tie a",       # 30/31: same norm AND same length ->
+        31: "tie a",       # lowest doc_id must win
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64())})
+    d = tmp_path / "kb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    out = q_dedup_keep_best(str(d)).to_pandas()
+    kept = set(out["doc_id"])
+    assert kept == {10, 20, 30}, out
+    assert len(out) == out["norm_key"].nunique()
