@@ -128,7 +128,7 @@ QUERY_NAMES = [
     "decontaminate_bloom", "crawl_budget", "curation_verdict",
     "cluster_purity", "knn_label_acc", "event_funnel", "retention_cohorts",
     "ann_pq", "hard_negatives", "temperature_mix", "bpe_encode",
-    "winnow", "ann_ivf_pq_topk",
+    "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
 ]
 
 

@@ -475,6 +475,188 @@ SELECT doc_id,
 FROM w JOIN nd USING (win) GROUP BY doc_id
 """
 
+def q_dup_span_coverage(sf_dir: str) -> rd.Dataset:
+    """ExactSubstr COVERAGE (the cut-planning half of Lee et al. 2021
+    that ``q_dup_spans`` only audits): per doc, how many characters are
+    covered by the UNION of its cross-doc-duplicated 32-char windows —
+    the number a span-removal rewrite would delete. Because strided
+    fixed-length windows union as Σ min(next_start − start, K) over the
+    doc's dup windows (positions ascending), coverage needs no interval
+    sweep — one vectorized lag per doc segment.
+
+    Engine shape: a positional window map (same flat-bytes gather as
+    ``q_dup_spans``, positions kept, no dedupe), the dup-window set from
+    one (win) groupby over locally-distinct rows, then — broadcast
+    under ``_MULTI_BROADCAST_CAP``, hash-join + doc-keyed repartition
+    past it — a per-batch segmented coverage kernel. Docs arrive whole
+    in both branches (windows generate in the doc's own batch; the join
+    path re-co-locates by doc), so coverage is exact."""
+    from .common import drop_empty_blocks, keyed_repartition
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    K, S = _SPAN_K, _SPAN_STRIDE
+
+    def windows_pos(t: pa.Table) -> pa.Table:
+        ids_col = t.column("doc_id")
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "win": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        raw = [tx.encode() for tx in texts]
+        slow_i = [i for i, (tx, b) in enumerate(zip(texts, raw))
+                  if len(b) != len(tx)]
+        slow = set(slow_i)
+        lens = np.fromiter(
+            (0 if i in slow else len(b) for i, b in enumerate(raw)),
+            np.int64, n)
+        counts = np.where(lens >= K, (lens - K) // S + 1, 0)
+        total = int(counts.sum())
+        parts = []
+        if total:
+            buf = np.frombuffer(
+                b"".join(b for i, b in enumerate(raw) if i not in slow)
+                if slow else b"".join(raw), np.uint8)
+            kept = np.array([i for i in range(n) if i not in slow],
+                            np.int64) if slow else np.arange(n)
+            klens = lens[kept]
+            doc_off = np.zeros(len(kept) + 1, np.int64)
+            np.cumsum(klens, out=doc_off[1:])
+            kcounts = counts[kept]
+            w_off = np.concatenate(([0], np.cumsum(kcounts)))
+            wi = (np.arange(total) - np.repeat(w_off[:-1], kcounts))
+            widx = np.repeat(doc_off[:-1], kcounts) + wi * S
+            w = buf[widx[:, None] + np.arange(K)]
+            parts.append(pa.table({
+                "doc_id": pc.take(ids_col,
+                                  pa.array(np.repeat(kept, kcounts))),
+                "pos": pa.array(wi * S, pa.int64()),
+                "win": pc.cast(
+                    pa.array(np.ascontiguousarray(w).view(f"S{K}")
+                             .ravel()), pa.string())}))
+        for i in slow_i:
+            tx = texts[i]
+            m = len(tx)
+            if m < K:
+                continue
+            cnt = (m - K) // S + 1
+            parts.append(pa.table({
+                "doc_id": pa.array([ids_col[i].as_py()] * cnt,
+                                   ids_col.type),
+                "pos": pa.array([j * S for j in range(cnt)], pa.int64()),
+                "win": pa.array([tx[j * S: j * S + K]
+                                 for j in range(cnt)], pa.string())}))
+        return pa.concat_tables(parts) if parts else empty
+
+    wp = drop_empty_blocks(
+        ds.map_batches(windows_pos, batch_format="pyarrow",
+                       zero_copy_batch=True)).materialize()
+
+    def loc_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["doc_id", "win"])
+                .group_by(["doc_id", "win"]).aggregate([]))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("ndocs"), 2))
+
+    dup_wins = drop_empty_blocks(
+        wp.map_batches(loc_distinct, batch_format="pyarrow")
+        .groupby("win").count().rename_columns({"count()": "ndocs"})
+        .map_batches(only_dups, batch_format="pyarrow")).materialize()
+
+    def coverage(ids: np.ndarray, pos: np.ndarray,
+                 dup: np.ndarray, id_arr: pa.Array) -> pa.Table:
+        # rows are doc-major with pos ascending within each doc
+        m = len(ids)
+        new = np.ones(m, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        codes = np.cumsum(new) - 1
+        n_docs = int(codes[-1]) + 1 if m else 0
+        n_win = np.bincount(codes, minlength=n_docs)
+        n_dup = np.bincount(codes[dup], minlength=n_docs)
+        posd, codd = pos[dup], codes[dup]
+        contr = np.full(len(posd), K, np.int64)
+        if len(posd) > 1:
+            same = codd[1:] == codd[:-1]
+            gap = posd[1:] - posd[:-1]
+            contr[:-1] = np.where(same, np.minimum(gap, K), K)
+        covered = np.bincount(codd, weights=contr,
+                              minlength=n_docs).astype(np.int64)
+        firsts = np.flatnonzero(new)
+        return pa.table({
+            "doc_id": pc.take(id_arr, pa.array(firsts)),
+            "n_windows": pa.array(n_win.astype(np.int64), pa.int64()),
+            "n_dup_windows": pa.array(n_dup.astype(np.int64), pa.int64()),
+            "covered": pa.array(covered, pa.int64())})
+
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_windows": pa.array([], pa.int64()),
+                          "n_dup_windows": pa.array([], pa.int64()),
+                          "covered": pa.array([], pa.int64())})
+
+    if dup_wins.count() <= _MULTI_BROADCAST_CAP:
+        dup_ref = ray.put({r["win"] for r in dup_wins.take_all()})
+
+        def flag_cov(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty_out
+            dset = ray.get(dup_ref)
+            dup = np.fromiter((w_ in dset
+                               for w_ in t.column("win").to_pylist()),
+                              bool, t.num_rows)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = t.column("pos").to_numpy(zero_copy_only=False)
+            return coverage(ids, pos, dup, t.column("doc_id"))
+
+        return wp.map_batches(flag_cov, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+    joined = drop_empty_blocks(wp.join(
+        dup_wins, join_type="left_outer", num_partitions=join_parts(1),
+        on=("win",)))
+
+    def sort_cov(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        t = t.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        dup = pc.is_valid(t.column("ndocs")).to_numpy(
+            zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        return coverage(ids, pos, dup, t.column("doc_id"))
+
+    return keyed_repartition(joined, ["doc_id"]).map_batches(
+        sort_cov, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+
+_DUP_SPAN_COVERAGE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, s.i * {_SPAN_STRIDE} AS pos,
+         substr(text, 1 + s.i * {_SPAN_STRIDE}, {_SPAN_K}) AS win
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+        0, (length(text) - {_SPAN_K}) // {_SPAN_STRIDE})) AS i) s
+  WHERE length(text) >= {_SPAN_K}),
+wd AS (SELECT DISTINCT doc_id, win FROM w),
+nd AS (SELECT win, count(*) AS ndocs FROM wd GROUP BY win),
+f AS (SELECT w.doc_id, w.pos, (nd.ndocs >= 2) AS d
+      FROM w JOIN nd USING (win)),
+f2 AS (SELECT doc_id, pos, d,
+              lead(pos) OVER (PARTITION BY doc_id, d ORDER BY pos) AS nxt
+       FROM f)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(sum(CASE WHEN d
+            THEN least(coalesce(nxt - pos, {_SPAN_K}), {_SPAN_K})
+            ELSE 0 END), 0) AS BIGINT) AS covered
+FROM f2 GROUP BY doc_id
+"""
+
+
 _BOILER_N = 3        # token n-gram width
 _BOILER_MIN_DOCS = 2  # grams on >= this many docs of one source are boiler
 
@@ -1862,11 +2044,13 @@ FROM (
 ORACLE_SQL["dedup_funnel"] = _funnel_sql()
 ORACLE_SQL["winnow"] = _winnow_oracle_sql()
 ORACLE_SQL["dedup_keep_best"] = _KEEP_BEST_SQL
+ORACLE_SQL["dup_span_coverage"] = _DUP_SPAN_COVERAGE_SQL
 
 QUERIES = {
     "dedup_funnel": q_dedup_funnel,
     "winnow": q_winnow,
     "dedup_keep_best": q_dedup_keep_best,
+    "dup_span_coverage": q_dup_span_coverage,
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
     "incremental_dedup": q_incremental_dedup,

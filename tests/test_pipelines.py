@@ -403,3 +403,71 @@ def test_dedup_keep_best_keeps_longest_raw_copy(ray_session, tmp_path):
     kept = set(out["doc_id"])
     assert kept == {10, 20, 30}, out
     assert len(out) == out["norm_key"].nunique()
+
+
+def test_dup_span_coverage_matches_sequential_union(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Coverage must equal the true union length of duplicated windows,
+    on overlapping (stride < K) and disjoint dup runs — checked against
+    an explicit per-position union reference, on BOTH the broadcast and
+    the join+repartition branches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines import dedup
+
+    K, S = dedup._SPAN_K, dedup._SPAN_STRIDE
+    shared = "x" * (K + 3 * S)            # long shared run
+    shared2 = "y" * K                      # exactly one window
+    rng = np.random.default_rng(9)
+
+    def rand(n):
+        return "".join(rng.choice(list("abcdefgh "), size=n))
+
+    texts = {
+        1: shared + rand(100) + shared2,
+        2: rand(57) + shared + rand(31),
+        3: shared2 + rand(40),
+        4: rand(200),                      # no dups
+        5: rand(K - 1),                    # below window size
+    }
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    d = tmp_path / "cov"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    def reference():
+        wins = {}
+        for did, tx in texts.items():
+            if len(tx) < K:
+                continue
+            ws = [(i * S, tx[i * S:i * S + K])
+                  for i in range((len(tx) - K) // S + 1)]
+            wins[did] = ws
+        docs_per_win = {}
+        for did, ws in wins.items():
+            for _, w in set((0, w) for _, w in ws):
+                docs_per_win.setdefault(w, set()).add(did)
+        out = {}
+        for did, ws in wins.items():
+            dup = [(p, w) for p, w in ws if len(docs_per_win[w]) >= 2]
+            cov = set()
+            for p, _ in dup:
+                cov.update(range(p, p + K))
+            out[did] = (len(ws), len(dup), len(cov))
+        return out
+
+    ref = reference()
+    for branch_cap in (None, 0):           # broadcast, then join path
+        if branch_cap is not None:
+            monkeypatch.setattr(dedup, "_MULTI_BROADCAST_CAP", branch_cap)
+        got = (dedup.q_dup_span_coverage(str(d)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert set(got.index) == set(ref), (branch_cap, got)
+        for did, (nw, ndup, cov) in ref.items():
+            row = got.loc[did]
+            assert (row["n_windows"], row["n_dup_windows"],
+                    row["covered"]) == (nw, ndup, cov), (branch_cap, did,
+                                                         row, ref[did])
