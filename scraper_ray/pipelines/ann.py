@@ -890,8 +890,23 @@ FROM hits
 
 KNN_K = 5
 
+# tier-keyed materialized kNN graphs: q_knn_label_acc (and any future
+# graph consumer) reuses the object-store blocks instead of re-paying
+# the LSH candidate build — same cache discipline as dedup._PAIR_CACHE
+# (full normalized path + params as the key)
+_KNN_CACHE: dict[tuple[str, int], rd.Dataset] = {}
+
 
 def q_knn_graph(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
+    import os
+
+    key = (os.path.normpath(os.path.abspath(sf_dir)), k)
+    if key not in _KNN_CACHE:
+        _KNN_CACHE[key] = _knn_graph_build(sf_dir, k).materialize()
+    return _KNN_CACHE[key]
+
+
+def _knn_graph_build(sf_dir: str, k: int = KNN_K) -> rd.Dataset:
     """Per-vector top-k cosine neighbor graph — the kNN graph behind
     SemDeDup-style pruning, graph-based diversification, and
     label-propagation curation. Built from the SAME banded sign-LSH
