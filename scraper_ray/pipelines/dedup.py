@@ -334,6 +334,69 @@ _SPAN_STRIDE = 16  # sampling stride; any duplicated run >= K+S-1 chars
                    # is guaranteed to contribute at least one shared window
 
 
+def _strided_windows_pos(t: pa.Table) -> pa.Table:
+    """(doc_id, pos, win) rows for every strided 32-char window of the
+    batch, doc-major with pos ascending — the shared kernel behind
+    ``q_dup_spans`` (which drops pos and dedupes) and
+    ``q_dup_span_coverage`` (which needs every position). No per-window
+    Python loop: ASCII docs concatenate into one byte buffer and every
+    window's K bytes gather in a single fancy-index (O(total windows));
+    non-ASCII docs (byte length != char length, where byte slicing
+    would split a codepoint) fall back to the exact Python loop."""
+    K, S = _SPAN_K, _SPAN_STRIDE
+    ids_col = t.column("doc_id")
+    texts = t.column("text").to_pylist()
+    n = len(texts)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "win": pa.array([], pa.string())})
+    if n == 0:
+        return empty
+    raw = [tx.encode() for tx in texts]
+    slow_i = [i for i, (tx, b) in enumerate(zip(texts, raw))
+              if len(b) != len(tx)]
+    slow = set(slow_i)
+    lens = np.fromiter(
+        (0 if i in slow else len(b) for i, b in enumerate(raw)),
+        np.int64, n)
+    counts = np.where(lens >= K, (lens - K) // S + 1, 0)
+    total = int(counts.sum())
+    parts = []
+    if total:
+        buf = np.frombuffer(
+            b"".join(b for i, b in enumerate(raw) if i not in slow)
+            if slow else b"".join(raw), np.uint8)
+        kept = np.array([i for i in range(n) if i not in slow],
+                        np.int64) if slow else np.arange(n)
+        klens = lens[kept]
+        doc_off = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(klens, out=doc_off[1:])
+        kcounts = counts[kept]
+        w_off = np.concatenate(([0], np.cumsum(kcounts)))
+        wi = np.arange(total) - np.repeat(w_off[:-1], kcounts)
+        widx = np.repeat(doc_off[:-1], kcounts) + wi * S
+        w = buf[widx[:, None] + np.arange(K)]
+        parts.append(pa.table({
+            "doc_id": pc.take(ids_col,
+                              pa.array(np.repeat(kept, kcounts))),
+            "pos": pa.array(wi * S, pa.int64()),
+            "win": pc.cast(
+                pa.array(np.ascontiguousarray(w).view(f"S{K}").ravel()),
+                pa.string())}))
+    for i in slow_i:
+        tx = texts[i]
+        m = len(tx)
+        if m < K:
+            continue
+        cnt = (m - K) // S + 1
+        parts.append(pa.table({
+            "doc_id": pa.array([ids_col[i].as_py()] * cnt, ids_col.type),
+            "pos": pa.array([j * S for j in range(cnt)], pa.int64()),
+            "win": pa.array([tx[j * S: j * S + K] for j in range(cnt)],
+                            pa.string())}))
+    return pa.concat_tables(parts) if parts else empty
+
+
 def q_dup_spans(sf_dir: str) -> rd.Dataset:
     """Span-level exact-substring duplication audit (the signal behind
     suffix-array ExactSubstr dedup, Lee et al. 2021, via strided k-char
@@ -358,67 +421,11 @@ def q_dup_spans(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
-        """Distinct per-doc strided windows without a per-window Python
-        loop: ASCII docs concatenate into one byte buffer, every
-        window's 32 bytes gather in a single fancy-index (O(total
-        windows)), and per-doc distinctness is a C-level group_by.
-        Non-ASCII docs (byte length != char length, where byte slicing
-        would split a codepoint) fall back to the exact Python loop."""
-        ids_col = t.column("doc_id")
-        texts = t.column("text").to_pylist()
-        n = len(texts)
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "win": pa.array([], pa.string())})
-        if n == 0:
-            return empty
-        raw = [tx.encode() for tx in texts]
-        slow_i = [i for i, (tx, b) in enumerate(zip(texts, raw))
-                  if len(b) != len(tx)]
-        slow = set(slow_i)
-        lens = np.fromiter(
-            (0 if i in slow else len(b) for i, b in enumerate(raw)),
-            np.int64, n)
-        counts = np.where(lens >= _SPAN_K,
-                          (lens - _SPAN_K) // _SPAN_STRIDE + 1, 0)
-        total = int(counts.sum())
-        parts = []
-        if total:
-            buf = np.frombuffer(
-                b"".join(b for i, b in enumerate(raw) if i not in slow)
-                if slow else b"".join(raw), np.uint8)
-            kept = np.array([i for i in range(n) if i not in slow],
-                            np.int64) if slow else np.arange(n)
-            klens = lens[kept]
-            doc_off = np.zeros(len(kept) + 1, np.int64)
-            np.cumsum(klens, out=doc_off[1:])
-            kcounts = counts[kept]
-            w_off = np.concatenate(([0], np.cumsum(kcounts)))
-            starts = np.repeat(doc_off[:-1], kcounts)
-            widx = (starts + (np.arange(total)
-                              - np.repeat(w_off[:-1], kcounts))
-                    * _SPAN_STRIDE)
-            w = buf[widx[:, None] + np.arange(_SPAN_K)]
-            wins = pc.cast(
-                pa.array(np.ascontiguousarray(w).view(f"S{_SPAN_K}")
-                         .ravel()), pa.string())
-            doc_idx = pa.array(np.repeat(kept, kcounts))
-            parts.append(pa.table({
-                "doc_id": pc.take(ids_col, doc_idx), "win": wins}))
-        for i in slow_i:                       # exact per-doc fallback
-            tx = texts[i]
-            m = len(tx)
-            if m < _SPAN_K:
-                continue
-            ws = [tx[j * _SPAN_STRIDE: j * _SPAN_STRIDE + _SPAN_K]
-                  for j in range((m - _SPAN_K) // _SPAN_STRIDE + 1)]
-            parts.append(pa.table({
-                "doc_id": pa.array([ids_col[i].as_py()] * len(ws),
-                                   ids_col.type),
-                "win": pa.array(ws, pa.string())}))
-        if not parts:
-            return empty
-        out = pa.concat_tables(parts)
-        return out.group_by(["doc_id", "win"]).aggregate([])
+        """Distinct per-doc strided windows — the shared positional
+        gather, positions dropped, distinctness via C-level group_by."""
+        wp = _strided_windows_pos(t)
+        return (wp.select(["doc_id", "win"])
+                .group_by(["doc_id", "win"]).aggregate([]))
 
     w = ds.map_batches(windows, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
@@ -496,63 +503,10 @@ def q_dup_span_coverage(sf_dir: str) -> rd.Dataset:
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     K, S = _SPAN_K, _SPAN_STRIDE
 
-    def windows_pos(t: pa.Table) -> pa.Table:
-        ids_col = t.column("doc_id")
-        texts = t.column("text").to_pylist()
-        n = len(texts)
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "pos": pa.array([], pa.int64()),
-                          "win": pa.array([], pa.string())})
-        if n == 0:
-            return empty
-        raw = [tx.encode() for tx in texts]
-        slow_i = [i for i, (tx, b) in enumerate(zip(texts, raw))
-                  if len(b) != len(tx)]
-        slow = set(slow_i)
-        lens = np.fromiter(
-            (0 if i in slow else len(b) for i, b in enumerate(raw)),
-            np.int64, n)
-        counts = np.where(lens >= K, (lens - K) // S + 1, 0)
-        total = int(counts.sum())
-        parts = []
-        if total:
-            buf = np.frombuffer(
-                b"".join(b for i, b in enumerate(raw) if i not in slow)
-                if slow else b"".join(raw), np.uint8)
-            kept = np.array([i for i in range(n) if i not in slow],
-                            np.int64) if slow else np.arange(n)
-            klens = lens[kept]
-            doc_off = np.zeros(len(kept) + 1, np.int64)
-            np.cumsum(klens, out=doc_off[1:])
-            kcounts = counts[kept]
-            w_off = np.concatenate(([0], np.cumsum(kcounts)))
-            wi = (np.arange(total) - np.repeat(w_off[:-1], kcounts))
-            widx = np.repeat(doc_off[:-1], kcounts) + wi * S
-            w = buf[widx[:, None] + np.arange(K)]
-            parts.append(pa.table({
-                "doc_id": pc.take(ids_col,
-                                  pa.array(np.repeat(kept, kcounts))),
-                "pos": pa.array(wi * S, pa.int64()),
-                "win": pc.cast(
-                    pa.array(np.ascontiguousarray(w).view(f"S{K}")
-                             .ravel()), pa.string())}))
-        for i in slow_i:
-            tx = texts[i]
-            m = len(tx)
-            if m < K:
-                continue
-            cnt = (m - K) // S + 1
-            parts.append(pa.table({
-                "doc_id": pa.array([ids_col[i].as_py()] * cnt,
-                                   ids_col.type),
-                "pos": pa.array([j * S for j in range(cnt)], pa.int64()),
-                "win": pa.array([tx[j * S: j * S + K]
-                                 for j in range(cnt)], pa.string())}))
-        return pa.concat_tables(parts) if parts else empty
-
     wp = drop_empty_blocks(
-        ds.map_batches(windows_pos, batch_format="pyarrow",
+        ds.map_batches(_strided_windows_pos, batch_format="pyarrow",
                        zero_copy_batch=True)).materialize()
+
 
     def loc_distinct(t: pa.Table) -> pa.Table:
         return (t.select(["doc_id", "win"])
