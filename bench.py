@@ -129,6 +129,7 @@ QUERY_NAMES = [
     "cluster_purity", "knn_label_acc", "event_funnel", "retention_cohorts",
     "ann_pq", "hard_negatives", "temperature_mix", "bpe_encode",
     "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
+    "dup_span_rewrite",
 ]
 
 

@@ -586,6 +586,160 @@ def q_dup_span_coverage(sf_dir: str) -> rd.Dataset:
         zero_copy_batch=True)
 
 
+def q_dup_span_rewrite(sf_dir: str) -> rd.Dataset:
+    """ExactSubstr CUT (Lee et al. 2021, applied): materialize each
+    document with the union of its cross-doc-duplicated 32-char windows
+    REMOVED — the rewrite ``q_dup_span_coverage`` only budgets. Every
+    doc comes back (short/clean docs unchanged, n_removed = 0).
+
+    Engine shape: the dup-window set derives exactly as in the coverage
+    query; under ``_MULTI_BROADCAST_CAP`` it broadcasts and the rewrite
+    is ONE fused map over documents (windows re-gathered per batch with
+    the shared kernel, covered bytes masked with one scatter, survivors
+    sliced per doc). Past the cap, dup positions hash-join to the
+    window rows, pack to one row per doc via a keyed repartition +
+    segmented pass, and hash-join back to the documents for the same
+    vectorized mask — no per-char Python anywhere on the ASCII path."""
+    from .common import drop_empty_blocks, keyed_repartition
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    K = _SPAN_K
+
+    wp = drop_empty_blocks(
+        ds.map_batches(_strided_windows_pos, batch_format="pyarrow",
+                       zero_copy_batch=True)).materialize()
+
+    def loc_distinct(t: pa.Table) -> pa.Table:
+        return (t.select(["doc_id", "win"])
+                .group_by(["doc_id", "win"]).aggregate([]))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("ndocs"), 2))
+
+    dup_wins = drop_empty_blocks(
+        wp.map_batches(loc_distinct, batch_format="pyarrow")
+        .groupby("win").count().rename_columns({"count()": "ndocs"})
+        .map_batches(only_dups, batch_format="pyarrow")).materialize()
+
+    def apply_cut(t: pa.Table, starts_of: dict) -> pa.Table:
+        """Rewrite one documents batch given per-doc dup window starts
+        (char offsets). Vectorized byte mask for ASCII docs; exact
+        Python slicing for non-ASCII docs."""
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        kept, removed = [], []
+        for did, tx in zip(ids, texts):
+            ps = starts_of.get(did)
+            if not ps:
+                kept.append(tx)
+                removed.append(0)
+                continue
+            b = tx.encode()
+            if len(b) == len(tx):
+                mask = np.zeros(len(b), dtype=bool)
+                idx = (np.asarray(ps, np.int64)[:, None]
+                       + np.arange(K)).ravel()
+                mask[idx] = True
+                arr = np.frombuffer(b, np.uint8)
+                kept.append(arr[~mask].tobytes().decode())
+                removed.append(int(mask.sum()))
+            else:
+                m2 = [False] * len(tx)
+                for p in ps:
+                    for j in range(p, p + K):
+                        m2[j] = True
+                kept.append("".join(c for c, f in zip(tx, m2) if not f))
+                removed.append(sum(m2))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "kept_text": pa.array(kept, pa.string()),
+            "n_removed": pa.array(removed, pa.int64())})
+
+    if dup_wins.count() <= _MULTI_BROADCAST_CAP:
+        dup_ref = ray.put({r["win"] for r in dup_wins.take_all()})
+
+        def rewrite_bcast(t: pa.Table) -> pa.Table:
+            dset = ray.get(dup_ref)
+            wpb = _strided_windows_pos(t)
+            starts_of: dict = {}
+            for did, pos, w_ in zip(wpb.column("doc_id").to_pylist(),
+                                    wpb.column("pos").to_pylist(),
+                                    wpb.column("win").to_pylist()):
+                if w_ in dset:
+                    starts_of.setdefault(did, []).append(pos)
+            return apply_cut(t, starts_of)
+
+        return ds.map_batches(rewrite_bcast, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    dup_pos = drop_empty_blocks(wp.join(
+        dup_wins, join_type="inner", num_partitions=join_parts(1),
+        on=("win",))).select_columns(["doc_id", "pos"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        # one row per doc: its dup window starts, ascending, packed
+        t = t.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"pdoc": pa.array([], pa.int64()),
+                             "poslist": pa.array([], pa.string())})
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        packed = [",".join(map(str, pos[a:b])) for a, b in
+                  zip(starts, np.append(starts[1:], len(ids)))]
+        return pa.table({"pdoc": pa.array(ids[starts], pa.int64()),
+                         "poslist": pa.array(packed, pa.string())})
+
+    packed = keyed_repartition(dup_pos, ["doc_id"]).map_batches(
+        pack, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    joined = drop_empty_blocks(ds.join(
+        packed, join_type="left_outer", num_partitions=join_parts(1),
+        on=("doc_id",), right_on=("pdoc",)))
+
+    def rewrite_join(t: pa.Table) -> pa.Table:
+        starts_of = {d: [int(x) for x in pl.split(",")]
+                     for d, pl in zip(t.column("doc_id").to_pylist(),
+                                      t.column("poslist").to_pylist())
+                     if pl}
+        return apply_cut(t, starts_of)
+
+    return joined.map_batches(rewrite_join, batch_format="pyarrow")
+
+
+_DUP_SPAN_REWRITE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, s.i * {_SPAN_STRIDE} AS pos,
+         substr(text, 1 + s.i * {_SPAN_STRIDE}, {_SPAN_K}) AS win
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(
+        0, (length(text) - {_SPAN_K}) // {_SPAN_STRIDE})) AS i) s
+  WHERE length(text) >= {_SPAN_K}),
+wd AS (SELECT DISTINCT doc_id, win FROM w),
+nd AS (SELECT win, count(*) AS ndocs FROM wd GROUP BY win),
+dupw AS (SELECT w.doc_id, w.pos FROM w JOIN nd USING (win)
+         WHERE nd.ndocs >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + j AS i
+        FROM dupw, unnest(generate_series(1, {_SPAN_K})) u(j)),
+chars AS (SELECT d.doc_id, t.i, substr(d.text, t.i, 1) AS ch
+          FROM documents d, LATERAL (
+            SELECT unnest(generate_series(1, length(d.text))) AS i) t)
+SELECT d.doc_id,
+       coalesce(agg.kept_text, d.text) AS kept_text,
+       CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT c.doc_id,
+         coalesce(string_agg(c.ch, '' ORDER BY c.i)
+                  FILTER (WHERE cov.i IS NULL), '') AS kept_text,
+         count(*) FILTER (WHERE cov.i IS NOT NULL) AS n_removed
+  FROM chars c LEFT JOIN cov
+    ON c.doc_id = cov.doc_id AND c.i = cov.i
+  GROUP BY c.doc_id) agg USING (doc_id)
+"""
+
+
 _DUP_SPAN_COVERAGE_SQL = f"""
 WITH w AS (
   SELECT doc_id, s.i * {_SPAN_STRIDE} AS pos,
@@ -1999,12 +2153,14 @@ ORACLE_SQL["dedup_funnel"] = _funnel_sql()
 ORACLE_SQL["winnow"] = _winnow_oracle_sql()
 ORACLE_SQL["dedup_keep_best"] = _KEEP_BEST_SQL
 ORACLE_SQL["dup_span_coverage"] = _DUP_SPAN_COVERAGE_SQL
+ORACLE_SQL["dup_span_rewrite"] = _DUP_SPAN_REWRITE_SQL
 
 QUERIES = {
     "dedup_funnel": q_dedup_funnel,
     "winnow": q_winnow,
     "dedup_keep_best": q_dedup_keep_best,
     "dup_span_coverage": q_dup_span_coverage,
+    "dup_span_rewrite": q_dup_span_rewrite,
     "dedup_exact": q_dedup_exact,
     "dedup_rate": q_dedup_rate,
     "incremental_dedup": q_incremental_dedup,

@@ -471,3 +471,48 @@ def test_dup_span_coverage_matches_sequential_union(ray_session, tmp_path,
             assert (row["n_windows"], row["n_dup_windows"],
                     row["covered"]) == (nw, ndup, cov), (branch_cap, did,
                                                          row, ref[did])
+
+
+def test_dup_span_rewrite_cuts_only_shared_runs(ray_session, tmp_path,
+                                                monkeypatch):
+    """The cut must remove exactly the union of duplicated windows:
+    clean docs come back verbatim, docs sharing a run lose it (plus
+    window spill, bounded by K-1 chars each side), and the join
+    fallback equals the broadcast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines import dedup
+
+    K, S = dedup._SPAN_K, dedup._SPAN_STRIDE
+    shared = "z" * (K + 2 * S)
+    texts = {
+        1: "left padding abcdefghij " + shared + " right padding here!",
+        2: "other document starts... " + shared + " ...and then ends",
+        3: "a completely clean unique document body with no repeats",
+        4: "tiny",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    d = tmp_path / "cut"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    results = {}
+    for cap in (None, 0):
+        if cap is not None:
+            monkeypatch.setattr(dedup, "_MULTI_BROADCAST_CAP", cap)
+        out = (dedup.q_dup_span_rewrite(str(d)).to_pandas()
+               .set_index("doc_id").sort_index())
+        results[cap] = out
+        assert set(out.index) == set(texts)
+        assert out.loc[3, "kept_text"] == texts[3]
+        assert out.loc[3, "n_removed"] == 0
+        assert out.loc[4, "kept_text"] == texts[4]
+        for did in (1, 2):
+            assert shared not in out.loc[did, "kept_text"]
+            assert out.loc[did, "n_removed"] >= K
+            # cut is window-aligned: at most K-1 spill chars per side
+            assert len(out.loc[did, "kept_text"]) >= (
+                len(texts[did]) - out.loc[did, "n_removed"])
+    assert results[None].equals(results[0])
