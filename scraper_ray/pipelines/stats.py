@@ -1487,7 +1487,22 @@ LM_VOCAB = 256   # model hyperparameter (vocab size before <unk>), not a
                  # (LM_VOCAB+1)^2 entries whatever the corpus size
 
 
+# tier-keyed trained-LM cache: q_lm_score and q_curation_verdict share
+# one training pass per corpus (the refs live in the object store);
+# keyed by full normalized path like dedup._PAIR_CACHE / ann._KNN_CACHE
+_LM_CACHE: dict[str, tuple] = {}
+
+
 def _lm_model(sf_dir: str):
+    import os
+
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    if key not in _LM_CACHE:
+        _LM_CACHE[key] = _lm_model_build(sf_dir)
+    return _LM_CACHE[key]
+
+
+def _lm_model_build(sf_dir: str):
     """Train the bigram LM (stages 1-2 of ``q_lm_score``); returns
     ``(vocab_arr, c1_ref, c2_ref, width)`` with the dense count tables
     already in the object store. Shared by the standalone scorer and
