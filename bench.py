@@ -130,6 +130,7 @@ QUERY_NAMES = [
     "ann_pq", "hard_negatives", "temperature_mix", "bpe_encode",
     "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
     "dup_span_rewrite",
+    "vocab_coverage", "weighted_sample", "link_trustrank",
 ]
 
 

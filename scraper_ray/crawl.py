@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -105,6 +106,13 @@ class CrawlStats:
     seen_total: int = 0
     counters: dict = field(default_factory=dict)
     wave_sizes: list[int] = field(default_factory=list)
+    # set when GRAFT_CRAWL_PHASES=1: per-wave [emit_s, fetch_s, tail_s]
+    # (scheduler emission / fetch+discover+write / lineage+checkpoint) —
+    # the boundary-cost profile that sizes the wave-overlap optimization
+    phase_times: list[list[float]] = field(default_factory=list)
+    # GRAFT_CRAWL_PHASES=1: setup_s (state actors), seed_s (admission),
+    # final_s (totals + actor shutdown)
+    section_times: dict = field(default_factory=dict)
 
 
 def _seed_frontier(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
@@ -345,6 +353,8 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
         n_sched_shards=ccfg.n_sched_shards or (
             manifest.get("n_sched_shards", 4) if manifest
             else _default_shard_count()))
+    profile_phases = os.environ.get("GRAFT_CRAWL_PHASES") == "1"
+    ts0 = time.perf_counter() if profile_phases else 0.0
     # journal deltas only when checkpoints will consume them — an
     # un-checkpointed crawl must not grow a shadow copy of the seen set
     seen = ShardedSeen(ccfg.n_seen_shards, ccfg.seen_capacity_per_shard,
@@ -355,6 +365,8 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                           spill_dir=ccfg.sched_spill_dir,
                           spill_threshold=ccfg.sched_spill_threshold)
     stats = CrawlStats()
+    if profile_phases:
+        stats.section_times["setup_s"] = round(time.perf_counter() - ts0, 4)
     start_wave = 0
     seen_base: int | None = None   # base wave of the seen snapshot chain
 
@@ -390,8 +402,12 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
                 # and lands in stats.counters like every other metric
                 sched.offer(frontier_table([], depth=0, parent_ids=""),
                             {"n_preseeded": n_preseeded})
+        ts1 = time.perf_counter() if profile_phases else 0.0
         _seed_frontier(seeds, ccfg, sched,
                        seen=seen if skip_urls is not None else None)
+        if profile_phases:
+            stats.section_times["seed_s"] = round(
+                time.perf_counter() - ts1, 4)
 
     os.makedirs(ccfg.out_dir, exist_ok=True)
     if ccfg.fetcher_cls is not None:
@@ -401,8 +417,10 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     fetch_fn = fetch_cls(**fetch_kwargs)
     discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
     micro_refs = None   # (fetch_ref, disc_ref), put lazily on first use
+    profile_phases = os.environ.get("GRAFT_CRAWL_PHASES") == "1"
     wave = start_wave
     while wave < ccfg.max_waves:
+        t0 = time.perf_counter() if profile_phases else 0.0
         refs, n_wave = sched.next_wave_refs(wave, chunk_rows=ccfg.batch_size)
         if n_wave == 0:
             # with scheduler spill enabled, a zero wave can still leave
@@ -414,6 +432,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
             continue
         from .sources.io import write_dataset
 
+        t1 = time.perf_counter() if profile_phases else 0.0
         wave_dir = os.path.join(ccfg.out_dir, f"wave={wave:05d}")
         if (n_wave <= max(2048, ccfg.batch_size)
                 and ccfg.fetch_concurrency is None
@@ -450,6 +469,7 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
             ds = ds.map_batches(discover_fn, batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
             write_dataset(ds, wave_dir, format=ccfg.sink_format)
+        t2 = time.perf_counter() if profile_phases else 0.0
         # per-partition lineage: each wave dir records exactly which
         # scheduler shards produced how many of its rows and the run
         # counters at emission, so any output partition is traceable to
@@ -479,8 +499,13 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
             stats.counters = sched.counters()
             seen_base = _checkpoint(ccfg, wave, seen, sched, stats,
                                     seen_base)
+        if profile_phases:
+            t3 = time.perf_counter()
+            stats.phase_times.append(
+                [round(t1 - t0, 4), round(t2 - t1, 4), round(t3 - t2, 4)])
         wave += 1
 
+    ts2 = time.perf_counter() if profile_phases else 0.0
     stats.waves = wave - start_wave
     stats.seen_total = seen.total()
     stats.counters = sched.counters()
@@ -489,6 +514,8 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     # whatever pipeline runs next in it
     seen.shutdown()
     sched.shutdown()
+    if profile_phases:
+        stats.section_times["final_s"] = round(time.perf_counter() - ts2, 4)
     return stats
 
 

@@ -1310,6 +1310,182 @@ FROM ind GROUP BY in_degree
 """
 
 
+# ---------------------------------------------------------------------------
+# TrustRank (personalized PageRank from the crawl's seed set) — integer-exact
+# ---------------------------------------------------------------------------
+
+def trustrank(nodes: rd.Dataset, edges: rd.Dataset,
+              iters: int = PR_ITERS,
+              num_partitions: int | None = None,
+              inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank whose teleport
+    mass lands ONLY on a trusted seed set — here the crawl's depth-0
+    pages. Spam/mirror farms deep in the graph get rank only through
+    paths from the seeds, so the score is the crawl-frontier trust
+    signal (prioritize pages reachable from vetted roots).
+
+    *nodes* carries (doc_id, trusted:int64 0/1). Same exact-int64
+    discipline as ``pagerank``:
+
+        R0(v)  = trusted(v) * (SCALE // |T|)
+        R'(v)  = trusted(v) * (15 * (SCALE // |T|)) // 100
+                 + (85 * S(v)) // 100
+
+    Engine shape matches ``pagerank`` (2 shuffles/iteration over the
+    edge list) with one twist: the per-node teleport base rides the
+    rank table as a ``b`` column — contributions union in with b=0 and
+    ``Max(b)`` recovers each node's base in the same groupby that sums
+    S(v), so personalization costs NO extra join or broadcast. Inline
+    numpy fast path under ``inline_edge_cap``, bit-identical."""
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "tr": pa.array([], pa.int64())})
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(empty)
+    n_trusted = int(nodes.sum("trusted"))
+    if n_trusted == 0:
+        # no seeds -> no teleport mass anywhere; every rank is 0
+        def zero(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "tr": pa.array([0] * t.num_rows, pa.int64())})
+        return nodes.map_batches(zero, batch_format="pyarrow")
+    r0 = PR_SCALE // n_trusted
+    base = (15 * r0) // 100
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= inline_edge_cap and n <= inline_edge_cap:
+        rows = sorted((r["doc_id"], int(r["trusted"]))
+                      for r in nodes.take_all(limit=inline_edge_cap + 1))
+        node_ids = [d for d, _ in rows]
+        tr_mask = np.array([t for _, t in rows], np.int64)
+        src_i, dst_i = _edge_indices(edges, node_ids)
+        od = np.bincount(src_i, minlength=n).astype(np.int64)
+        r = tr_mask * r0
+        for _ in range(iters):
+            s = np.zeros(n, np.int64)
+            if n_edges:
+                np.add.at(s, dst_i, r[src_i] // od[src_i])
+            r = tr_mask * base + (85 * s) // 100
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(node_ids, pa.string()),
+            "tr": pa.array(r, pa.int64())}))
+
+    if num_partitions is None:
+        num_partitions = int(min(64, max(2, n_edges // 65536 + 2)))
+
+    outdeg = drop_empty_blocks(
+        edges.groupby("src").count().rename_columns({"count()": "od"}))
+    keyed = drop_empty_blocks(
+        edges.join(outdeg, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("src",))).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        tr = pc.cast(t.column("trusted"), pa.int64())
+        return pa.table({"src": t.column("doc_id"),
+                         "r": pc.multiply(tr, pa.scalar(r0, pa.int64())),
+                         "b": pc.multiply(tr, pa.scalar(base, pa.int64()))})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import numpy as np
+        r = t.column("r").to_numpy().astype(np.int64)
+        od = t.column("od").to_numpy().astype(np.int64)
+        return pa.table({"src": t.column("dst"),
+                         "s": pa.array(r // od, type=pa.int64()),
+                         "b": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def zero_s(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"),
+                         "s": pa.array([0] * t.num_rows, pa.int64()),
+                         "b": t.column("b")})
+
+    def rescale(t: pa.Table) -> pa.Table:
+        import numpy as np
+        s = t.column("s").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"src": t.column("src"),
+                         "r": pa.array(b + (85 * s) // 100, pa.int64()),
+                         "b": pa.array(b)})
+
+    for _ in range(iters):
+        prop = keyed.join(ranks, join_type="inner",
+                          num_partitions=num_partitions, on=("src",))
+        summed = drop_empty_blocks(
+            prop.map_batches(contrib, batch_format="pyarrow")
+            .union(ranks.map_batches(zero_s, batch_format="pyarrow"))
+            .groupby("src").aggregate(Sum("s", alias_name="s"),
+                                      Max("b", alias_name="b")))
+        ranks = summed.map_batches(
+            rescale, batch_format="pyarrow").materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("src"), "tr": t.column("r")})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def q_link_trustrank(sf_dir: str) -> rd.Dataset:
+    """TrustRank over the crawl's link graph, trusted set = the crawl's
+    depth-0 (seed) pages — trust flows out from the vetted seed list
+    instead of raining uniformly, the frontier-prioritization signal
+    that starves link farms unreachable from the roots. Same cached
+    edge list as the other graph queries; oracle = the same integer
+    iterations unrolled as CTEs over the sequential oracle crawler's
+    fixtures."""
+    from .crawl_queries import _run_crawl
+
+    docs = _run_crawl(sf_dir)
+    edges = _cached_link_edges(sf_dir)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "trusted": pc.cast(pc.equal(t.column("depth"), 0), pa.int64()),
+        })
+
+    nodes = docs.select_columns(["doc_id", "depth"]).map_batches(
+        flag, batch_format="pyarrow")
+    return trustrank(nodes, edges)
+
+
+def _trustrank_oracle_sql() -> str:
+    from .crawl_queries import ORACLE_DOCS_PATH, ORACLE_EDGES_PATH
+
+    parts = [f"""
+WITH nodes AS (SELECT doc_id, depth FROM read_parquet('{ORACLE_DOCS_PATH}')),
+edges AS (SELECT DISTINCT src, dst FROM read_parquet('{ORACLE_EDGES_PATH}')),
+nt AS (SELECT count(*) AS n FROM nodes WHERE depth = 0),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+t0 AS (SELECT doc_id,
+              CASE WHEN depth = 0
+                   THEN {PR_SCALE} // (SELECT n FROM nt) ELSE 0 END AS r
+       FROM nodes)"""]
+    base = (f"CASE WHEN nodes.depth = 0 THEN "
+            f"(15 * ({PR_SCALE} // (SELECT n FROM nt))) // 100 ELSE 0 END")
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS doc_id, sum(t{i-1}.r // o.od) AS s
+  FROM edges e
+  JOIN t{i-1} ON e.src = t{i-1}.doc_id
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+t{i} AS (
+  SELECT nodes.doc_id,
+         {base} + (85 * coalesce(c{i}.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN c{i} USING (doc_id))""")
+    parts.append(f"""
+SELECT doc_id, CAST(r AS BIGINT) AS tr FROM t{PR_ITERS}
+""")
+    return "".join(parts)
+
+
 ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "link_bfs": _link_bfs_oracle_sql(),
               "link_triangles": _link_triangles_oracle_sql(),
@@ -1319,7 +1495,8 @@ ORACLE_SQL = {"neardup_clusters": _clusters_oracle_sql(),
               "link_degree": _link_degree_oracle_sql(),
               "link_components": _link_components_oracle_sql(),
               "host_graph": _host_graph_oracle_sql(),
-              "crawl_budget": _crawl_budget_oracle_sql()}
+              "crawl_budget": _crawl_budget_oracle_sql(),
+              "link_trustrank": _trustrank_oracle_sql()}
 
 QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_bfs": q_link_bfs,
@@ -1330,4 +1507,5 @@ QUERIES = {"neardup_clusters": q_neardup_clusters,
            "link_degree": q_link_degree,
            "link_components": q_link_components,
            "host_graph": q_host_graph,
-           "crawl_budget": q_crawl_budget}
+           "crawl_budget": q_crawl_budget,
+           "link_trustrank": q_link_trustrank}

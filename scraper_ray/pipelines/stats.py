@@ -1656,3 +1656,114 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 QUERIES["lm_score"] = q_lm_score
 ORACLE_SQL["lm_score"] = _lm_score_sql()
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+# corpus-coverage cutoffs for the tokenizer-budget curve; small enough to
+# bind at the gate tiers (vocab there is a few hundred distinct tokens)
+COVERAGE_CUTOFFS = (10, 100, 1000)
+
+
+def q_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Tokenizer-budget coverage curve: what fraction of all token
+    occurrences the top-K vocabulary covers, at K in COVERAGE_CUTOFFS —
+    the number a tokenizer/vocab-size decision is made on (BPE papers
+    plot exactly this curve). Integer-exact: output is (cutoff, covered
+    occurrences, total occurrences), never a float ratio.
+
+    Two bounded stages: the ``_vocab_topk_ds`` partial-top-k plan (at
+    most max(cutoffs) rows reach the driver — the documented cap), and
+    one streaming Sum of per-batch token counts for the denominator. No
+    corpus-sized materialization; ranks tie-break by token ascending,
+    matching the SQL ROW_NUMBER order."""
+    from .common import flat_tokens
+
+    top_k = max(COVERAGE_CUTOFFS)
+    ranked = _vocab_topk_ds(sf_dir, top_k).take_all()   # sorted n desc, token asc
+    counts = np.array([r["n"] for r in ranked], dtype=np.int64)
+    cum = np.cumsum(counts)
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        _, lens, _ = flat_tokens(t)
+        return pa.table({"n": pa.array([int(lens.sum())], pa.int64())})
+
+    total = int(ds.map_batches(ntok, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("n"))
+    covered = [int(cum[min(c, len(cum)) - 1]) if len(cum) else 0
+               for c in COVERAGE_CUTOFFS]
+    return pa.table({
+        "cutoff": pa.array(list(COVERAGE_CUTOFFS), pa.int64()),
+        "covered": pa.array(covered, pa.int64()),
+        "total": pa.array([total] * len(COVERAGE_CUTOFFS), pa.int64()),
+    })
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLE_SQL["vocab_coverage"] = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+           FROM counts),
+tot AS (SELECT count(*) AS t FROM tok)
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
+       CAST((SELECT COALESCE(sum(n), 0) FROM ranked WHERE rk <= c.cutoff)
+            AS BIGINT) AS covered,
+       CAST((SELECT t FROM tot) AS BIGINT) AS total
+FROM (VALUES {", ".join(f"({c})" for c in COVERAGE_CUTOFFS)}) AS c(cutoff)
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Quality-weighted downsampling: keep each doc with probability
+    proportional to its token count, P = min(n_tokens, 256) / 256 —
+    the DSIR/CCNet-style curation step that thins short/low-signal docs
+    harder than long ones while staying fully deterministic. The draw is
+    integer-exact on both sides: the first 32 bits of md5(doc_id) are
+    compared against min(n_tokens, 256) << 24 (== P * 2^32, exact since
+    256 divides 2^32), so membership is identical on any cluster size,
+    block layout, or SQL engine — no float thresholds anywhere. Pure
+    one-pass map: no shuffle, no driver materialization."""
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        u32 = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(d).encode()).digest()[:4], "big")
+             for d in ids), count=len(ids), dtype=np.uint64)
+        lens = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        thresh = np.minimum(lens, 256).astype(np.uint64) << np.uint64(24)
+        keep = pa.array(u32 < thresh)
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "n_tokens": pa.array(lens, pa.int64())})
+        return out.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLE_SQL["weighted_sample"] = """
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+h AS (SELECT doc_id, n_tokens,
+             list_sum(list_transform(range(1, 9), hx ->
+               (instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), hx, 1))
+                - 1)::HUGEINT
+               * (1::HUGEINT << (4 * (8 - hx))))) AS u32
+      FROM d)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM h
+WHERE u32 < least(n_tokens, 256)::HUGEINT * 16777216
+"""

@@ -92,23 +92,24 @@ class DiscoverOffer:
         self.sched = sched     # SchedulerPool
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls: list[str] = []
-        depths: list[int] = []
-        parents: list[str] = []
-        idxs: list[int] = []
-        ppaths: list[str] = []
-        for pid, depth, ppath, children in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("depth").to_pylist(),
-            batch.column("path").to_pylist(),
-            batch.column("children").to_pylist(),
-        ):
-            for idx, raw in enumerate(children or []):
-                urls.append(raw)
-                depths.append(depth + 1)
-                parents.append(pid)
-                idxs.append(idx)
-                ppaths.append(ppath)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # vectorized child explosion: list_flatten + parent-indices take
+        # instead of a per-page Python loop (this runs once per fetched
+        # page across the whole crawl)
+        ch = batch.column("children")
+        par = pc.list_parent_indices(ch)   # skips null/empty lists
+        urls = pc.list_flatten(ch).to_pylist()
+        par_np = par.to_numpy(zero_copy_only=False)
+        depths = (pc.take(batch.column("depth"), par).to_numpy(
+            zero_copy_only=False) + 1).tolist()
+        parents = pc.take(batch.column("doc_id"), par).to_pylist()
+        ppaths = pc.take(batch.column("path"), par).to_pylist()
+        # index within each parent's list: par_np is sorted, so position
+        # minus the first position of that parent run
+        idxs = (np.arange(len(par_np))
+                - np.searchsorted(par_np, par_np, side="left")).tolist()
 
         n_children = len(urls)
         # canonicalize + within-batch keep-min dedup (invalid URLs dropped)

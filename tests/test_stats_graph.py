@@ -426,3 +426,45 @@ def test_cms_overestimates_and_merges_exactly():
                               .hexdigest()[:8], 16) % CMS_WIDTH]
                   for d in range(CMS_DEPTH))
         assert est >= n
+
+
+def _tr_reference(nodes, trusted, edges, iters):
+    from scraper_ray.pipelines.graph import PR_SCALE
+
+    nt = sum(1 for v in nodes if v in trusted)
+    r0 = PR_SCALE // nt
+    base = (15 * r0) // 100
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: (r0 if v in trusted else 0) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {v: (base if v in trusted else 0) + (85 * s[v]) // 100
+             for v in nodes}
+    return r
+
+
+def test_trustrank_inline_and_distributed_match_reference(ray_session):
+    from scraper_ray.pipelines.graph import trustrank
+
+    nodes = ["a", "b", "c", "d", "e"]   # e unlinked; d untrusted source
+    trusted = {"a", "b"}
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]
+    nds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, pa.string()),
+        "trusted": pa.array([1 if v in trusted else 0 for v in nodes],
+                            pa.int64())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    want = _tr_reference(nodes, trusted, edges, 4)
+    for cap in (2_000_000, 0):   # inline numpy AND distributed plans
+        out = trustrank(nds, eds, iters=4, inline_edge_cap=cap).to_pandas()
+        got = dict(zip(out["doc_id"], out["tr"]))
+        assert got == want, cap
+    # untrusted, unlinked e gets exactly zero; seeds a/b hold mass
+    assert got["e"] == 0
+    assert got["a"] > 0 and got["b"] > 0
