@@ -131,6 +131,7 @@ QUERY_NAMES = [
     "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
     "dup_span_rewrite",
     "vocab_coverage", "weighted_sample", "link_trustrank",
+    "traffic_anomalies", "containment_pairs",
 ]
 
 

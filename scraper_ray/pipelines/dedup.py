@@ -2171,3 +2171,175 @@ QUERIES = {
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
 }
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (asymmetric near-dup: doc A's content inside doc B)
+# ---------------------------------------------------------------------------
+
+# containment threshold as an exact rational (3/4): the flag compare is
+# integer cross-multiplication, so engine and oracle cannot ulp-diverge
+_CONTAIN_NUM, _CONTAIN_DEN = 3, 4
+
+
+def q_containment_pairs(sf_dir: str) -> rd.Dataset:
+    """Asymmetric containment pairs (Broder's C(A,B) = |S(A)∩S(B)|/|S(A)|):
+    docs whose distinctive content sits ≥ 3/4 inside another doc — the
+    quote/superset/wrapper-page signal symmetric Jaccard misses when
+    the container is much larger than the contained doc.
+
+    Containment is measured over each doc's RARE 3-gram profile (df ≤
+    ``_GRAM_DF_CAP``, the same loud cap as ``ngram_jaccard``): frequent
+    boilerplate grams neither block nor count toward containment, which
+    is both the scale guard (no quadratic stopword buckets) and the
+    right semantics (shared boilerplate is not 'content contained').
+    The SQL oracle applies the identical cap, so parity is exact.
+
+    Integer-exact end-to-end: the flag is ``4*shared >= 3*n_rare`` and
+    the output columns are int64 counts — no float ratio anywhere.
+    Plan (all join-shaped, nothing driver-sized): incidence → df
+    aggregate → anti-join out frequent grams → self-join on gram →
+    per-pair shared count (in-batch partials first) → two per-side
+    count joins → vectorized both-direction flag map."""
+    from ray.data.aggregate import Count, Sum
+
+    from .common import drop_empty_blocks, join_parts
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def incidence(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        flat, off = _batch_shingle_hashes(texts)
+        hu, du = _per_doc_unique(flat, off)
+        return pa.table({
+            "doc_id": pc.take(t.column("doc_id"),
+                              pa.array(du, pa.int64())),
+            "gram": pa.array(hu.astype("U20"))})
+
+    inc = drop_empty_blocks(
+        docs.map_batches(incidence, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    frequent = (inc.groupby("gram").aggregate(Count(alias_name="df"))
+                .filter(expr=f"df > {_GRAM_DF_CAP}")
+                .select_columns(["gram"]))
+    inc_ok = drop_empty_blocks(
+        inc.join(
+            drop_empty_blocks(frequent.union(
+                rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
+                                                         pa.string())})))),
+            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
+
+    def _empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "container_id": pa.array([], pa.int64()),
+            "shared": pa.array([], pa.int64()),
+            "n_rare": pa.array([], pa.int64())}))
+
+    if inc_ok.count() == 0:
+        return _empty()
+
+    def rename(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"gram": t.column("gram"),
+                             f"doc_{side}": t.column("doc_id")})
+        return f
+
+    joined = drop_empty_blocks(
+        inc_ok.map_batches(rename("a"), batch_format="pyarrow").join(
+            inc_ok.map_batches(rename("b"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=join_parts(), on=("gram",)))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        m = pc.less(t.column("doc_a"), t.column("doc_b"))
+        f = t.filter(m)
+        tbl = pa.table({"doc_a": pc.cast(f.column("doc_a"), pa.int64()),
+                        "doc_b": pc.cast(f.column("doc_b"), pa.int64())})
+        part = tbl.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count")])
+        return pa.table({"doc_a": part.column("doc_a"),
+                         "doc_b": part.column("doc_b"),
+                         "part": pc.cast(part.column("doc_a_count"),
+                                         pa.int64())})
+
+    pairs = drop_empty_blocks(
+        joined.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("part", alias_name="shared")))
+    if pairs.count() == 0:
+        return _empty()
+
+    nr = drop_empty_blocks(
+        inc_ok.groupby("doc_id").aggregate(Count(alias_name="n_rare")))
+
+    def nr_as(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                f"doc_{side}": pc.cast(t.column("doc_id"), pa.int64()),
+                f"nr_{side}": pc.cast(t.column("n_rare"), pa.int64())})
+        return f
+
+    with_meta = drop_empty_blocks(
+        drop_empty_blocks(
+            pairs.map_batches(
+                lambda t: pa.table({
+                    "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                    "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+                    "shared": pc.cast(t.column("shared"), pa.int64())}),
+                batch_format="pyarrow")
+            .join(nr.map_batches(nr_as("a"), batch_format="pyarrow"),
+                  join_type="inner", num_partitions=join_parts(),
+                  on=("doc_a",)))
+        .join(nr.map_batches(nr_as("b"), batch_format="pyarrow"),
+              join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        sh = t.column("shared").to_numpy(zero_copy_only=False)
+        na = t.column("nr_a").to_numpy(zero_copy_only=False)
+        nb = t.column("nr_b").to_numpy(zero_copy_only=False)
+        ka = _CONTAIN_DEN * sh >= _CONTAIN_NUM * na   # a contained in b
+        kb = _CONTAIN_DEN * sh >= _CONTAIN_NUM * nb   # b contained in a
+        return pa.table({
+            "doc_id": pa.array(np.concatenate((a[ka], b[kb])), pa.int64()),
+            "container_id": pa.array(np.concatenate((b[ka], a[kb])),
+                                     pa.int64()),
+            "shared": pa.array(np.concatenate((sh[ka], sh[kb])), pa.int64()),
+            "n_rare": pa.array(np.concatenate((na[ka], nb[kb])), pa.int64()),
+        })
+
+    return with_meta.map_batches(flag, batch_format="pyarrow")
+
+
+def _containment_oracle_sql() -> str:
+    return f"""
+WITH {_gram_hash_ctes('documents')},
+inc AS (SELECT doc_id, CAST(unnest(h) AS VARCHAR) AS gram FROM hs),
+ok AS (SELECT gram FROM inc GROUP BY gram
+       HAVING count(*) <= {_GRAM_DF_CAP}),
+rinc AS (SELECT i.doc_id, i.gram FROM inc i JOIN ok USING (gram)),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+       FROM rinc GROUP BY doc_id),
+sh AS (SELECT x.doc_id AS a, y.doc_id AS b,
+              CAST(count(*) AS BIGINT) AS shared
+       FROM rinc x JOIN rinc y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       GROUP BY x.doc_id, y.doc_id),
+dirs AS (
+  SELECT sh.a AS doc_id, sh.b AS container_id, sh.shared, nr.n_rare
+  FROM sh JOIN nr ON nr.doc_id = sh.a
+  UNION ALL
+  SELECT sh.b AS doc_id, sh.a AS container_id, sh.shared, nr.n_rare
+  FROM sh JOIN nr ON nr.doc_id = sh.b)
+SELECT doc_id, container_id, shared, n_rare
+FROM dirs
+WHERE {_CONTAIN_DEN} * shared >= {_CONTAIN_NUM} * n_rare
+"""
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+ORACLE_SQL["containment_pairs"] = _containment_oracle_sql()

@@ -690,3 +690,104 @@ FROM j GROUP BY cw, off
 """
 
 QUERIES["retention_cohorts"] = q_retention_cohorts
+
+
+# ---------------------------------------------------------------------------
+# traffic_anomalies (integer-exact z-score flags over the daily stream)
+# ---------------------------------------------------------------------------
+
+def q_traffic_anomalies(sf_dir: str) -> rd.Dataset:
+    """Daily volume anomaly detection per event type — the monitoring
+    gate a crawl/ingest pipeline alarms on (a day whose event count
+    sits more than 2 sigma from the type's mean). The z-test is done in
+    EXACT integer cross-multiplication, no float mean/stddev anywhere:
+
+        flag  <=>  (n*x - s)^2 > 4 * (n*ssq - s^2)
+
+    (n = days observed for the type, x = that day's count, s = sum of
+    daily counts, ssq = sum of squares) — algebraically z^2 > 4 with
+    sigma^2 = (n*ssq - s^2)/n^2, the n^2 cancelling, so the distributed
+    result is bit-equal to the SQL oracle with no ulp caveats.
+
+    Shape: per-batch (type, day) count partials -> one groupby-sum to
+    the daily table (O(types x days) rows — bounded by the time domain,
+    never by events) -> per-type moment rollup (O(types) rows to the
+    driver, the documented cap) -> one vectorized flag map over the
+    daily table. The squares are computed in Python int (arbitrary
+    precision) over the tiny daily table, so s^2 cannot overflow int64
+    even at 10^12-event scale; outputs are re-checked into int64."""
+    import numpy as np
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(t.column("ts"), unit="day")
+        tbl = pa.table({"event_type": t.column("event_type"), "day": days})
+        counted = tbl.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": counted.column("event_type"),
+                         "day": counted.column("day"),
+                         "n_partial": pc.cast(
+                             counted.column("count_all"), pa.int64())})
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("n_partial", alias_name="n_events"))
+             .materialize())
+
+    # per-type moments: O(|event_type|) rows — bounded by the type
+    # domain (a handful), safe to hold on the driver and broadcast in
+    # the closure (the dims-lookup pattern)
+    moments: dict[str, tuple[int, int, int]] = {}
+    for r in daily.take_all():
+        et, x = r["event_type"], int(r["n_events"])
+        n, s, ssq = moments.get(et, (0, 0, 0))
+        moments[et] = (n + 1, s + x, ssq + x * x)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ets = t.column("event_type").to_pylist()
+        xs = t.column("n_events").to_pylist()
+        keep, dev2s, bounds = [], [], []
+        # Python-int exact math over the tiny daily table (O(days*types)
+        # rows total): s^2 at 10^12 events would overflow int64, an
+        # arbitrary-precision compare cannot
+        for et, x in zip(ets, xs):
+            n, s, ssq = moments[et]
+            dev2 = (n * int(x) - s) ** 2
+            bound = 4 * (n * ssq - s * s)
+            k = dev2 > bound
+            keep.append(k)
+            dev2s.append(dev2)
+            bounds.append(bound)
+        out = pa.table({
+            "event_type": t.column("event_type"),
+            "day": t.column("day"),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            "dev2": pa.array(dev2s, pa.int64()),
+            "bound": pa.array(bounds, pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return daily.map_batches(flag, batch_format="pyarrow")
+
+
+ORACLE_SQL["traffic_anomalies"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ssq
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.n_events,
+       CAST((st.n * d.n_events - st.s) * (st.n * d.n_events - st.s)
+            AS BIGINT) AS dev2,
+       CAST(4 * (st.n * st.ssq - st.s * st.s) AS BIGINT) AS bound
+FROM daily d JOIN st USING (event_type)
+WHERE (st.n * d.n_events - st.s) * (st.n * d.n_events - st.s)
+      > 4 * (st.n * st.ssq - st.s * st.s)
+"""
+
+QUERIES["traffic_anomalies"] = q_traffic_anomalies
