@@ -520,3 +520,98 @@ def test_curation_verdict_consistent_with_gates(ray_session):
     assert (v["lm_keep"] == lm_keep.reindex(v.index)).all()
     assert (v["keep"] == v["quality_keep"] * v["gopher_keep"]
             * v["rep_keep"] * v["lm_keep"]).all()
+
+
+def test_weighted_sample_invariants(ray_session):
+    import hashlib
+
+    from scraper_ray.pipelines.common import read_sf_table
+    from scraper_ray.pipelines.stats import q_weighted_sample
+
+    kept = q_weighted_sample(SF).to_pandas()
+    full = read_sf_table(SF, "documents", ["doc_id", "text"]).to_pandas()
+    assert kept["doc_id"].is_unique
+    assert set(kept["doc_id"]) <= set(full["doc_id"])
+    # saturated probability: docs with >= 256 tokens are ALWAYS kept
+    # (threshold 256 << 24 == 2^32 exceeds any u32 draw)
+    ntok = full["text"].str.split(" ").str.len()
+    long_ids = set(full.loc[ntok >= 256, "doc_id"])
+    assert long_ids <= set(kept["doc_id"])
+    # membership recomputes exactly from the documented draw
+    for _, r in kept.head(20).iterrows():
+        u32 = int.from_bytes(
+            hashlib.md5(str(r["doc_id"]).encode()).digest()[:4], "big")
+        assert u32 < min(int(r["n_tokens"]), 256) << 24
+
+
+def test_vocab_coverage_monotone_and_bounded(ray_session):
+    from scraper_ray.pipelines.stats import COVERAGE_CUTOFFS, q_vocab_coverage
+
+    df = q_vocab_coverage(SF).to_pandas().sort_values("cutoff")
+    assert list(df["cutoff"]) == sorted(COVERAGE_CUTOFFS)
+    assert df["total"].nunique() == 1
+    cov = df["covered"].tolist()
+    assert cov == sorted(cov)                      # monotone in cutoff
+    assert (df["covered"] <= df["total"]).all()
+    assert (df["covered"] > 0).all()
+
+
+def test_traffic_anomalies_flags_planted_spike(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.temporal import q_traffic_anomalies
+
+    # 30 flat days of 10 events + one 40-event spike day for type "a";
+    # type "b" stays flat and must NOT be flagged
+    rows = []
+    eid = 0
+    for day in range(30):
+        n = 40 if day == 7 else 10
+        for et, cnt in (("a", n), ("b", 10)):
+            for _ in range(cnt):
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day, minutes=eid % 60),
+                             eid % 5, et, 1.0, "{}"))
+                eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = q_traffic_anomalies(str(tmp_path)).to_pandas()
+    assert set(out["event_type"]) == {"a"}
+    assert len(out) == 1 and int(out["n_events"].iloc[0]) == 40
+    assert (out["dev2"] > out["bound"]).all()
+
+
+def test_containment_detects_planted_subset(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scraper_ray.pipelines.dedup import q_containment_pairs
+
+    # doc 2 = the first half of doc 1's distinctive text; doc 3 unrelated.
+    words = [f"tok{i}" for i in range(64)]
+    big = " ".join(words)
+    small = " ".join(words[:32])
+    other = " ".join(f"zzz{i}" for i in range(64))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([big, small, other], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(big), len(small), len(other)], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_containment_pairs(str(tmp_path)).to_pandas()
+    pairs = set(zip(out["doc_id"], out["container_id"]))
+    assert (2, 1) in pairs            # small contained in big
+    assert (1, 2) not in pairs        # big NOT contained in small
+    assert not any(3 in p for p in pairs)
