@@ -756,7 +756,8 @@ PINNED_QUERIES = frozenset({
     "corpus_neardedup", "paragraph_dedup", "media_dedup",
     "media_alignment", "semdedup", "cluster_purity",
     "robots_rules",
-    "link_pagerank", "link_bfs", "link_triangles", "crawl_budget",
+    "link_pagerank", "link_trustrank", "link_bfs", "link_triangles",
+    "crawl_budget",
     "sitemap_seeds", "recrawl_diff", "anchor_text", "link_degree",
     "link_hits", "url_patterns", "mirror_domains",
     "warc_cdx", "warc_readback", "incremental_crawl",

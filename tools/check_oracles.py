@@ -5,7 +5,7 @@ compare against ``oracle_sql()`` via DuckDB (row count + schema-name set
 Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [name ...]
 
 ``--json`` additionally persists the per-query results in the driver's
-CORRECTNESS_r{N}.json shape, so a full 120-query run at final HEAD can
+CORRECTNESS_r{N}.json shape, so a full registry run at final HEAD can
 ship with the repo (the driver gate samples a subset; the artifact
 reconciles the full-set claim without a re-run).
 """
