@@ -166,9 +166,53 @@ def q_regional_volume(sf_dir: str) -> rd.Dataset:
 
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=_join_parts(sf_dir),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    # the (date-pruned) orders side attaches via bounded broadcast when
+    # the FULL orders table fits the cap (metadata-only decision, and
+    # the filtered slice can only be smaller): one searchsorted with a
+    # membership mask replaces the fact-fact exchange. Past the cap the
+    # native hash join takes over — the 100 TB plan is unchanged.
+    import pyarrow.parquet as _pq
+
+    if _pq.ParquetFile(
+            f"{sf_dir}/orders.parquet").metadata.num_rows \
+            <= _DIM_BROADCAST_CAP:
+        import numpy as np
+
+        otbl = _pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+            filters=[("o_orderdate", ">=", Q5_T0),
+                     ("o_orderdate", "<", Q5_T1)])
+        ok_np = otbl.column("o_orderkey").to_numpy()
+        oc_np = otbl.column("o_custkey").to_numpy()
+        order = np.argsort(ok_np)
+        omap_ref = ray.put((ok_np[order], oc_np[order]))
+
+        def attach_cust(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            okeys, ocust = ray.get(omap_ref)
+            if t.num_rows == 0 or not len(okeys):
+                return pa.table({"o_custkey": pa.array([], pa.int64()),
+                                 "s_nat": pa.array([], pa.int64()),
+                                 "rev_c": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(okeys, lk), len(okeys) - 1)
+            m = okeys[pos] == lk   # only orders inside the date window
+            f = t.filter(pa.array(m))
+            return pa.table({
+                "o_custkey": pa.array(ocust[pos[m]], pa.int64()),
+                "s_nat": f.column("s_nat"),
+                "rev_c": f.column("rev_c"),
+                "n": f.column("n")})
+
+        joined = line.map_batches(attach_cust, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        joined = line.join(orders, join_type="inner",
+                           num_partitions=_join_parts(sf_dir),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
 
     def dims(t: pa.Table) -> pa.Table:
         # vectorized broadcast-dim application: the customer->nation
@@ -264,10 +308,44 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
 
     line = line.map_batches(derive, batch_format="pyarrow",
                             zero_copy_batch=True)
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = line.join(orders, join_type="inner",
-                       num_partitions=_join_parts(sf_dir),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    # orderkey -> custkey attaches via bounded broadcast when orders
+    # fits the cap (one sorted-array searchsorted per batch — no
+    # fact-fact exchange at all); past the cap the native hash join
+    # takes over, so the 100 TB plan is unchanged (the repo's standard
+    # broadcast-under-cap-else-join discipline). Row count is parquet
+    # metadata — the decision costs no data read.
+    import pyarrow.parquet as _pq
+
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= _DIM_BROADCAST_CAP:
+        import numpy as np
+
+        otbl = _pq.read_table(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+        ok = otbl.column("o_orderkey").to_numpy()
+        oc = otbl.column("o_custkey").to_numpy()
+        order = np.argsort(ok)
+        omap_ref = ray.put((ok[order], oc[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            okeys, ocust = ray.get(omap_ref)
+            lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)   # FK: always present
+            return pa.table({
+                "o_custkey": pa.array(ocust[pos], pa.int64()),
+                "rev_c": t.column("rev_c"),
+                "n": t.column("n")})
+
+        joined = line.map_batches(attach, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = line.join(orders, join_type="inner",
+                           num_partitions=_join_parts(sf_dir),
+                           on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = (joined.groupby("o_custkey",
                         num_partitions=_join_parts(sf_dir))
                 .aggregate(Sum("rev_c", alias_name="rev_c"),
