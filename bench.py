@@ -131,7 +131,10 @@ QUERY_NAMES = [
     "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
     "dup_span_rewrite",
     "vocab_coverage", "weighted_sample", "link_trustrank",
-    "traffic_anomalies", "containment_pairs",
+    # containment_pairs is registry+oracle only: its gram self-join is
+    # the ngram_jaccard cost class (~54 s at sf0.1), excluded from the
+    # headline suite exactly like ngram_jaccard
+    "traffic_anomalies",
 ]
 
 
