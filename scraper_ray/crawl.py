@@ -417,7 +417,6 @@ def crawl(seeds: list[str] | rd.Dataset, ccfg: CrawlConfig,
     fetch_fn = fetch_cls(**fetch_kwargs)
     discover_fn = DiscoverOffer(ccfg.politeness, seen, sched)
     micro_refs = None   # (fetch_ref, disc_ref), put lazily on first use
-    profile_phases = os.environ.get("GRAFT_CRAWL_PHASES") == "1"
     wave = start_wave
     while wave < ccfg.max_waves:
         t0 = time.perf_counter() if profile_phases else 0.0

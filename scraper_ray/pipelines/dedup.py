@@ -1663,6 +1663,86 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
 # document-frequency cap)
 # ---------------------------------------------------------------------------
 
+def _rare_gram_incidence(docs: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+    """(inc, inc_ok): the per-doc DISTINCT 3-gram hash incidence table
+    and its rare-only (df ≤ ``_GRAM_DF_CAP``) subset — the shared front
+    half of the gram-blocked pair queries (``q_ngram_jaccard``,
+    ``q_containment_pairs``). One batch-wide shingle pass + lexsort
+    dedupe (no per-doc Python set loop); decimal-string gram keys so
+    the SQL oracles' HUGEINT recomputation joins exactly; frequent
+    grams removed by a distributed anti-join (the probe side carries an
+    impossible sentinel gram so an all-rare corpus is a no-op filter,
+    not an empty-side crash)."""
+    from ray.data.aggregate import Count
+
+    from .common import drop_empty_blocks, join_parts
+
+    def incidence(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        flat, off = _batch_shingle_hashes(texts)
+        hu, du = _per_doc_unique(flat, off)
+        return pa.table({
+            "doc_id": pc.take(t.column("doc_id"),
+                              pa.array(du, pa.int64())),
+            "gram": pa.array(hu.astype("U20"))})
+
+    inc = drop_empty_blocks(
+        docs.map_batches(incidence, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    frequent = (inc.groupby("gram").aggregate(Count(alias_name="df"))
+                .filter(expr=f"df > {_GRAM_DF_CAP}")
+                .select_columns(["gram"]))
+    inc_ok = drop_empty_blocks(
+        inc.join(
+            drop_empty_blocks(frequent.union(
+                rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
+                                                         pa.string())})))),
+            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
+    return inc, inc_ok
+
+
+def _pair_shared_counts(inc_ok: rd.Dataset) -> rd.Dataset:
+    """(doc_a < doc_b, shared): self-join the rare-gram incidence on
+    gram and count shared grams per ordered pair — in-batch partial
+    counts first so the global shuffle carries (pair, partial) rows,
+    never one row per (pair, gram). Shared back half of the
+    gram-blocked pair queries."""
+    from ray.data.aggregate import Sum
+
+    from .common import drop_empty_blocks, join_parts
+
+    def rename(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"gram": t.column("gram"),
+                             f"doc_{side}": t.column("doc_id")})
+        return f
+
+    joined = drop_empty_blocks(
+        inc_ok.map_batches(rename("a"), batch_format="pyarrow").join(
+            inc_ok.map_batches(rename("b"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=join_parts(), on=("gram",)))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        m = pc.less(t.column("doc_a"), t.column("doc_b"))
+        f = t.filter(m)
+        tbl = pa.table({"doc_a": pc.cast(f.column("doc_a"), pa.int64()),
+                        "doc_b": pc.cast(f.column("doc_b"), pa.int64())})
+        part = tbl.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count")])
+        return pa.table({"doc_a": part.column("doc_a"),
+                         "doc_b": part.column("doc_b"),
+                         "part": pc.cast(part.column("doc_a_count"),
+                                         pa.int64())})
+
+    return drop_empty_blocks(
+        joined.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("part", alias_name="shared")))
+
+
 def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     """Near-dup pairs via a distributed 3-gram inverted index.
 
@@ -1695,75 +1775,12 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     shared-count aggregate -> docmeta joins -> vectorized jaccard
     (+ text verify for the frequent-touched remainder); nothing
     touches the driver."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     from .common import drop_empty_blocks
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def incidence(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        if not texts:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
-        # one batch-wide shingle pass + lexsort dedupe — no per-doc
-        # Python set loop. Decimal-string gram key: the hash is uint64
-        # and the SQL oracle recomputes it as HUGEINT — strings join
-        # exactly (numpy astype(U20) renders the decimals in C).
-        flat, off = _batch_shingle_hashes(texts)
-        hu, du = _per_doc_unique(flat, off)
-        return pa.table({
-            "doc_id": pc.take(t.column("doc_id"),
-                              pa.array(du, pa.int64())),
-            "gram": pa.array(hu.astype("U20"))})
-
-    # scrub + materialize once: both the df aggregate and the anti-join
-    # probe side read this, and a lazy dataset would re-run the
-    # incidence map per consumer
-    inc = drop_empty_blocks(
-        docs.map_batches(incidence, batch_format="pyarrow",
-                         zero_copy_batch=True))
-
-    # frequent grams (df > cap) — a SMALL set by construction; the
-    # anti-join keeps the whole filter distributed
-    df_counts = inc.groupby("gram").aggregate(Count(alias_name="df"))
-    frequent = df_counts.filter(
-        expr=f"df > {_GRAM_DF_CAP}").select_columns(["gram"])
-    inc_ok = drop_empty_blocks(
-        inc.join(
-            drop_empty_blocks(frequent.union(
-                # guarantee ≥1 probe row: an impossible gram key, so the
-                # anti join is a no-op filter when nothing is frequent
-                rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
-                                                         pa.string())})))),
-            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
-
-    def rename_b(t: pa.Table) -> pa.Table:
-        return pa.table({"gram": t.column("gram"),
-                         "doc_b": t.column("doc_id")})
-
-    def rename_a(t: pa.Table) -> pa.Table:
-        return pa.table({"gram": t.column("gram"),
-                         "doc_a": t.column("doc_id")})
-
-    joined = drop_empty_blocks(
-        inc_ok.map_batches(rename_a, batch_format="pyarrow").join(
-            inc_ok.map_batches(rename_b, batch_format="pyarrow"),
-            join_type="inner", num_partitions=join_parts(), on=("gram",)))
-
-    def ordered(t: pa.Table) -> pa.Table:
-        m = pc.less(t.column("doc_a"), t.column("doc_b"))
-        f = t.filter(m)
-        tbl = pa.table({"doc_a": pc.cast(f.column("doc_a"), pa.int64()),
-                        "doc_b": pc.cast(f.column("doc_b"), pa.int64())})
-        # in-batch partial count — shrinks the global shuffle and turns
-        # the per-pair row multiplicity into an explicit summand
-        part = tbl.group_by(["doc_a", "doc_b"]).aggregate(
-            [("doc_a", "count")])
-        return pa.table({"doc_a": part.column("doc_a"),
-                         "doc_b": part.column("doc_b"),
-                         "part": pc.cast(part.column("doc_a_count"),
-                                         pa.int64())})
+    inc, inc_ok = _rare_gram_incidence(docs)
 
     def _empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -1777,10 +1794,7 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
         return _empty()
 
     # per-pair shared-rare-gram count: one row per (pair, gram) upstream
-    pairs = drop_empty_blocks(
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("part", alias_name="shared")))
+    pairs = _pair_shared_counts(inc_ok)
     if pairs.count() == 0:
         return _empty()
 
@@ -2200,38 +2214,15 @@ def q_containment_pairs(sf_dir: str) -> rd.Dataset:
     Plan (all join-shaped, nothing driver-sized): incidence → df
     aggregate → anti-join out frequent grams → self-join on gram →
     per-pair shared count (in-batch partials first) → two per-side
-    count joins → vectorized both-direction flag map."""
-    from ray.data.aggregate import Count, Sum
+    count joins → vectorized both-direction flag map. The incidence
+    and shared-count stages are the module-level helpers shared with
+    ``q_ngram_jaccard``."""
+    from ray.data.aggregate import Count
 
     from .common import drop_empty_blocks, join_parts
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def incidence(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        if not texts:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
-        flat, off = _batch_shingle_hashes(texts)
-        hu, du = _per_doc_unique(flat, off)
-        return pa.table({
-            "doc_id": pc.take(t.column("doc_id"),
-                              pa.array(du, pa.int64())),
-            "gram": pa.array(hu.astype("U20"))})
-
-    inc = drop_empty_blocks(
-        docs.map_batches(incidence, batch_format="pyarrow",
-                         zero_copy_batch=True))
-
-    frequent = (inc.groupby("gram").aggregate(Count(alias_name="df"))
-                .filter(expr=f"df > {_GRAM_DF_CAP}")
-                .select_columns(["gram"]))
-    inc_ok = drop_empty_blocks(
-        inc.join(
-            drop_empty_blocks(frequent.union(
-                rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
-                                                         pa.string())})))),
-            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
+    _inc, inc_ok = _rare_gram_incidence(docs)
 
     def _empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -2243,33 +2234,7 @@ def q_containment_pairs(sf_dir: str) -> rd.Dataset:
     if inc_ok.count() == 0:
         return _empty()
 
-    def rename(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({"gram": t.column("gram"),
-                             f"doc_{side}": t.column("doc_id")})
-        return f
-
-    joined = drop_empty_blocks(
-        inc_ok.map_batches(rename("a"), batch_format="pyarrow").join(
-            inc_ok.map_batches(rename("b"), batch_format="pyarrow"),
-            join_type="inner", num_partitions=join_parts(), on=("gram",)))
-
-    def ordered(t: pa.Table) -> pa.Table:
-        m = pc.less(t.column("doc_a"), t.column("doc_b"))
-        f = t.filter(m)
-        tbl = pa.table({"doc_a": pc.cast(f.column("doc_a"), pa.int64()),
-                        "doc_b": pc.cast(f.column("doc_b"), pa.int64())})
-        part = tbl.group_by(["doc_a", "doc_b"]).aggregate(
-            [("doc_a", "count")])
-        return pa.table({"doc_a": part.column("doc_a"),
-                         "doc_b": part.column("doc_b"),
-                         "part": pc.cast(part.column("doc_a_count"),
-                                         pa.int64())})
-
-    pairs = drop_empty_blocks(
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("part", alias_name="shared")))
+    pairs = _pair_shared_counts(inc_ok)
     if pairs.count() == 0:
         return _empty()
 

@@ -258,86 +258,26 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
     path instead (same integer formula, bit-identical output) — at
     gate/bench scale ~15 shuffle barriers would dwarf microseconds of
     arithmetic, the same dual plan as ``connected_components``.
-    """
-    import numpy as np
-    from ray.data.aggregate import Sum
 
-    n = nodes.count()
-    if n == 0:
-        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.string()),
-                                       "pr": pa.array([], pa.int64())}))
-    r0 = PR_SCALE // n
-    base = (15 * r0) // 100
+    Implementation: PageRank IS TrustRank with every node trusted —
+    |T| = N makes the teleport r0 = SCALE // N and the base term
+    identical — so this delegates to ``trustrank`` and renames the
+    score column. ONE copy of the BSP loop / inline fast path has to
+    stay bit-equal to the unrolled SQL CTEs, not two."""
 
-    edges = edges.materialize()
-    n_edges = edges.count()
-    if n_edges <= inline_edge_cap and n <= inline_edge_cap:
-        node_ids = sorted(r["doc_id"]
-                          for r in nodes.take_all(limit=inline_edge_cap + 1))
-        src_i, dst_i = _edge_indices(edges, node_ids)
-        od = np.bincount(src_i, minlength=n).astype(np.int64)
-        r = np.full(n, r0, np.int64)
-        for _ in range(iters):
-            s = np.zeros(n, np.int64)
-            if n_edges:
-                np.add.at(s, dst_i, r[src_i] // od[src_i])
-            r = base + (85 * s) // 100
-        return rd.from_arrow(pa.table({
-            "doc_id": pa.array(node_ids, pa.string()),
-            "pr": pa.array(r, pa.int64())}))
+    def all_trusted(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "trusted": pa.array([1] * t.num_rows, pa.int64())})
 
-    if num_partitions is None:
-        # derived from graph size (topology is data-dependent, not a
-        # pinned constant): partition count grows with the edge list
-        # toward the wide-cluster shape
-        num_partitions = int(min(64, max(2, n_edges // 65536 + 2)))
-
-    outdeg = drop_empty_blocks(
-        edges.groupby("src").count()
-        .rename_columns({"count()": "od"}))
-    # scrub: a hash join emits zero-column empty partitions when rows <
-    # partitions; as the LEFT INPUT of the per-iteration join they would
-    # crash the key lookup (same pitfall as groupby outputs above)
-    keyed = drop_empty_blocks(
-        edges.join(outdeg, join_type="inner",
-                   num_partitions=num_partitions,
-                   on=("src",))).materialize()
-
-    def init_ranks(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t.column("doc_id"),
-                         "r": pa.array([r0] * t.num_rows, pa.int64())})
-
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
-
-    def contrib(t: pa.Table) -> pa.Table:
-        r = t.column("r").to_numpy().astype(np.int64)
-        od = t.column("od").to_numpy().astype(np.int64)
-        return pa.table({"src": t.column("dst"),
-                         "s": pa.array(r // od, type=pa.int64())})
-
-    def zero_s(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t.column("src"),
-                         "s": pa.array([0] * t.num_rows, pa.int64())})
-
-    def rescale(t: pa.Table) -> pa.Table:
-        s = t.column("s").to_numpy().astype(np.int64)
-        return pa.table({"src": t.column("src"),
-                         "r": pa.array(base + (85 * s) // 100, pa.int64())})
-
-    for _ in range(iters):
-        prop = keyed.join(ranks, join_type="inner",
-                          num_partitions=num_partitions, on=("src",))
-        summed = drop_empty_blocks(
-            prop.map_batches(contrib, batch_format="pyarrow")
-            .union(ranks.map_batches(zero_s, batch_format="pyarrow"))
-            .groupby("src").aggregate(Sum("s", alias_name="s")))
-        ranks = summed.map_batches(
-            rescale, batch_format="pyarrow").materialize()
+    tr = trustrank(nodes.map_batches(all_trusted, batch_format="pyarrow"),
+                   edges, iters=iters, num_partitions=num_partitions,
+                   inline_edge_cap=inline_edge_cap)
 
     def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("src"), "pr": t.column("r")})
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pr": t.column("tr")})
 
-    return ranks.map_batches(rename, batch_format="pyarrow")
+    return tr.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -716,13 +716,12 @@ def q_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
 # vocab_topk
 # ---------------------------------------------------------------------------
 
-def _vocab_topk_ds(sf_dir: str, k: int) -> rd.Dataset:
-    """Top-*k* vocabulary by total term frequency. Three bounded stages:
-    per-batch token Counter (the only pass over text), a (token, n)
-    groupby-sum whose shuffle carries one row per distinct token per
-    batch, and a partial top-k per block so the final single-group rank
-    sees at most k * n_blocks rows — never the vocabulary. Ties at the
-    boundary break by token ascending, so the result is deterministic."""
+def _token_counts_agg(sf_dir: str) -> rd.Dataset:
+    """Global (token, sum(n)) term frequencies: per-batch value_counts
+    partials (the only pass over text) + one groupby-sum whose shuffle
+    carries one row per distinct token per batch. The shared front half
+    of the vocabulary queries — materialize it when two consumers read
+    it (q_vocab_coverage's top-k + denominator)."""
     ds = _t(sf_dir, "documents", ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -737,9 +736,20 @@ def _vocab_topk_ds(sf_dir: str, k: int) -> rd.Dataset:
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("token").sum("n"))
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("token").sum("n"))
+
+
+def _vocab_topk_ds(sf_dir: str, k: int,
+                   agg: rd.Dataset | None = None) -> rd.Dataset:
+    """Top-*k* vocabulary by total term frequency. Three bounded stages:
+    the ``_token_counts_agg`` (token, n) groupby-sum (or a caller-shared
+    *agg*), and a partial top-k per block so the final single-group rank
+    sees at most k * n_blocks rows — never the vocabulary. Ties at the
+    boundary break by token ascending, so the result is deterministic."""
+    if agg is None:
+        agg = _token_counts_agg(sf_dir)
 
     def partial_top(t: pa.Table) -> pa.Table:
         out = pa.table({"token": t.column("token"),
@@ -1674,26 +1684,19 @@ def q_vocab_coverage(sf_dir: str) -> pa.Table:
     plot exactly this curve). Integer-exact: output is (cutoff, covered
     occurrences, total occurrences), never a float ratio.
 
-    Two bounded stages: the ``_vocab_topk_ds`` partial-top-k plan (at
-    most max(cutoffs) rows reach the driver — the documented cap), and
-    one streaming Sum of per-batch token counts for the denominator. No
-    corpus-sized materialization; ranks tie-break by token ascending,
-    matching the SQL ROW_NUMBER order."""
-    from .common import flat_tokens
-
+    ONE tokenize pass: the shared ``_token_counts_agg`` (token, n)
+    aggregate is materialized once and feeds both the partial-top-k
+    plan (at most max(cutoffs) rows reach the driver — the documented
+    cap) and the denominator (one streaming Sum over the aggregate —
+    the total token count IS the sum of the per-token counts, no
+    second scan of the documents table). Ranks tie-break by token
+    ascending, matching the SQL ROW_NUMBER order."""
     top_k = max(COVERAGE_CUTOFFS)
-    ranked = _vocab_topk_ds(sf_dir, top_k).take_all()   # sorted n desc, token asc
+    agg = _token_counts_agg(sf_dir).materialize()
+    total = int(agg.sum("sum(n)") or 0)
+    ranked = _vocab_topk_ds(sf_dir, top_k, agg=agg).take_all()
     counts = np.array([r["n"] for r in ranked], dtype=np.int64)
     cum = np.cumsum(counts)
-
-    ds = _t(sf_dir, "documents", ["text"])
-
-    def ntok(t: pa.Table) -> pa.Table:
-        _, lens, _ = flat_tokens(t)
-        return pa.table({"n": pa.array([int(lens.sum())], pa.int64())})
-
-    total = int(ds.map_batches(ntok, batch_format="pyarrow",
-                               zero_copy_batch=True).sum("n"))
     covered = [int(cum[min(c, len(cum)) - 1]) if len(cum) else 0
                for c in COVERAGE_CUTOFFS]
     return pa.table({

@@ -714,10 +714,10 @@ def q_traffic_anomalies(sf_dir: str) -> rd.Dataset:
     never by events) -> per-type moment rollup (O(types) rows to the
     driver, the documented cap) -> one vectorized flag map over the
     daily table. The squares are computed in Python int (arbitrary
-    precision) over the tiny daily table, so s^2 cannot overflow int64
-    even at 10^12-event scale; outputs are re-checked into int64."""
-    import numpy as np
-
+    precision) and only FLAGGED DAYS' (type, day, count) rows are
+    emitted — the >int64 intermediates never leave the flag map, and
+    the SQL side runs the same predicate in HUGEINT, so the pair stays
+    exact to ~10^12 events/day (128-bit saturation)."""
     ds = _t(sf_dir, "events", ["event_type", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -747,44 +747,38 @@ def q_traffic_anomalies(sf_dir: str) -> rd.Dataset:
     def flag(t: pa.Table) -> pa.Table:
         ets = t.column("event_type").to_pylist()
         xs = t.column("n_events").to_pylist()
-        keep, dev2s, bounds = [], [], []
         # Python-int exact math over the tiny daily table (O(days*types)
-        # rows total): s^2 at 10^12 events would overflow int64, an
-        # arbitrary-precision compare cannot
+        # rows total): the squared intermediates exceed int64 around
+        # 5e7 events/day, an arbitrary-precision compare cannot — and
+        # they stay internal, only the flag leaves this map
+        keep = []
         for et, x in zip(ets, xs):
             n, s, ssq = moments[et]
-            dev2 = (n * int(x) - s) ** 2
-            bound = 4 * (n * ssq - s * s)
-            k = dev2 > bound
-            keep.append(k)
-            dev2s.append(dev2)
-            bounds.append(bound)
+            keep.append((n * int(x) - s) ** 2 > 4 * (n * ssq - s * s))
         out = pa.table({
             "event_type": t.column("event_type"),
             "day": t.column("day"),
             "n_events": pc.cast(t.column("n_events"), pa.int64()),
-            "dev2": pa.array(dev2s, pa.int64()),
-            "bound": pa.array(bounds, pa.int64()),
         })
         return out.filter(pa.array(keep))
 
     return daily.map_batches(flag, batch_format="pyarrow")
 
 
+# the predicate runs in HUGEINT on the SQL side (DuckDB BIGINT*BIGINT
+# would overflow-error near 5e7 events/day); only (type, day, count)
+# rows are selected, so both sides' outputs stay comfortably int64
 ORACLE_SQL["traffic_anomalies"] = """
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
          CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2),
 st AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(n_events) AS BIGINT) AS s,
-         CAST(sum(n_events * n_events) AS BIGINT) AS ssq
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_events) AS HUGEINT) AS s,
+         sum(CAST(n_events AS HUGEINT) * n_events) AS ssq
   FROM daily GROUP BY event_type)
-SELECT d.event_type, d.day, d.n_events,
-       CAST((st.n * d.n_events - st.s) * (st.n * d.n_events - st.s)
-            AS BIGINT) AS dev2,
-       CAST(4 * (st.n * st.ssq - st.s * st.s) AS BIGINT) AS bound
+SELECT d.event_type, d.day, d.n_events
 FROM daily d JOIN st USING (event_type)
 WHERE (st.n * d.n_events - st.s) * (st.n * d.n_events - st.s)
       > 4 * (st.n * st.ssq - st.s * st.s)

@@ -332,12 +332,21 @@ def q_returned_revenue(sf_dir: str, k: int = RETURNED_TOP_K) -> pa.Table:
             import numpy as np
 
             okeys, ocust = ray.get(omap_ref)
+            if t.num_rows == 0 or not len(okeys):
+                return pa.table({"o_custkey": pa.array([], pa.int64()),
+                                 "rev_c": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
             lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(okeys, lk)   # FK: always present
+            pos = np.minimum(np.searchsorted(okeys, lk), len(okeys) - 1)
+            # membership mask, not an FK assumption: an orderkey absent
+            # from orders drops here exactly as the inner join it
+            # replaces would drop it (same guard as Q5's attach_cust)
+            m = okeys[pos] == lk
+            f = t.filter(pa.array(m))
             return pa.table({
-                "o_custkey": pa.array(ocust[pos], pa.int64()),
-                "rev_c": t.column("rev_c"),
-                "n": t.column("n")})
+                "o_custkey": pa.array(ocust[pos[m]], pa.int64()),
+                "rev_c": f.column("rev_c"),
+                "n": f.column("n")})
 
         joined = line.map_batches(attach, batch_format="pyarrow",
                                   zero_copy_batch=True)

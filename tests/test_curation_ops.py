@@ -588,7 +588,6 @@ def test_traffic_anomalies_flags_planted_spike(ray_session, tmp_path):
     out = q_traffic_anomalies(str(tmp_path)).to_pandas()
     assert set(out["event_type"]) == {"a"}
     assert len(out) == 1 and int(out["n_events"].iloc[0]) == 40
-    assert (out["dev2"] > out["bound"]).all()
 
 
 def test_containment_detects_planted_subset(ray_session, tmp_path):
