@@ -208,16 +208,23 @@ def _edge_indices(edges: rd.Dataset, node_ids: list):
     """(src, dst) edge columns mapped to positions in the sorted
     ``node_ids`` list — the driver-side indexing step of the inline
     graph fast paths, vectorized via ``pc.index_in`` (one C-kernel
-    lookup per batch instead of a Python dict probe per edge)."""
+    lookup per batch instead of a Python dict probe per edge).
+
+    Edges with an endpoint absent from ``node_ids`` ("ghost" ids) are
+    DROPPED — the rank/score algorithms are defined over *nodes* only
+    (their SQL oracles restrict to nodes), so ghost edges must not
+    inject or receive mass. Mirrors the dst semi-join in the
+    distributed ``trustrank`` path."""
     import numpy as np
 
     value_set = pa.array(node_ids)
     src_parts, dst_parts = [], []
     for b in edges.iter_batches(batch_format="pyarrow"):
-        src_parts.append(pc.index_in(b.column("src"), value_set=value_set)
-                         .to_numpy(zero_copy_only=False))
-        dst_parts.append(pc.index_in(b.column("dst"), value_set=value_set)
-                         .to_numpy(zero_copy_only=False))
+        si = pc.index_in(b.column("src"), value_set=value_set)
+        di = pc.index_in(b.column("dst"), value_set=value_set)
+        ok = pc.and_(pc.is_valid(si), pc.is_valid(di))
+        src_parts.append(si.filter(ok).to_numpy(zero_copy_only=False))
+        dst_parts.append(di.filter(ok).to_numpy(zero_copy_only=False))
     if not src_parts:
         z = np.empty(0, np.int64)
         return z, z
@@ -232,7 +239,8 @@ PR_ITERS = 5           # fixed iteration count, unrolled in the SQL oracle
 def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
              iters: int = PR_ITERS,
              num_partitions: int | None = None,
-             inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+             inline_edge_cap: int = _INLINE_EDGE_CAP,
+             edges_subset_of_nodes: bool = False) -> rd.Dataset:
     """Damped PageRank over (src, dst) edges in exact int64 arithmetic.
 
     Per iteration (damping 85/100, the classic 0.85):
@@ -263,7 +271,11 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
     |T| = N makes the teleport r0 = SCALE // N and the base term
     identical — so this delegates to ``trustrank`` and renames the
     score column. ONE copy of the BSP loop / inline fast path has to
-    stay bit-equal to the unrolled SQL CTEs, not two."""
+    stay bit-equal to the unrolled SQL CTEs, not two. Ghost edge
+    endpoints (absent from *nodes*) are handled per trustrank's
+    contract: they never enter the output, ghost-dst mass evaporates;
+    pass ``edges_subset_of_nodes=True`` to skip the guard semi-join
+    when the caller guarantees the invariant."""
 
     def all_trusted(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
@@ -271,7 +283,8 @@ def pagerank(nodes: rd.Dataset, edges: rd.Dataset,
 
     tr = trustrank(nodes.map_batches(all_trusted, batch_format="pyarrow"),
                    edges, iters=iters, num_partitions=num_partitions,
-                   inline_edge_cap=inline_edge_cap)
+                   inline_edge_cap=inline_edge_cap,
+                   edges_subset_of_nodes=edges_subset_of_nodes)
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
@@ -291,7 +304,8 @@ HITS_ITERS = 3         # fixed iteration count, unrolled in the SQL oracle
 def hits(nodes: rd.Dataset, edges: rd.Dataset,
          iters: int = HITS_ITERS,
          num_partitions: int | None = None,
-         inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+         inline_edge_cap: int = _INLINE_EDGE_CAP,
+         edges_subset_of_nodes: bool = False) -> rd.Dataset:
     """Kleinberg HITS over (src, dst) edges in exact int64 arithmetic.
 
     Per iteration:
@@ -349,6 +363,23 @@ def hits(nodes: rd.Dataset, edges: rd.Dataset,
 
     node_col = drop_empty_blocks(
         nodes.select_columns(["doc_id"])).materialize()
+
+    if not edges_subset_of_nodes:
+        # drop ghost edges (an endpoint absent from *nodes*) with two
+        # semi-joins so ghost ids can neither receive nor inject score
+        # — HITS has no outdeg division, so full-edge removal is the
+        # oracle-equal semantics (ghosts contribute nothing there)
+        def as_col(name):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({name: t.column("doc_id")})
+            return f
+
+        for col in ("src", "dst"):
+            edges = drop_empty_blocks(edges.join(
+                node_col.map_batches(as_col(col), batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=(col,)))
+        edges = edges.materialize()
 
     def init_scores(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
@@ -417,7 +448,8 @@ def q_link_hits(sf_dir: str) -> rd.Dataset:
 
     docs = _run_crawl(sf_dir)
     edges = _cached_link_edges(sf_dir)
-    return hits(docs.select_columns(["doc_id"]), edges)
+    return hits(docs.select_columns(["doc_id"]), edges,
+                edges_subset_of_nodes=True)
 
 
 def _hits_oracle_sql() -> str:
@@ -534,7 +566,8 @@ def q_link_pagerank(sf_dir: str) -> rd.Dataset:
 
     docs = _run_crawl(sf_dir)
     edges = _cached_link_edges(sf_dir)
-    return pagerank(docs.select_columns(["doc_id"]), edges)
+    return pagerank(docs.select_columns(["doc_id"]), edges,
+                    edges_subset_of_nodes=True)
 
 
 CRAWL_BUDGET_TOTAL = 100_000
@@ -1257,7 +1290,8 @@ FROM ind GROUP BY in_degree
 def trustrank(nodes: rd.Dataset, edges: rd.Dataset,
               iters: int = PR_ITERS,
               num_partitions: int | None = None,
-              inline_edge_cap: int = _INLINE_EDGE_CAP) -> rd.Dataset:
+              inline_edge_cap: int = _INLINE_EDGE_CAP,
+              edges_subset_of_nodes: bool = False) -> rd.Dataset:
     """TrustRank (Gyöngyi et al., VLDB 2004): PageRank whose teleport
     mass lands ONLY on a trusted seed set — here the crawl's depth-0
     pages. Spam/mirror farms deep in the graph get rank only through
@@ -1276,7 +1310,18 @@ def trustrank(nodes: rd.Dataset, edges: rd.Dataset,
     rank table as a ``b`` column — contributions union in with b=0 and
     ``Max(b)`` recovers each node's base in the same groupby that sums
     S(v), so personalization costs NO extra join or broadcast. Inline
-    numpy fast path under ``inline_edge_cap``, bit-identical."""
+    numpy fast path under ``inline_edge_cap``, bit-identical.
+
+    Ghost ids (an edge endpoint absent from *nodes*) CANNOT enter the
+    rank table: outdegree is counted over ALL edges (mass along a
+    ghost-dst edge evaporates, like dangling mass — mirrored in the
+    oracle's unrestricted outdeg CTE), but contributions are delivered
+    only to dst in *nodes* (a semi-join in the distributed path, an
+    index-validity filter inline), and ghost srcs never match the
+    nodes-only rank table. Callers that guarantee edges are endpoints
+    within *nodes* (the crawl queries — edges are filtered to crawled
+    targets) pass ``edges_subset_of_nodes=True`` to skip the setup
+    semi-join."""
     import numpy as np
     from ray.data.aggregate import Max, Sum
 
@@ -1303,7 +1348,20 @@ def trustrank(nodes: rd.Dataset, edges: rd.Dataset,
         node_ids = [d for d, _ in rows]
         tr_mask = np.array([t for _, t in rows], np.int64)
         src_i, dst_i = _edge_indices(edges, node_ids)
-        od = np.bincount(src_i, minlength=n).astype(np.int64)
+        if edges_subset_of_nodes:
+            od = np.bincount(src_i, minlength=n).astype(np.int64)
+        else:
+            # outdeg over ALL edges with a known src (ghost-dst edges
+            # included — their mass evaporates), matching the oracle's
+            # unrestricted outdeg CTE; _edge_indices drops ghost pairs
+            # so the filtered src_i alone would undercount
+            od = np.zeros(n, np.int64)
+            vset = pa.array(node_ids)
+            for b in edges.iter_batches(batch_format="pyarrow"):
+                si = (pc.index_in(b.column("src"), value_set=vset)
+                      .drop_null().to_numpy(zero_copy_only=False))
+                if len(si):
+                    od += np.bincount(si.astype(np.int64), minlength=n)
         r = tr_mask * r0
         for _ in range(iters):
             s = np.zeros(n, np.int64)
@@ -1322,7 +1380,21 @@ def trustrank(nodes: rd.Dataset, edges: rd.Dataset,
     keyed = drop_empty_blocks(
         edges.join(outdeg, join_type="inner",
                    num_partitions=num_partitions,
-                   on=("src",))).materialize()
+                   on=("src",)))
+    if not edges_subset_of_nodes:
+        # semi-join dst against the node set so ghost ids can never
+        # enter the rank table via the contribution groupby (outdeg
+        # above is over ALL edges, so ghost-dst mass still evaporates)
+        def as_dst(t: pa.Table) -> pa.Table:
+            return pa.table({"dst": t.column("doc_id")})
+
+        node_dst = drop_empty_blocks(
+            nodes.select_columns(["doc_id"])
+            .map_batches(as_dst, batch_format="pyarrow"))
+        keyed = drop_empty_blocks(
+            keyed.join(node_dst, join_type="inner",
+                       num_partitions=num_partitions, on=("dst",)))
+    keyed = keyed.materialize()
 
     def init_ranks(t: pa.Table) -> pa.Table:
         tr = pc.cast(t.column("trusted"), pa.int64())
@@ -1391,7 +1463,7 @@ def q_link_trustrank(sf_dir: str) -> rd.Dataset:
 
     nodes = docs.select_columns(["doc_id", "depth"]).map_batches(
         flag, batch_format="pyarrow")
-    return trustrank(nodes, edges)
+    return trustrank(nodes, edges, edges_subset_of_nodes=True)
 
 
 def _trustrank_oracle_sql() -> str:

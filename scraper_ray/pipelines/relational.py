@@ -140,10 +140,26 @@ FROM orders GROUP BY o_orderpriority
 
 def q_group_collect(sf_dir: str) -> rd.Dataset:
     """Grouped collect_list (reference A2: cn_postalcode.py:207-209).
-    Output is a sorted CSV string for deterministic comparison."""
+    Output is a sorted CSV string for deterministic comparison.
+
+    Scale shape: collect_list over a low-cardinality group key would
+    put ~1/|segments| of the whole table in ONE map_groups task, so the
+    distinct (segment, nationkey) pairs are pre-aggregated first — a
+    per-batch Arrow distinct (the combiner) then a hash-shuffle groupby
+    — and only the <= |segments|x|nations|-row result is collected."""
     import pandas as pd
 
     ds = _t(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_mktsegment", "c_nationkey"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["c_mktsegment", "c_nationkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
         vals = sorted(set(int(v) for v in g["c_nationkey"]))
@@ -152,7 +168,8 @@ def q_group_collect(sf_dir: str) -> rd.Dataset:
              "nations_csv": [",".join(str(v) for v in vals)]}
         )
 
-    return ds.groupby("c_mktsegment").map_groups(collect, batch_format="pandas")
+    return pairs.groupby("c_mktsegment").map_groups(
+        collect, batch_format="pandas")
 
 
 ORACLE_SQL["group_collect"] = """

@@ -744,7 +744,15 @@ def q_traffic_anomalies(sf_dir: str) -> rd.Dataset:
         n, s, ssq = moments.get(et, (0, 0, 0))
         moments[et] = (n + 1, s + x, ssq + x * x)
 
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("day", pa.timestamp("us")),
+                            ("n_events", pa.int64())])
+
     def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # groupby outputs can include schema-less zero-row blocks
+            # (see drop_empty_blocks) — t.column() would raise on them
+            return out_schema.empty_table()
         ets = t.column("event_type").to_pylist()
         xs = t.column("n_events").to_pylist()
         # Python-int exact math over the tiny daily table (O(days*types)

@@ -468,3 +468,102 @@ def test_trustrank_inline_and_distributed_match_reference(ray_session):
     # untrusted, unlinked e gets exactly zero; seeds a/b hold mass
     assert got["e"] == 0
     assert got["a"] > 0 and got["b"] > 0
+
+
+# ---------------------------------------------------------------------------
+# ghost edge endpoints (ids absent from the node table) — the public-API
+# invariant: ghosts never enter the rank/score output, ghost-dst mass
+# evaporates like dangling mass (outdeg still counts the ghost edge)
+# ---------------------------------------------------------------------------
+
+def _pr_ghost_reference(nodes, edges, iters):
+    """Sequential mirror with ghost handling: outdeg over ALL edges,
+    contributions only along node->node edges."""
+    from scraper_ray.pipelines.graph import PR_SCALE
+
+    r0 = PR_SCALE // len(nodes)
+    base = (15 * r0) // 100
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: r0 for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            if u in r and v in s:
+                s[v] += r[u] // outdeg[u]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_ghost_edges_evaporate_not_rank(ray_session):
+    from scraper_ray.pipelines.graph import pagerank
+
+    nodes = ["a", "b", "c"]
+    # a->ghost halves a's per-edge contribution (od(a)=2, mass to the
+    # ghost evaporates); phantom->c must contribute nothing
+    edges = [("a", "b"), ("a", "ghost"), ("b", "c"), ("phantom", "c")]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    want = _pr_ghost_reference(nodes, edges, 3)
+    for cap in (2_000_000, 0):   # inline numpy AND distributed plans
+        out = pagerank(nds, eds, iters=3, inline_edge_cap=cap).to_pandas()
+        got = dict(zip(out["doc_id"], out["pr"]))
+        assert set(got) == set(nodes), cap      # no ghost rows, ever
+        assert got == want, cap
+
+
+def test_trustrank_ghost_edges_stay_out(ray_session):
+    from scraper_ray.pipelines.graph import PR_SCALE, trustrank
+
+    nodes = ["a", "b", "c"]
+    trusted = {"a"}
+    edges = [("a", "b"), ("a", "ghost"), ("b", "c"), ("phantom", "b")]
+    nds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, pa.string()),
+        "trusted": pa.array([1 if v in trusted else 0 for v in nodes],
+                            pa.int64())}))
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    r0 = PR_SCALE // 1
+    base = (15 * r0) // 100
+    # hand-unrolled 2 iterations: od(a)=2, ghost mass evaporates
+    s1_b = r0 // 2
+    r1 = {"a": base, "b": (85 * s1_b) // 100, "c": 0}
+    s2_b, s2_c = r1["a"] // 2, r1["b"]
+    want = {"a": base, "b": (85 * s2_b) // 100, "c": (85 * s2_c) // 100}
+    for cap in (2_000_000, 0):
+        out = trustrank(nds, eds, iters=2, inline_edge_cap=cap).to_pandas()
+        got = dict(zip(out["doc_id"], out["tr"]))
+        assert set(got) == set(nodes), cap
+        assert got == want, cap
+
+
+def test_hits_ghost_edges_dropped(ray_session):
+    from scraper_ray.pipelines.graph import hits
+
+    nodes = ["a", "b", "c"]
+    edges = [("a", "b"), ("a", "ghost"), ("b", "c"), ("phantom", "c")]
+    # the same graph with ghost edges pre-stripped is the expected
+    # answer: HITS has no outdeg division, so full-edge removal is the
+    # ghost semantics
+    clean = [("a", "b"), ("b", "c")]
+    nds = rd.from_arrow(pa.table({"doc_id": pa.array(nodes, pa.string())}))
+
+    def _eds(pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in pairs], pa.string()),
+            "dst": pa.array([e[1] for e in pairs], pa.string())}))
+
+    want_df = hits(nds, _eds(clean), iters=3).to_pandas()
+    want_h = dict(zip(want_df["doc_id"], want_df["hub"]))
+    want_a = dict(zip(want_df["doc_id"], want_df["auth"]))
+    for cap in (2_000_000, 0):
+        out = hits(nds, _eds(edges), iters=3, inline_edge_cap=cap).to_pandas()
+        got_h = dict(zip(out["doc_id"], out["hub"]))
+        got_a = dict(zip(out["doc_id"], out["auth"]))
+        assert set(got_h) == set(nodes), cap
+        assert (got_h, got_a) == (want_h, want_a), cap
