@@ -131,10 +131,12 @@ QUERY_NAMES = [
     "winnow", "ann_ivf_pq_topk", "dedup_keep_best", "dup_span_coverage",
     "dup_span_rewrite",
     "vocab_coverage", "weighted_sample", "link_trustrank",
-    # containment_pairs is registry+oracle only: its gram self-join is
-    # the ngram_jaccard cost class (~54 s at sf0.1), excluded from the
-    # headline suite exactly like ngram_jaccard
     "traffic_anomalies",
+    # re-admitted in round 5: the gram front half is now ONE keyed
+    # exchange + in-block pair expansion, cached and shared between the
+    # two queries (was ~54 s each at sf0.1 as groupby+self-join chains;
+    # now ~7.5 s + ~0.5 s)
+    "ngram_jaccard", "containment_pairs",
 ]
 
 

@@ -1663,84 +1663,236 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
 # document-frequency cap)
 # ---------------------------------------------------------------------------
 
-def _rare_gram_incidence(docs: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
-    """(inc, inc_ok): the per-doc DISTINCT 3-gram hash incidence table
-    and its rare-only (df ≤ ``_GRAM_DF_CAP``) subset — the shared front
-    half of the gram-blocked pair queries (``q_ngram_jaccard``,
-    ``q_containment_pairs``). One batch-wide shingle pass + lexsort
-    dedupe (no per-doc Python set loop); decimal-string gram keys so
-    the SQL oracles' HUGEINT recomputation joins exactly; frequent
-    grams removed by a distributed anti-join (the probe side carries an
-    impossible sentinel gram so an all-rare corpus is a no-op filter,
-    not an empty-side crash)."""
-    from ray.data.aggregate import Count
+# i<j index templates for in-block posting-list pair expansion, keyed
+# by run length (df is capped at _GRAM_DF_CAP so there are at most 31)
+_PAIR_TEMPLATES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    from .common import drop_empty_blocks, join_parts
+
+def _pair_template(d: int) -> tuple[np.ndarray, np.ndarray]:
+    tpl = _PAIR_TEMPLATES.get(d)
+    if tpl is None:
+        tpl = _PAIR_TEMPLATES[d] = np.triu_indices(d, k=1)
+    return tpl
+
+
+def gram_profile_over(docs: rd.Dataset) -> dict:
+    """Shared front half of the gram-blocked pair queries
+    (``q_ngram_jaccard``, ``q_containment_pairs``): the per-pair
+    shared-rare-gram counts plus per-doc gram totals, built with ONE
+    wide exchange over the incidence table.
+
+    Earlier rounds ran this as df-groupby -> anti-join -> self-join on
+    gram -> pair groupby (~5 all-to-alls, twice — once per query);
+    measured 61 s + 41 s at sf0.1 on ~240k incidence rows, i.e. pure
+    exchange machinery, not compute. Now: one ``keyed_repartition`` on
+    the gram hash co-locates each posting list whole, so document
+    frequency is BLOCK-LOCAL (run length after an in-block sort), the
+    df > ``_GRAM_DF_CAP`` drop is a vectorized filter, and the
+    candidate pairs are emitted by numpy index templates over each
+    rare run (<= C(32,2) = 496 pairs per gram, the bounded-bucket
+    discipline) with in-block partial counts — the only other
+    exchanges are the (doc_a, doc_b) partial-count sum and the tiny
+    per-doc meta rollup, BOTH themselves keyed repartitions with
+    block-local Arrow aggregates (ray groupby's sort shuffle measured
+    15.5 s on the 1.25M-row pair table; the keyed block sum 0.34 s).
+    Same candidates, same counts, same SQL oracles as before; 100 TB
+    shape: everything is hash-partitioned by gram or pair key, nothing
+    driver-sized.
+
+    Returns ``{"pairs": (doc_a < doc_b, shared) Dataset,
+    "docmeta": (doc_id, n_grams, n_rare) Dataset}``, both
+    materialized. ``n_grams`` counts ALL distinct grams of the doc
+    (computed at incidence time — batches hold whole docs), ``n_rare``
+    only those with df <= cap; docs with zero rare grams cannot appear
+    in any pair and are absent from docmeta."""
+    from .common import drop_empty_blocks, keyed_repartition
 
     def incidence(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         if not texts:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
+                             "gram": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64())})
         flat, off = _batch_shingle_hashes(texts)
         hu, du = _per_doc_unique(flat, off)
+        ng = np.bincount(du, minlength=t.num_rows)
         return pa.table({
             "doc_id": pc.take(t.column("doc_id"),
                               pa.array(du, pa.int64())),
-            "gram": pa.array(hu.astype("U20"))})
+            # int64 bit-view of the uint64 gram hash — identity-equal
+            # to the decimal-string key the SQL oracles recompute
+            "gram": pa.array(hu.view(np.int64)),
+            "n_grams": pa.array(ng[du].astype(np.int64))})
 
     inc = drop_empty_blocks(
         docs.map_batches(incidence, batch_format="pyarrow",
                          zero_copy_batch=True))
-    frequent = (inc.groupby("gram").aggregate(Count(alias_name="df"))
-                .filter(expr=f"df > {_GRAM_DF_CAP}")
-                .select_columns(["gram"]))
-    inc_ok = drop_empty_blocks(
-        inc.join(
-            drop_empty_blocks(frequent.union(
-                rd.from_arrow(pa.table({"gram": pa.array(["_none_"],
-                                                         pa.string())})))),
-            join_type="left_anti", num_partitions=join_parts(), on=("gram",)))
-    return inc, inc_ok
+    keyed = keyed_repartition(inc, ["gram"]).materialize()
 
+    def _sorted_runs(t: pa.Table):
+        """Block sorted by (gram, doc_id) + run starts/lengths — df per
+        gram is global because the repartition co-located each gram."""
+        tt = t.sort_by([("gram", "ascending"), ("doc_id", "ascending")])
+        g = tt.column("gram").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(g)])))
+        return tt, starts, lens
 
-def _pair_shared_counts(inc_ok: rd.Dataset) -> rd.Dataset:
-    """(doc_a < doc_b, shared): self-join the rare-gram incidence on
-    gram and count shared grams per ordered pair — in-batch partial
-    counts first so the global shuffle carries (pair, partial) rows,
-    never one row per (pair, gram). Shared back half of the
-    gram-blocked pair queries."""
-    from ray.data.aggregate import Sum
-
-    from .common import drop_empty_blocks, join_parts
-
-    def rename(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({"gram": t.column("gram"),
-                             f"doc_{side}": t.column("doc_id")})
-        return f
-
-    joined = drop_empty_blocks(
-        inc_ok.map_batches(rename("a"), batch_format="pyarrow").join(
-            inc_ok.map_batches(rename("b"), batch_format="pyarrow"),
-            join_type="inner", num_partitions=join_parts(), on=("gram",)))
-
-    def ordered(t: pa.Table) -> pa.Table:
-        m = pc.less(t.column("doc_a"), t.column("doc_b"))
-        f = t.filter(m)
-        tbl = pa.table({"doc_a": pc.cast(f.column("doc_a"), pa.int64()),
-                        "doc_b": pc.cast(f.column("doc_b"), pa.int64())})
+    def pair_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tt, starts, lens = _sorted_runs(t)
+        d = tt.column("doc_id").to_numpy(zero_copy_only=False)
+        a_parts, b_parts = [], []
+        for dlen in np.unique(lens):
+            if dlen < 2 or dlen > _GRAM_DF_CAP:
+                continue
+            S = starts[lens == dlen]
+            ti, tj = _pair_template(int(dlen))
+            # doc ids ascend within a run (sort above) and each doc
+            # holds a gram at most once (per-doc unique upstream), so
+            # i<j gives doc_a < doc_b directly, no self pairs
+            a_parts.append(d[(S[:, None] + ti[None, :]).ravel()])
+            b_parts.append(d[(S[:, None] + tj[None, :]).ravel()])
+        if not a_parts:
+            return empty
+        tbl = pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
+                        "doc_b": pa.array(np.concatenate(b_parts))})
         part = tbl.group_by(["doc_a", "doc_b"]).aggregate(
-            [("doc_a", "count")])
+            [([], "count_all")])
         return pa.table({"doc_a": part.column("doc_a"),
                          "doc_b": part.column("doc_b"),
-                         "part": pc.cast(part.column("doc_a_count"),
+                         "part": pc.cast(part.column("count_all"),
                                          pa.int64())})
 
+    def pair_block_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("part", "sum")])
+        return pa.table({"doc_a": g.column("doc_a"),
+                         "doc_b": g.column("doc_b"),
+                         "shared": pc.cast(g.column("part_sum"),
+                                           pa.int64())})
+
+    pairs = keyed_repartition(
+        keyed.map_batches(pair_partials, batch_format="pyarrow",
+                          batch_size=None),
+        ["doc_a", "doc_b"]).map_batches(
+            pair_block_sum, batch_format="pyarrow",
+            batch_size=None).materialize()
+
+    def doc_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "rare_part": pa.array([], pa.int64())})
+        tt, starts, lens = _sorted_runs(t)
+        rare = tt.filter(pa.array(
+            np.repeat(lens <= _GRAM_DF_CAP, lens)))
+        part = (rare.select(["doc_id", "n_grams"])
+                .group_by(["doc_id", "n_grams"])
+                .aggregate([([], "count_all")]))
+        return pa.table({"doc_id": part.column("doc_id"),
+                         "n_grams": part.column("n_grams"),
+                         "rare_part": pc.cast(part.column("count_all"),
+                                              pa.int64())})
+
+    def doc_block_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("n_grams", "max"),
+                                            ("rare_part", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_grams": pc.cast(g.column("n_grams_max"),
+                                            pa.int64()),
+                         "n_rare": pc.cast(g.column("rare_part_sum"),
+                                           pa.int64())})
+
+    docmeta = keyed_repartition(
+        keyed.map_batches(doc_partials, batch_format="pyarrow",
+                          batch_size=None),
+        ["doc_id"]).map_batches(
+            doc_block_sum, batch_format="pyarrow",
+            batch_size=None).materialize()
+
+    return {"pairs": pairs, "docmeta": docmeta}
+
+
+def _attach_gram_meta(pairs: rd.Dataset, docmeta: rd.Dataset) -> rd.Dataset:
+    """Attach per-doc gram counts to both sides of the pair table:
+    (doc_a, doc_b, shared) -> + (n_a, n_b, nf_a, nf_b). Under
+    ``_MULTI_BROADCAST_CAP`` docmeta rows the lookup ships ONCE via
+    ``ray.put`` and the attach is a stateless vectorized map (zero
+    exchanges — the dims-lookup pattern); past the cap it falls back to
+    two distributed hash joins, the 100 TB path."""
+    from .common import drop_empty_blocks, join_parts
+
+    if docmeta.count() <= _MULTI_BROADCAST_CAP:
+        rows = docmeta.take_all()
+        meta_ref = ray.put({int(r["doc_id"]): (int(r["n_grams"]),
+                                               int(r["n_rare"]))
+                            for r in rows})
+
+        def attach(t: pa.Table) -> pa.Table:
+            m = ray.get(meta_ref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            # every pair doc has >=1 rare gram by construction, so the
+            # lookups cannot miss
+            na, nra = zip(*(m[int(x)] for x in a)) if len(a) else ((), ())
+            nb, nrb = zip(*(m[int(x)] for x in b)) if len(b) else ((), ())
+            na = np.asarray(na, np.int64)
+            nb = np.asarray(nb, np.int64)
+            nra = np.asarray(nra, np.int64)
+            nrb = np.asarray(nrb, np.int64)
+            return pa.table({
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "shared": pc.cast(t.column("shared"), pa.int64()),
+                "n_a": pa.array(na), "n_b": pa.array(nb),
+                "nf_a": pa.array(na - nra), "nf_b": pa.array(nb - nrb)})
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
+    def meta_as(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                f"doc_{side}": pc.cast(t.column("doc_id"), pa.int64()),
+                f"n_{side}": pc.cast(t.column("n_grams"), pa.int64()),
+                f"nf_{side}": pc.cast(pc.subtract(t.column("n_grams"),
+                                                  t.column("n_rare")),
+                                      pa.int64())})
+        return f
+
+    with_meta_a = drop_empty_blocks(
+        pairs.map_batches(
+            lambda t: pa.table({
+                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+                "shared": pc.cast(t.column("shared"), pa.int64())}),
+            batch_format="pyarrow")
+        .join(docmeta.map_batches(meta_as("a"), batch_format="pyarrow"),
+              join_type="inner", num_partitions=join_parts(), on=("doc_a",)))
     return drop_empty_blocks(
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("part", alias_name="shared")))
+        with_meta_a
+        .join(docmeta.map_batches(meta_as("b"), batch_format="pyarrow"),
+              join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
+
+
+_GRAM_CACHE: dict[str, dict] = {}
+
+
+def _gram_profile(sf_dir: str) -> dict:
+    """Per-tier cache of ``gram_profile_over`` — the profile is a pure
+    function of the corpus and both gram-blocked queries consume it, so
+    it is built once per process (same discipline as ``_PAIR_CACHE``)."""
+    import os
+
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    if key not in _GRAM_CACHE:
+        _GRAM_CACHE[key] = gram_profile_over(
+            _t(sf_dir, "documents", ["doc_id", "text"]))
+    return _GRAM_CACHE[key]
 
 
 def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
@@ -1770,17 +1922,17 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
     grams; the rare
     pairs where both sides touch a frequent gram are routed through the
     exact text-verify slow path, which is bounded by the boilerplate
-    footprint, not the corpus. Ladder: incidence -> df aggregate ->
-    anti-join out frequent grams -> self-join on gram -> per-pair
-    shared-count aggregate -> docmeta joins -> vectorized jaccard
+    footprint, not the corpus. Ladder: ``_gram_profile`` (ONE gram-keyed
+    exchange + in-block pair expansion, cached and shared with
+    ``q_containment_pairs``) -> per-doc meta attach (broadcast under
+    ``_MULTI_BROADCAST_CAP``, hash joins past it) -> vectorized jaccard
     (+ text verify for the frequent-touched remainder); nothing
-    touches the driver."""
-    from ray.data.aggregate import Count
-
+    touches the driver beyond the cap-guarded meta table."""
     from .common import drop_empty_blocks
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    inc, inc_ok = _rare_gram_incidence(docs)
+    profile = _gram_profile(sf_dir)
+    pairs, docmeta = profile["pairs"], profile["docmeta"]
 
     def _empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -1788,49 +1940,12 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> rd.Dataset:
             "doc_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
 
-    # pathological corpus where EVERY gram is frequent: no candidates
-    # at all (inc_ok is materialized by the scrub — metadata-only count)
-    if inc_ok.count() == 0:
-        return _empty()
-
-    # per-pair shared-rare-gram count: one row per (pair, gram) upstream
-    pairs = _pair_shared_counts(inc_ok)
+    # pathological corpus where every gram is frequent, or no two docs
+    # share a rare gram (both materialized — metadata-only counts)
     if pairs.count() == 0:
         return _empty()
 
-    # per-doc distinct-gram counts: total (all grams) and rare-only —
-    # n_freq = n_grams - n_rare tells the fast path whether count-based
-    # jaccard is exact for a doc
-    n_tbl = inc.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
-    nrare = inc_ok.groupby("doc_id").aggregate(Count(alias_name="n_rare"))
-    docmeta = drop_empty_blocks(
-        drop_empty_blocks(n_tbl).join(drop_empty_blocks(nrare),
-                                      join_type="inner", num_partitions=join_parts(),
-                                      on=("doc_id",)))
-
-    def meta_as(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                f"doc_{side}": pc.cast(t.column("doc_id"), pa.int64()),
-                f"n_{side}": pc.cast(t.column("n_grams"), pa.int64()),
-                f"nf_{side}": pc.cast(pc.subtract(t.column("n_grams"),
-                                                  t.column("n_rare")),
-                                      pa.int64())})
-        return f
-
-    with_meta_a = drop_empty_blocks(
-        pairs.map_batches(
-            lambda t: pa.table({
-                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
-                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
-                "shared": pc.cast(t.column("shared"), pa.int64())}),
-            batch_format="pyarrow")
-        .join(docmeta.map_batches(meta_as("a"), batch_format="pyarrow"),
-              join_type="inner", num_partitions=join_parts(), on=("doc_a",)))
-    with_meta = drop_empty_blocks(
-        with_meta_a
-        .join(docmeta.map_batches(meta_as("b"), batch_format="pyarrow"),
-              join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
+    with_meta = _attach_gram_meta(pairs, docmeta)
 
     def fast(t: pa.Table) -> pa.Table:
         # exact when either side has no frequent grams: shared rare ==
@@ -2211,18 +2326,13 @@ def q_containment_pairs(sf_dir: str) -> rd.Dataset:
 
     Integer-exact end-to-end: the flag is ``4*shared >= 3*n_rare`` and
     the output columns are int64 counts — no float ratio anywhere.
-    Plan (all join-shaped, nothing driver-sized): incidence → df
-    aggregate → anti-join out frequent grams → self-join on gram →
-    per-pair shared count (in-batch partials first) → two per-side
-    count joins → vectorized both-direction flag map. The incidence
-    and shared-count stages are the module-level helpers shared with
-    ``q_ngram_jaccard``."""
-    from ray.data.aggregate import Count
-
-    from .common import drop_empty_blocks, join_parts
-
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    _inc, inc_ok = _rare_gram_incidence(docs)
+    Plan: ``_gram_profile`` (the cached gram-keyed exchange + in-block
+    pair expansion shared with ``q_ngram_jaccard`` — running both
+    queries pays for the front half ONCE) → per-side meta attach
+    (broadcast under cap, joins past it) → vectorized both-direction
+    flag map."""
+    profile = _gram_profile(sf_dir)
+    pairs, docmeta = profile["pairs"], profile["docmeta"]
 
     def _empty() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -2231,43 +2341,20 @@ def q_containment_pairs(sf_dir: str) -> rd.Dataset:
             "shared": pa.array([], pa.int64()),
             "n_rare": pa.array([], pa.int64())}))
 
-    if inc_ok.count() == 0:
-        return _empty()
-
-    pairs = _pair_shared_counts(inc_ok)
     if pairs.count() == 0:
         return _empty()
 
-    nr = drop_empty_blocks(
-        inc_ok.groupby("doc_id").aggregate(Count(alias_name="n_rare")))
-
-    def nr_as(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({
-                f"doc_{side}": pc.cast(t.column("doc_id"), pa.int64()),
-                f"nr_{side}": pc.cast(t.column("n_rare"), pa.int64())})
-        return f
-
-    with_meta = drop_empty_blocks(
-        drop_empty_blocks(
-            pairs.map_batches(
-                lambda t: pa.table({
-                    "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
-                    "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
-                    "shared": pc.cast(t.column("shared"), pa.int64())}),
-                batch_format="pyarrow")
-            .join(nr.map_batches(nr_as("a"), batch_format="pyarrow"),
-                  join_type="inner", num_partitions=join_parts(),
-                  on=("doc_a",)))
-        .join(nr.map_batches(nr_as("b"), batch_format="pyarrow"),
-              join_type="inner", num_partitions=join_parts(), on=("doc_b",)))
+    with_meta = _attach_gram_meta(pairs, docmeta)
 
     def flag(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy(zero_copy_only=False)
         b = t.column("doc_b").to_numpy(zero_copy_only=False)
         sh = t.column("shared").to_numpy(zero_copy_only=False)
-        na = t.column("nr_a").to_numpy(zero_copy_only=False)
-        nb = t.column("nr_b").to_numpy(zero_copy_only=False)
+        # rare-gram profile size per side: n_rare = n_grams - n_freq
+        na = (t.column("n_a").to_numpy(zero_copy_only=False)
+              - t.column("nf_a").to_numpy(zero_copy_only=False))
+        nb = (t.column("n_b").to_numpy(zero_copy_only=False)
+              - t.column("nf_b").to_numpy(zero_copy_only=False))
         ka = _CONTAIN_DEN * sh >= _CONTAIN_NUM * na   # a contained in b
         kb = _CONTAIN_DEN * sh >= _CONTAIN_NUM * nb   # b contained in a
         return pa.table({

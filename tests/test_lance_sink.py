@@ -77,6 +77,7 @@ def _make_stub_lance():
                 if os.path.exists(mpath) else 0
             manifest = {"commits": [{
                 "op": type(op).__name__,
+                "schema": [[f.name, str(f.type)] for f in op.schema],
                 "fragments": [{"rel_path": f.rel_path,
                                "num_rows": f.num_rows}
                               for f in op.fragments],
@@ -138,6 +139,8 @@ def test_distributed_fragment_write_and_single_commit(stub_lance, tmp_path):
     assert len(manifest["commits"]) == 1
     commit = manifest["commits"][0]
     assert commit["op"] == "Overwrite"
+    # the committed manifest schema is the dataset's schema, in order
+    assert commit["schema"] == [["doc_id", "int64"], ["text", "string"]]
     frag_files = sorted(f for f in os.listdir(out) if f.startswith("frag-"))
     committed = sorted(f["rel_path"] for f in commit["fragments"])
     # fragment JSON round-trip: every written fragment committed once
