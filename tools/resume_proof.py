@@ -115,7 +115,8 @@ def digest_output(out_dir: str) -> dict:
         urls = b.column("url").to_pylist()
         dids = b.column("doc_id").to_pylist()
         pays = b.column("payload").to_pylist()
-        recs += [(u, d, hashlib.sha1(p.encode()).hexdigest())
+        recs += [(u, d, hashlib.sha1(
+                      p if isinstance(p, bytes) else p.encode()).hexdigest())
                  for u, d, p in zip(urls, dids, pays)]
     recs.sort()
     warc_digest = hashlib.sha1(repr(recs).encode()).hexdigest()[:16]
@@ -176,28 +177,28 @@ def cmd_orchestrate(args) -> int:
     ref_wall = time.time() - t0
 
     print("[2/4] victim run; SIGKILL mid-wave...", file=sys.stderr)
+    from scraper_ray.crawl import latest_checkpoint
+
     p = _spawn("run", vic_out, vic_ck, args.seeds)
-    # strike while a wave is in flight: wait for >= min_waves completed
-    # wave dirs, then a beat into the next wave, then kill the group
+    # strike while a wave is in flight: wait until the checkpoint for
+    # wave kill_after_waves-1 lands (so resume has a base), then a beat
+    # into the NEXT wave, then SIGKILL the whole process group
     killed_at = None
     deadline = time.time() + max(120, ref_wall * 4)
     while time.time() < deadline and p.poll() is None:
-        waves = ([n for n in os.listdir(vic_out) if n.startswith("wave=")]
-                 if os.path.isdir(vic_out) else [])
-        if len(waves) >= args.kill_after_waves:
+        ck = latest_checkpoint(vic_ck)
+        if ck is not None and ck >= args.kill_after_waves - 1:
             time.sleep(args.kill_delay)       # land inside the next wave
-            killed_at = sorted(waves)[-1]
+            killed_at = ck
             os.killpg(os.getpgid(p.pid), signal.SIGKILL)
             break
-        time.sleep(0.2)
+        time.sleep(0.05)
     assert killed_at is not None, \
         "victim finished before the kill could land — raise --seeds"
     p.wait()
-    from scraper_ray.crawl import latest_checkpoint
-
     last_ck = latest_checkpoint(vic_ck)
-    print(f"    killed after {killed_at} existed; latest checkpoint: "
-          f"wave {last_ck}", file=sys.stderr)
+    print(f"    killed {args.kill_delay}s after checkpoint {killed_at}; "
+          f"latest checkpoint on disk: wave {last_ck}", file=sys.stderr)
     assert last_ck is not None, "no checkpoint written before the kill"
 
     print("[3/4] resume victim from checkpoint...", file=sys.stderr)
@@ -205,6 +206,10 @@ def cmd_orchestrate(args) -> int:
     out, _ = p.communicate()
     assert p.returncode == 0, "resume failed"
     res_stats = json.loads(out.strip().splitlines()[-1])
+    assert res_stats["waves_resumed"] > 0, (
+        "the kill landed after the final wave — the resume had nothing "
+        "to do and the proof is vacuous; strike earlier "
+        "(--kill-after-waves / --kill-delay) or raise --seeds")
 
     print("[4/4] digest + compare...", file=sys.stderr)
     ref_d = digest_output(full_out)
@@ -242,8 +247,8 @@ def main() -> int:
     o = sub.add_parser("orchestrate")
     o.add_argument("--seeds", type=int, default=1_000_000)
     o.add_argument("--workdir", default="/tmp/resume_proof")
-    o.add_argument("--kill-after-waves", type=int, default=3)
-    o.add_argument("--kill-delay", type=float, default=1.5)
+    o.add_argument("--kill-after-waves", type=int, default=2)
+    o.add_argument("--kill-delay", type=float, default=1.0)
     o.add_argument("--keep", action="store_true")
     args = ap.parse_args()
     return {"run": cmd_run, "resume": cmd_resume, "digest": cmd_digest,
