@@ -61,6 +61,8 @@ _MULTI_BROADCAST_CAP = 4_000_000
 
 _EMB_BANDS = 8          # independent sign-LSH bands...
 _EMB_PLANES = 6         # ...of at least this many hyperplanes each
+_EMB_MAX_PLANES = 12    # oracle-covered ceiling (n_vecs <= 16 * 2^12)
+_EMB_SLOT_CAP = 24      # canonical family slots per band (hard ceiling)
 
 
 def _emb_planes_for(n_vecs: int) -> int:
@@ -73,10 +75,28 @@ def _emb_planes_for(n_vecs: int) -> int:
     return max(_EMB_PLANES, math.ceil(math.log2(max(2, n_vecs / 16))))
 
 
-def _emb_planes(dim: int, planes_per_band: int = _EMB_PLANES) -> np.ndarray:
-    """(dim, bands*planes) seeded hyperplanes, band-major."""
+def _emb_planes_canonical(dim: int) -> np.ndarray:
+    """(dim, bands * _EMB_SLOT_CAP) seeded canonical hyperplane family,
+    band-major with ``_EMB_SLOT_CAP`` slots per band. Every consumer —
+    the engine at ANY adaptive planes count and the SQL oracle — takes
+    the FIRST ``planes_for(n)`` slots of each band from this ONE
+    matrix, so both sides agree at every tier (round-5 fix: the oracle
+    was pinned to 6 planes/band and silently diverged at sf0.1's 2000
+    vecs -> 7 planes; the sf0.1 full-registry run caught it)."""
     return np.random.default_rng(7).standard_normal(
-        (dim, _EMB_BANDS * planes_per_band))
+        (dim, _EMB_BANDS * _EMB_SLOT_CAP))
+
+
+def _emb_planes(dim: int, planes_per_band: int = _EMB_PLANES) -> np.ndarray:
+    """(dim, bands*planes) band-major slice of the canonical family."""
+    assert planes_per_band <= _EMB_SLOT_CAP, (
+        f"{planes_per_band} planes/band exceeds the canonical family's "
+        f"{_EMB_SLOT_CAP} slots (~16*2^{_EMB_SLOT_CAP} vectors) — raise "
+        "_EMB_SLOT_CAP (and regenerate any stored LSH artifacts)")
+    c = _emb_planes_canonical(dim)
+    return np.concatenate(
+        [c[:, b * _EMB_SLOT_CAP: b * _EMB_SLOT_CAP + planes_per_band]
+         for b in range(_EMB_BANDS)], axis=1)
 
 
 # shingle hashes are a LINEAR COMBINE of per-token md5 hashes instead of
@@ -1123,22 +1143,28 @@ FROM verified WHERE j >= {threshold}
 
 def _embedding_neardup_oracle_sql(threshold: float = 0.3,
                                   dim: int = 64) -> str:
-    """Banded sign-LSH + cosine verify in SQL, plane constants inlined
-    (band-major, same seeded family as _emb_planes).
+    """Banded sign-LSH + cosine verify in SQL, canonical plane
+    constants inlined (band-major slices of ``_emb_planes_canonical``,
+    exactly what the engine uses).
 
-    Pinned to the default 6 planes/band — the engine's adaptive
-    _emb_planes_for(n) also yields 6 for every n <= 1024, which covers
-    both driver-compare tiers (sf0.001: 100 vecs, sf0.01: 500); bigger
-    tiers are benchmarked, not oracle-compared."""
-    pl = _emb_planes(dim)
+    The planes-per-band count is computed IN SQL from the corpus size —
+    ``greatest(6, ceil(log2(n/16)))``, the mirror of
+    ``_emb_planes_for`` — and each band's bucket key sums only the
+    first ``planes`` bits, so the oracle tracks the engine's adaptive
+    plane count at every tier up to ``_EMB_MAX_PLANES`` (n <= 16*2^12
+    vectors; past that the final WHERE gate returns an empty — loudly
+    mismatching — result rather than a silently wrong one). Round-5
+    fix: the previous pin to 6 planes diverged at sf0.1 (2000 vecs ->
+    7 planes), caught by the full-registry run at sf0.1."""
+    pl = _emb_planes_canonical(dim)
     keys = []
     for b in range(_EMB_BANDS):
         bits = " + ".join(
-            "(CASE WHEN list_dot_product(emb, ["
+            f"(CASE WHEN {p} < pn.planes AND list_dot_product(emb, ["
             + ", ".join(repr(float(x))
-                        for x in pl[:, b * _EMB_PLANES + p])
+                        for x in pl[:, b * _EMB_SLOT_CAP + p])
             + f"]) > 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(_EMB_PLANES))
+            for p in range(_EMB_MAX_PLANES))
         keys.append(f"({bits}) AS k{b}")
     key_cols = ",\n         ".join(keys)
     band_union = "\nUNION ALL\n".join(
@@ -1146,10 +1172,14 @@ def _embedding_neardup_oracle_sql(threshold: float = 0.3,
         for b in range(_EMB_BANDS))
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pn AS (SELECT greatest({_EMB_PLANES},
+                       CAST(ceil(log2(greatest(2.0, count(*) / 16.0)))
+                            AS INTEGER)) AS planes
+       FROM embeddings),
 keyed AS (
   SELECT vec_id, emb,
          {key_cols}
-  FROM e),
+  FROM e CROSS JOIN pn),
 bands AS ({band_union}),
 ok_buckets AS (
   SELECT band, bucket FROM bands GROUP BY band, bucket
@@ -1167,7 +1197,9 @@ verified AS (
   JOIN e ea ON ea.vec_id = c.vec_a
   JOIN e eb ON eb.vec_id = c.vec_b)
 SELECT vec_a, vec_b, round(s, 4) AS cosine
-FROM verified WHERE s >= {threshold}
+FROM verified
+WHERE s >= {threshold}
+  AND (SELECT planes FROM pn) <= {_EMB_MAX_PLANES}
 """
 
 
