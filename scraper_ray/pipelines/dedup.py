@@ -2224,8 +2224,6 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
             "cosine": pa.array(round_half_away(sims[keep]), pa.float64()),
         })
 
-    from ray.data.aggregate import Max
-
     # coarse-part sort-shuffle (the stats.py shard-rank shape): the
     # groupby("part") co-locates whole buckets through the task-based
     # sort shuffle and hands the SEGMENTED verify one part at a time —
@@ -2239,13 +2237,24 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.3) -> rd.Dataset:
         .groupby("part")
         .map_groups(verify_batch, batch_format="pyarrow")
     )
+
     # a pair sharing buckets in k bands verifies to k identical rows —
-    # one aggregate over the small surviving set dedupes them (deduping
-    # candidates PRE-verify measured 19 s for 138k tiny groups)
-    return (
-        verified.groupby(["vec_a", "vec_b"])
-        .aggregate(Max("cosine", alias_name="cosine"))
-    )
+    # dedupe with ONE keyed repartition + block-local Arrow max
+    # (equivalent to groupby(...).aggregate(Max) — max is associative
+    # and the repartition co-locates each pair — and 2.4x faster on the
+    # threshold=-1 kNN path's 134k-row pair table: 0.74 s vs 1.79 s).
+    # Deduping candidates PRE-verify measured 19 s for 138k tiny groups.
+    from .common import drop_empty_blocks, keyed_repartition
+
+    def block_max(t: pa.Table) -> pa.Table:
+        g = t.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "max")])
+        return pa.table({"vec_a": g.column("vec_a"),
+                         "vec_b": g.column("vec_b"),
+                         "cosine": g.column("cosine_max")})
+
+    return keyed_repartition(
+        drop_empty_blocks(verified), ["vec_a", "vec_b"]).map_batches(
+            block_max, batch_format="pyarrow", batch_size=None)
 
 
 def q_dedup_funnel(sf_dir: str) -> rd.Dataset:
